@@ -1,0 +1,52 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 13-4 retail calendar semantics (SURVEY.md §2 G5/G7).
+  *
+  * The reference slices MDX on `[13-4 Calendar].[d_Year]/[d_Period]`
+  * (`/root/reference/modules/olap_sync.py:264-280`; 13 periods/yr per
+  * `backfill_sales_channel_by_period.sh:19-21`). We compute the calendar
+  * natively: 13 periods × 28 days, anchored at Jan 1 of the civil year;
+  * days past day 364 fold into period 13 / week 53 (the 53-week-year
+  * case that makes "same period last year" a calendar join rather than
+  * `date_sub(364)` — SURVEY.md §7.5 risk 3).
+  *
+  * All columns are plain Catalyst date arithmetic — they push into scans
+  * and survive partition pruning when facts are stored partitioned by
+  * `fiscal_year`/`fiscal_period`.
+  */
+object FiscalCalendar {
+
+  def fiscalYear(d: Column): Column = year(d)
+
+  /** 1..13, 28-day periods; day 365/366 folds into period 13. */
+  def fiscalPeriod(d: Column): Column =
+    least(lit(13), (((dayofyear(d) - 1) / 28).cast("int") + 1))
+
+  /** 1..53 week-of-fiscal-year. */
+  def fiscalWeek(d: Column): Column =
+    least(lit(53), (((dayofyear(d) - 1) / 7).cast("int") + 1))
+
+  /** Global week index since epoch — the join key for TY/LY alignment:
+    * the same fiscal week one year earlier is `weekIndex - 52`.
+    */
+  def weekIndex(d: Column): Column = floor(datediff(d, lit("1970-01-01")) / 7)
+
+  /** Materialized date dimension over [start, end], one row per day.
+    * Generated with `sequence` + `explode` — fully distributed, no
+    * driver-side loop; at 100 TB the dim is still only ~tens of
+    * thousands of rows and always broadcast-joined.
+    */
+  def dateDim(spark: SparkSession, start: String, end: String): DataFrame = {
+    val base = spark.sql(
+      s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS cal_date")
+    base
+      .withColumn("fiscal_year", fiscalYear(col("cal_date")))
+      .withColumn("fiscal_period", fiscalPeriod(col("cal_date")))
+      .withColumn("fiscal_week", fiscalWeek(col("cal_date")))
+      .withColumn("week_index", weekIndex(col("cal_date")))
+      .withColumn("day_of_week", dayofweek(col("cal_date")))
+  }
+}

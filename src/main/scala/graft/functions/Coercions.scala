@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's 5-type scalar coercion vocabulary, re-expressed as
+  * codegen-friendly Catalyst column expressions (no UDFs).
+  *
+  * Semantics mirror the reference's mapping-apply kernel
+  * (`/root/reference/modules/pipeline_runner.py:81-130`):
+  *   - string   → str(value)
+  *   - date     → parse many formats, strip time (TZ-day-shift guard)
+  *   - datetime → parse, assume UTC when naive
+  *   - int      → comma-tolerant integer ("1,234" → 1234)
+  *   - decimal  → comma-tolerant float, stored at scale 2
+  * plus the multi-format date loop (`load_csv.py:46-51`,
+  * `transformers.py:229-236`) and HH:MM time normalization
+  * (`load_store_hours.py:33-61`).
+  *
+  * Everything here stays inside whole-stage codegen: `regexp_replace`,
+  * `to_date`, `coalesce`, `cast` are all native expressions — important
+  * because these kernels sit on every row of a 100 TB typed projection.
+  */
+object Coercions {
+
+  /** Strip thousands separators before a numeric cast. */
+  private def denumberized(c: Column): Column =
+    regexp_replace(trim(c.cast(StringType)), ",", "")
+
+  /** Comma-tolerant integer coercion. The reference routes through
+    * float first (`int(float(x))`), i.e. "12.7" → 12 (truncation).
+    * `-`, `NULL`, `''` sentinels (load_csv.py:58-59) coerce to null.
+    */
+  def asInt(c: Column): Column = {
+    val cleaned = denumberized(c)
+    when(cleaned.isin("-", "NULL", "null", ""), lit(null))
+      .otherwise(cleaned.cast(DoubleType).cast(LongType))
+  }
+
+  /** Comma-tolerant decimal coercion at the reference's storage scale
+    * (Dataverse DecimalAttributeMetadata Precision=2).
+    */
+  def asDecimal(c: Column, precision: Int = 18, scale: Int = 2): Column = {
+    val cleaned = denumberized(c)
+    when(cleaned.isin("-", "NULL", "null", ""), lit(null))
+      .otherwise(cleaned.cast(DoubleType).cast(DecimalType(precision, scale)))
+  }
+
+  def asString(c: Column): Column = c.cast(StringType)
+
+  /** Candidate formats the reference's dateutil-based parser accepts in
+    * practice (transformers.py:229-236; load_csv.py:46-51). First match
+    * wins via `coalesce`; time-of-day is dropped to guard against
+    * timezone day-shifts (pipeline_runner.py:89-100).
+    */
+  private val dateFormats =
+    Seq("M/d/yy", "M/d/yyyy", "yyyy-MM-dd", "MM/dd/yyyy", "yyyyMMdd")
+
+  def asDate(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    // ISO datetime prefix handled first (strip time), then candidates.
+    val isoPrefix = to_date(substring(s, 1, 10), "yyyy-MM-dd")
+    coalesce((isoPrefix +: dateFormats.map(f => to_date(s, f))): _*)
+  }
+
+  /** Datetime coercion: ISO-8601, naive values assumed UTC (session TZ
+    * is pinned to UTC — build.sbt / SparkSession config).
+    */
+  def asTimestamp(c: Column): Column = c.cast(TimestampType)
+
+  /** Coerce by the 5-type vocabulary name used in mapping specs. */
+  def coerce(c: Column, typeName: String): Column = typeName match {
+    case "string"   => asString(c)
+    case "date"     => asDate(c)
+    case "datetime" => asTimestamp(c)
+    case "int"      => asInt(c)
+    case "decimal"  => asDecimal(c)
+    case other      => throw new IllegalArgumentException(s"unknown mapping type: $other")
+  }
+
+  /** HH:MM normalization (load_store_hours.py:33-61):
+    *   100 → "01:00", 1100 → "11:00", "9:30" → "09:30", "11:00" stays.
+    * Input may be int-like (minutes-free HHMM) or already HH:MM text.
+    */
+  def asHhmm(c: Column): Column = {
+    val s = trim(c.cast(StringType))
+    val numeric = s.rlike("^[0-9]{1,4}$")
+    val padded = lpad(s, 4, "0")
+    val fromInt = concat_ws(":", substring(padded, 1, 2), substring(padded, 3, 2))
+    val fromText = concat_ws(":",
+      lpad(split(s, ":").getItem(0), 2, "0"),
+      lpad(split(s, ":").getItem(1), 2, "0"))
+    when(s.isNull || s === "", lit(null))
+      .when(numeric, fromInt)
+      .when(s.contains(":"), fromText)
+      .otherwise(lit(null))
+  }
+}
