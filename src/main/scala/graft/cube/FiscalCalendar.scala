@@ -21,18 +21,23 @@ object FiscalCalendar {
 
   def fiscalYear(d: Column): Column = year(d)
 
+  // `floor(x / k)` (not `cast int`) everywhere: Spark's double→int cast
+  // truncates while other engines round, so floor is the only portable
+  // integer-division spelling for differential testing.
+
   /** 1..13, 28-day periods; day 365/366 folds into period 13. */
   def fiscalPeriod(d: Column): Column =
-    least(lit(13), (((dayofyear(d) - 1) / 28).cast("int") + 1))
+    least(lit(13), floor((dayofyear(d) - 1) / lit(28.0)).cast("int") + 1)
 
   /** 1..53 week-of-fiscal-year. */
   def fiscalWeek(d: Column): Column =
-    least(lit(53), (((dayofyear(d) - 1) / 7).cast("int") + 1))
+    least(lit(53), floor((dayofyear(d) - 1) / lit(7.0)).cast("int") + 1)
 
   /** Global week index since epoch — the join key for TY/LY alignment:
     * the same fiscal week one year earlier is `weekIndex - 52`.
     */
-  def weekIndex(d: Column): Column = floor(datediff(d, lit("1970-01-01")) / 7)
+  def weekIndex(d: Column): Column =
+    floor(datediff(d, lit("1970-01-01")) / lit(7.0)).cast("long")
 
   /** Materialized date dimension over [start, end], one row per day.
     * Generated with `sequence` + `explode` — fully distributed, no
