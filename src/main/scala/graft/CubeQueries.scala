@@ -1,19 +1,28 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.cube.FiscalCalendar
 import graft.functions.StableAgg._
+import graft.functions.{Oracle => O}
 
 /** Cube-semantics queries (SURVEY.md §2 group G): the aggregation surface
-  * the reference delegates to the OLAP cube via MDX, computed natively as
-  * Catalyst plans over the star schema.
+  * the reference delegates to the OLAP cube via MDX
+  * (`/root/reference/pipelines/pipelines.yaml:18-194`), computed natively
+  * as Catalyst plans over the star schema.
+  *
+  * Scale notes common to the family: every query is a declarative
+  * groupBy/agg plan, so Catalyst gives partial aggregation (map-side
+  * combine before the shuffle), the slicers push into the parquet scan
+  * (PushedFilters), and dimension tables join as broadcasts — the shuffle
+  * carries pre-aggregated partials, not raw fact rows, which is what
+  * keeps a 47-measure group-by a single bounded shuffle at 100 TB.
   */
 object CubeQueries {
 
-  /** G1/G2/G9 — multi-measure group-by (the "47 measures on Axis0" shape,
-    * `/root/reference/pipelines/pipelines.yaml:20-67`): sums, exact means,
-    * counts, count-distinct per group, with a date slicer pushed to the
-    * parquet scan.
+  /** G1/G2/G9 — multi-measure group-by (the "measures on Axis0" shape,
+    * `pipelines.yaml:20-67`): sums, exact means, counts, count-distinct
+    * per group, with a date slicer pushed to the parquet scan.
     */
   val q01 = QueryDef(
     "q01_pricing_summary",
@@ -32,15 +41,15 @@ object CubeQueries {
           count(lit(1)).as("count_order"),
           countDistinct(col("l_orderkey")).as("n_orders"))
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        ${O.dsum("l_quantity")} AS sum_qty,
+        ${O.dsum("l_extendedprice")} AS sum_base_price,
+        ${O.dsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+        ${O.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+        ${O.davg("l_quantity")} AS avg_qty,
+        ${O.davg("l_extendedprice")} AS avg_price,
+        ${O.davg("l_discount")} AS avg_disc,
         COUNT(*) AS count_order,
         COUNT(DISTINCT l_orderkey) AS n_orders
       FROM lineitem
@@ -48,5 +57,342 @@ object CubeQueries {
       GROUP BY l_returnflag, l_linestatus
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(q01)
+  /** G2/G4 — star-schema join rollup: fact joined through orders →
+    * customer → nation → region (the CrossJoin(dim.AllMembers) of
+    * `pipelines.yaml:70-73` over a real dimension hierarchy). nation and
+    * region are broadcast explicitly — at 100 TB the fact never
+    * shuffles for a small-dim join.
+    */
+  val q02 = QueryDef(
+    "q02_star_join_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    },
+    Some(s"""
+      SELECT r_name, n_name,
+        ${O.dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+        COUNT(*) AS n_lines,
+        COUNT(DISTINCT o_custkey) AS n_customers
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    """.stripMargin.trim))
+
+  /** G4/G5 — fiscal-calendar slicer: group by the 13-period retail
+    * calendar (`[13-4 Calendar].[d_Year]/[d_Period]`,
+    * `modules/olap_sync.py:264-280`) with the fiscal-year slicer written
+    * as a raw date-range predicate so it reaches the parquet scan as a
+    * pushed filter (and, on FY-partitioned storage, prunes partitions).
+    */
+  val q03 = QueryDef(
+    "q03_fiscal_period_slicer",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .groupBy(
+          FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
+          FiscalCalendar.fiscalPeriod(col("l_shipdate")).as("fiscal_period"))
+        .agg(
+          dsum(col("l_extendedprice"), 2).as("net_sales"),
+          dsum(col("l_quantity")).as("qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS fiscal_year,
+        CAST(LEAST(13, CAST(FLOOR((dayofyear(l_shipdate) - 1) / 28.0) AS INTEGER) + 1) AS INTEGER) AS fiscal_period,
+        ${O.dsum("l_extendedprice")} AS net_sales,
+        ${O.dsum("l_quantity")} AS qty,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    """.stripMargin.trim))
+
+  /** G6 — MyView-style rolling window ("last 14 days",
+    * `modules/mdx_queries.py:14-18`), anchored to the data's max date so
+    * the result is deterministic. The max is a one-row broadcast join,
+    * not a driver-side collect — the same plan works when the fact is
+    * 100 TB.
+    */
+  val q04 = QueryDef(
+    "q04_rolling_window",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val maxd = li.agg(max(col("l_shipdate")).as("max_ship"))
+      li.crossJoin(broadcast(maxd))
+        .filter(datediff(col("max_ship"), col("l_shipdate")) < 14)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(col("l_extendedprice")).as("net_sales"),
+          dsum(col("l_quantity")).as("qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        ${O.dsum("l_extendedprice")} AS net_sales,
+        ${O.dsum("l_quantity")} AS qty,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE date_diff('day', CAST(l_shipdate AS DATE),
+              (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem)) < 14
+      GROUP BY l_returnflag
+    """.stripMargin.trim))
+
+  /** G7 — TY/LY comparative measures (`TY Net Sales` vs `LY Comp Net
+    * Sales USD`, `pipelines.yaml:21-24`): aggregate to fiscal
+    * (year, week) grain, then self-join the prior fiscal year on the
+    * same fiscal week — the calendar-aligned join SURVEY.md §7.5 risk 3
+    * calls out (not a naive date_sub(364)).
+    */
+  val q05 = QueryDef(
+    "q05_ty_ly_weekly",
+    (s, dir) => {
+      val weekly = Tables.lineitem(s, dir)
+        .groupBy(
+          FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
+          FiscalCalendar.fiscalWeek(col("l_shipdate")).as("fiscal_week"))
+        .agg(dsum(col("l_extendedprice"), 2).as("rev"))
+      val ly = weekly.select(
+        (col("fiscal_year") + 1).as("fiscal_year"),
+        col("fiscal_week"),
+        col("rev").as("ly_net_sales"))
+      weekly
+        .withColumnRenamed("rev", "ty_net_sales")
+        .join(ly, Seq("fiscal_year", "fiscal_week"), "left")
+        .select(
+          col("fiscal_year"), col("fiscal_week"),
+          col("ty_net_sales"), col("ly_net_sales"),
+          (col("ty_net_sales") - col("ly_net_sales")).as("yoy_delta"))
+    },
+    Some(s"""
+      WITH weekly AS (
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS fiscal_year,
+          CAST(LEAST(53, CAST(FLOOR((dayofyear(l_shipdate) - 1) / 7.0) AS INTEGER) + 1) AS INTEGER) AS fiscal_week,
+          ${O.dsum("l_extendedprice")} AS rev
+        FROM lineitem GROUP BY 1, 2)
+      SELECT ty.fiscal_year, ty.fiscal_week,
+        ty.rev AS ty_net_sales, ly.rev AS ly_net_sales,
+        ty.rev - ly.rev AS yoy_delta
+      FROM weekly ty
+      LEFT JOIN weekly ly
+        ON ly.fiscal_year = ty.fiscal_year - 1 AND ly.fiscal_week = ty.fiscal_week
+    """.stripMargin.trim))
+
+  /** G8 — ratio measures (`Order Accuracy %`, `Sales Mix USD %`,
+    * `pipelines.yaml:53,57`): post-aggregation ratios of sums — NOT
+    * averages of per-row ratios. Dimension from a broadcast-joined part
+    * table.
+    */
+  val q06 = QueryDef(
+    "q06_ratio_measures",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice")).as("gross"),
+          (dsum(col("l_extendedprice") * col("l_discount"), 6) /
+            dsum(col("l_extendedprice"))).as("discount_rate"),
+          (dsum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(lit(0.0))) /
+            dsum(col("l_quantity"))).as("return_rate"))
+    },
+    Some(s"""
+      SELECT p_brand,
+        ${O.dsum("l_extendedprice")} AS gross,
+        ${O.dsum("l_extendedprice * l_discount", 6)} / ${O.dsum("l_extendedprice")} AS discount_rate,
+        ${O.dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} / ${O.dsum("l_quantity")} AS return_rate
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    """.stripMargin.trim))
+
+  /** G10/B4 — DrilldownLevel + 'All' members: rollup hierarchy totals
+    * with grand-total rows labelled 'All' — the cube artifact the
+    * reference filters out downstream (`modules/pipeline_runner.py:159-166`,
+    * inverse available as CubeQuery.dropAllRows).
+    */
+  val q07 = QueryDef(
+    "q07_rollup_all",
+    (s, dir) => {
+      val rolled = Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("net_sales"),
+          count(lit(1)).as("n_lines"))
+      rolled
+        .withColumn("l_returnflag", coalesce(col("l_returnflag"), lit("All")))
+        .withColumn("l_linestatus", coalesce(col("l_linestatus"), lit("All")))
+    },
+    Some(s"""
+      SELECT COALESCE(l_returnflag, 'All') AS l_returnflag,
+        COALESCE(l_linestatus, 'All') AS l_linestatus,
+        ${O.dsum("l_extendedprice")} AS net_sales,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.stripMargin.trim))
+
+  /** Top-k with deterministic tie-break — the sort/limit surface absent
+    * from the reference (SURVEY.md §2.F) that any interactive consumer
+    * of these tables needs. Exact decimal revenue makes the ordering
+    * engine-portable. At scale this is a TakeOrderedAndProject — no full
+    * sort, no full shuffle.
+    */
+  val q08 = QueryDef(
+    "q08_top_customers",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name,
+        ${O.dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 10
+    """.stripMargin.trim))
+
+  /** Window functions over the weekly grain: lag (week-over-week), rank,
+    * and a running total per return flag — the analytic surface the
+    * reference's consumers get from the cube's time intelligence.
+    * Decimal window sums keep the running total order-independent.
+    */
+  val q09 = QueryDef(
+    "q09_weekly_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          FiscalCalendar.weekIndex(col("l_shipdate")).as("week_index"))
+        .agg(dsum(col("l_extendedprice"), 2).as("rev"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("week_index"))
+      weekly.select(
+        col("l_returnflag"), col("week_index"), col("rev"),
+        lag(col("rev"), 1).over(w).as("prev_rev"),
+        sum(col("rev").cast("decimal(28,2)")).over(w).cast("double").as("running_rev"),
+        row_number().over(w).as("week_rank"))
+    },
+    Some(s"""
+      WITH weekly AS (
+        SELECT l_returnflag,
+          CAST(FLOOR(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week_index,
+          ${O.dsum("l_extendedprice")} AS rev
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_returnflag, week_index, rev,
+        LAG(rev, 1) OVER w AS prev_rev,
+        CAST(SUM(CAST(rev AS DECIMAL(28,2))) OVER w AS DOUBLE) AS running_rev,
+        CAST(ROW_NUMBER() OVER w AS INTEGER) AS week_rank
+      FROM weekly
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY week_index)
+    """.stripMargin.trim))
+
+  /** G3 — NON EMPTY with conditional measures: when every measure is a
+    * guarded aggregate, a group can exist with no contributing rows for
+    * any measure; NON EMPTY drops those groups post-agg (the HAVING
+    * equivalent of the MDX in every reference query,
+    * `pipelines.yaml:70`).
+    */
+  val q10 = QueryDef(
+    "q10_nonempty_conditional",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      cube.CubeQuery.run(
+        li,
+        dims = Seq(
+          "fiscal_year" -> FiscalCalendar.fiscalYear(col("l_shipdate")),
+          "l_returnflag" -> col("l_returnflag")),
+        measures = Seq(
+          cube.CubeQuery.Measure("big_qty_sales",
+            dsum(when(col("l_quantity") > 45, col("l_extendedprice")))),
+          cube.CubeQuery.Measure("deep_disc_sales",
+            dsum(when(col("l_discount") > 0.09, col("l_extendedprice"))))),
+        nonEmpty = true)
+    },
+    Some(s"""
+      SELECT * FROM (
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS fiscal_year, l_returnflag,
+          ${O.dsum("CASE WHEN l_quantity > 45 THEN l_extendedprice END")} AS big_qty_sales,
+          ${O.dsum("CASE WHEN l_discount > 0.09 THEN l_extendedprice END")} AS deep_disc_sales
+        FROM lineitem GROUP BY 1, 2)
+      WHERE big_qty_sales IS NOT NULL OR deep_disc_sales IS NOT NULL
+    """.stripMargin.trim))
+
+  /** G1 at full width — the daily_sales "47 measures on Axis0" shape
+    * (`pipelines.yaml:20-67`): one wide agg at (supplier × fiscal
+    * period) grain with sum/avg/count/conditional measure families
+    * generated from a single spec, exactly how the engine compiles a
+    * mapping file. One shuffle regardless of measure count.
+    */
+  val q11: QueryDef = {
+    // (name, spark aggregate, duckdb mirror) — one row per measure.
+    val sumMeasures: Seq[(String, Column, String)] = Seq(
+      ("ty_net_sales", dsum(col("l_extendedprice")), O.dsum("l_extendedprice")),
+      ("ty_disc_sales", dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6),
+        O.dsum("l_extendedprice * (1 - l_discount)", 6)),
+      ("ty_charge", dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6),
+        O.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)),
+      ("qty", dsum(col("l_quantity")), O.dsum("l_quantity")),
+      ("tax_paid", dsum(col("l_extendedprice") * col("l_tax"), 6), O.dsum("l_extendedprice * l_tax", 6)),
+      ("discounts", dsum(col("l_extendedprice") * col("l_discount"), 6), O.dsum("l_extendedprice * l_discount", 6)),
+      ("returned_sales", dsum(when(col("l_returnflag") === "R", col("l_extendedprice"))),
+        O.dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")),
+      ("air_sales", dsum(when(col("l_linestatus") === "O", col("l_extendedprice"))),
+        O.dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")))
+    val avgMeasures: Seq[(String, Column, String)] = Seq(
+      ("avg_qty", davg(col("l_quantity")), O.davg("l_quantity")),
+      ("avg_price", davg(col("l_extendedprice")), O.davg("l_extendedprice")),
+      ("avg_disc", davg(col("l_discount")), O.davg("l_discount")))
+    val countMeasures: Seq[(String, Column, String)] = Seq(
+      ("n_lines", count(lit(1)), "COUNT(*)"),
+      ("n_orders", countDistinct(col("l_orderkey")), "COUNT(DISTINCT l_orderkey)"),
+      ("n_parts", countDistinct(col("l_partkey")), "COUNT(DISTINCT l_partkey)"),
+      ("n_returned", count(when(col("l_returnflag") === "R", lit(1))),
+        "COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)"))
+    val all = sumMeasures ++ avgMeasures ++ countMeasures
+    QueryDef(
+      "q11_daily_sales_wide",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"),
+            FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
+            FiscalCalendar.fiscalPeriod(col("l_shipdate")).as("fiscal_period"))
+          .agg(all.head._2.as(all.head._1), all.tail.map(m => m._2.as(m._1)): _*)
+      },
+      Some(s"""
+        SELECT l_suppkey,
+          CAST(year(l_shipdate) AS INTEGER) AS fiscal_year,
+          CAST(LEAST(13, CAST(FLOOR((dayofyear(l_shipdate) - 1) / 28.0) AS INTEGER) + 1) AS INTEGER) AS fiscal_period,
+          ${all.map(m => s"${m._3} AS ${m._1}").mkString(",\n          ")}
+        FROM lineitem
+        GROUP BY 1, 2, 3
+      """.stripMargin.trim))
+  }
+
+  def all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11)
 }
