@@ -1,5 +1,176 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import graft.etl.{FieldSpec, Pipeline, PipelineSpec}
+import graft.functions.Coercions
+import graft.sinks.MergeWriter
+import graft.functions.{Oracle => O}
+
+/** ETL-surface queries (SURVEY.md §2 groups A–F): the operators the
+  * reference implements itself — typed projection, coercion, key
+  * generation, unions, keyed dedup/merge — compiled from declarative
+  * specs into narrow Catalyst plans.
+  */
 object EtlQueries {
-  def all: Seq[QueryDef] = Seq()
+
+  /** B1–B9 end-to-end — the mapping-apply pipeline
+    * (`/root/reference/modules/pipeline_runner.py:133-229`) compiled by
+    * graft.etl.Pipeline over the events table as a raw extract: typed
+    * projection (5-type vocabulary), JSON attribute extraction, business
+    * key, display name, datasource/lastrefreshed stamping. Pure
+    * projection — zero shuffles at any scale.
+    */
+  val e01 = QueryDef(
+    "e01_typed_projection",
+    (s, dir) => {
+      val raw = Tables.events(s, dir)
+        .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+      val spec = PipelineSpec(
+        name = "events_typed",
+        fields = Seq(
+          FieldSpec("user_id", "store", "string"),
+          FieldSpec("ts", "cal_date", "date"),
+          FieldSpec("event_type", "channel", "string")),
+        measures = Seq(
+          FieldSpec("value", "amount", "decimal"),
+          FieldSpec("k_raw", "k", "int")),
+        requiredDims = Seq("store", "cal_date"),
+        keyComponents = Seq("store", "cal_date", "channel"),
+        displayComponents = Seq("store", "channel"),
+        datasource = Some("events"))
+      Pipeline.compile(spec, raw,
+        refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    },
+    Some("""
+      SELECT CAST(user_id AS VARCHAR) AS store,
+        CAST(ts AS DATE) AS cal_date,
+        event_type AS channel,
+        CAST(value AS DECIMAL(18,2)) AS amount,
+        CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT) AS k,
+        concat_ws('_',
+          regexp_replace(CAST(user_id AS VARCHAR), '[ -]', '_', 'g'),
+          strftime(CAST(ts AS DATE), '%Y%m%d'),
+          regexp_replace(event_type, '[ -]', '_', 'g')) AS business_key,
+        concat_ws(' - ', CAST(user_id AS VARCHAR), event_type) AS display_name,
+        'events' AS datasource,
+        TIMESTAMP '2026-01-01 00:00:00' AS lastrefreshed
+      FROM events
+    """.stripMargin.trim))
+
+  /** C1/C2 — per-fiscal-year extraction chunks recombined by union
+    * (`modules/olap_sync.py:111-151`): two FY-sliced frames,
+    * `unionByName`, re-aggregated. On FY-partitioned storage the union
+    * is partition pruning — the plan here mirrors the client-side form.
+    */
+  val e02 = QueryDef(
+    "e02_union_fiscal_years",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def fy(y: Int) = li.filter(
+        col("l_shipdate") >= to_timestamp(lit(f"$y-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit(f"${y + 1}-01-01")))
+      fy(1996).unionByName(fy(1997))
+        .groupBy(year(col("l_shipdate")).as("fiscal_year"))
+        .agg(graft.functions.StableAgg.dsum(col("l_extendedprice")).as("net_sales"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS fiscal_year,
+        ${O.dsum("l_extendedprice")} AS net_sales,
+        COUNT(*) AS n_lines
+      FROM (
+        SELECT * FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT * FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+      GROUP BY 1
+    """.stripMargin.trim))
+
+  /** C — implicit upsert dedup: identical business keys collapse, last
+    * writer wins (`modules/dataverse.py:88` PATCH semantics), as a
+    * deterministic row_number window — one shuffle on the key.
+    */
+  val e03 = QueryDef(
+    "e03_last_writer_dedup",
+    (s, dir) => {
+      MergeWriter.latestPerKey(
+        Tables.events(s, dir),
+        keys = Seq("user_id", "event_type"),
+        col("ts").desc, col("event_id").desc)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, ts, value
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """.stripMargin.trim))
+
+  /** D1/D3 — keyed MERGE: updates replace same-key target rows, unmatched
+    * target rows pass through (the join-based plan behind
+    * `load_store_hours.py:141-193` and Delta's MERGE INTO). Target is
+    * simulated as the even-id half of events; updates are the last-week
+    * window — the reference's daily "last-14-days upsert" shape.
+    */
+  val e04 = QueryDef(
+    "e04_keyed_merge",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val target = ev.filter(col("event_id") % 2 === 0)
+      val updates = ev.filter(col("ts") >= to_timestamp(lit("2024-01-25 00:00:00")))
+      MergeWriter.merge(target, updates, Seq("event_id"))
+    },
+    Some("""
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+      UNION ALL
+      SELECT * FROM events
+      WHERE event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-25 00:00:00'
+    """.stripMargin.trim))
+
+  /** B2/B5/B11 — the coercion kernels on hostile raw strings: comma
+    * thousands separators, `-` null sentinels, multi-format dates, HHMM
+    * time normalization (`modules/pipeline_runner.py:81-130`,
+    * `load_store_hours.py:33-61`). All native expressions — the whole
+    * projection stays in one codegen stage.
+    */
+  val e05 = QueryDef(
+    "e05_coercion_kernels",
+    (s, dir) => {
+      val raw = Tables.events(s, dir).select(
+        col("event_id"),
+        concat(col("user_id").cast("string"), lit(","),
+          lpad((col("event_id") % 1000).cast("string"), 3, "0")).as("raw_int"),
+        when(col("event_id") % 7 === 0, lit("-"))
+          .otherwise(col("value").cast("string")).as("raw_dec"),
+        date_format(col("ts"), "M/d/yyyy").as("raw_date"),
+        (floor(col("value")).cast("int") % 24 * 100 + col("event_id") % 60)
+          .cast("string").as("raw_hhmm"))
+      raw.select(
+        col("event_id"),
+        Coercions.asInt(col("raw_int")).as("as_int"),
+        Coercions.asDecimal(col("raw_dec")).as("as_dec"),
+        Coercions.asDate(col("raw_date")).as("as_date"),
+        Coercions.asHhmm(col("raw_hhmm")).as("as_hhmm"))
+    },
+    Some("""
+      SELECT event_id,
+        CAST(CAST(replace(raw_int, ',', '') AS DOUBLE) AS BIGINT) AS as_int,
+        CASE WHEN raw_dec = '-' THEN NULL
+             ELSE CAST(CAST(raw_dec AS DOUBLE) AS DECIMAL(18,2)) END AS as_dec,
+        CAST(strptime(raw_date, '%m/%d/%Y') AS DATE) AS as_date,
+        concat_ws(':', substr(lpad(raw_hhmm, 4, '0'), 1, 2),
+                       substr(lpad(raw_hhmm, 4, '0'), 3, 2)) AS as_hhmm
+      FROM (
+        SELECT event_id,
+          concat(CAST(user_id AS VARCHAR), ',',
+                 lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')) AS raw_int,
+          CASE WHEN event_id % 7 = 0 THEN '-' ELSE CAST(value AS VARCHAR) END AS raw_dec,
+          strftime(ts, '%-m/%-d/%Y') AS raw_date,
+          CAST(CAST(FLOOR(value) AS BIGINT) % 24 * 100 + event_id % 60 AS VARCHAR) AS raw_hhmm
+        FROM events)
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
 }

@@ -1,5 +1,123 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.StableAgg._
+import graft.functions.{Oracle => O}
+
+/** Stream-semantics queries over the events table (SURVEY.md §1.1: the
+  * reference is batch-only — its daily "last-14-days upsert" is exactly a
+  * micro-batch with late-data overwrite, so Structured Streaming is the
+  * idiomatic upgrade path). Each query here is the *batch-equivalent*
+  * plan, verified against the DuckDB oracle; graft.streaming.EventStream
+  * runs the same transforms incrementally with readStream + watermarks
+  * (exercised in ScalaTest via the file source and memory sink).
+  */
 object StreamQueries {
-  def all: Seq[QueryDef] = Seq()
+
+  /** Tumbling-window aggregation: hourly event counts / value sums per
+    * event type — the windowed-agg core of any metrics stream. Stated as
+    * date_trunc so the identical expression runs in batch and streaming.
+    */
+  val st01 = QueryDef(
+    "st01_hourly_rollup",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some(s"""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        ${O.dsum("value")} AS total_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2
+    """.stripMargin.trim))
+
+  /** Sessionization: per-user sessions split on >30-minute inactivity
+    * gaps (lag + running flag-sum), then per-session stats. The
+    * streaming form is `flatMapGroupsWithState` keyed by user
+    * (graft.streaming.EventStream.sessionize); this batch form is the
+    * oracle-checkable reference semantics. Gap math is in microseconds on
+    * both engines so sub-second timestamps can't flip a session break.
+    */
+  val st02 = QueryDef(
+    "st02_sessionization",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"))
+      flagged
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+    },
+    Some(s"""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          CAST(SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq,
+        COUNT(*) AS n_events,
+        ${O.dsum("value")} AS session_value,
+        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      FROM sessions
+      GROUP BY user_id, session_seq
+    """.stripMargin.trim))
+
+  /** Event-order funnel: first view → first click → first purchase per
+    * user, as conditional min-timestamps with order constraints — the
+    * conversion query a product-analytics stream needs.
+    */
+  val st03 = QueryDef(
+    "st03_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      perUser.agg(
+        count(col("first_view")).as("n_viewed"),
+        count(when(col("first_click") > col("first_view"), lit(1))).as("n_clicked_after_view"),
+        count(when(col("first_purchase") > col("first_click") &&
+          col("first_click") > col("first_view"), lit(1))).as("n_full_funnel"))
+    },
+    Some("""
+      SELECT
+        COUNT(first_view) AS n_viewed,
+        COUNT(CASE WHEN first_click > first_view THEN 1 END) AS n_clicked_after_view,
+        COUNT(CASE WHEN first_purchase > first_click AND first_click > first_view
+              THEN 1 END) AS n_full_funnel
+      FROM (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+          MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id)
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(st01, st02, st03)
 }

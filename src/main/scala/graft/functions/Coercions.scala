@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   * (`load_store_hours.py:33-61`).
   *
   * Everything here stays inside whole-stage codegen: `regexp_replace`,
-  * `to_date`, `coalesce`, `cast` are all native expressions — important
+  * `try_to_date`, `coalesce`, `try_cast` are all native expressions (the
+  * try_ variants, because Spark 4's ANSI mode makes the plain forms throw
+  * on unparseable input where the reference coerces to null) — important
   * because these kernels sit on every row of a 100 TB typed projection.
   */
 object Coercions {
@@ -35,7 +37,7 @@ object Coercions {
   def asInt(c: Column): Column = {
     val cleaned = denumberized(c)
     when(cleaned.isin("-", "NULL", "null", ""), lit(null))
-      .otherwise(cleaned.cast(DoubleType).cast(LongType))
+      .otherwise(cleaned.try_cast(DoubleType).cast(LongType))
   }
 
   /** Comma-tolerant decimal coercion at the reference's storage scale
@@ -44,7 +46,7 @@ object Coercions {
   def asDecimal(c: Column, precision: Int = 18, scale: Int = 2): Column = {
     val cleaned = denumberized(c)
     when(cleaned.isin("-", "NULL", "null", ""), lit(null))
-      .otherwise(cleaned.cast(DoubleType).cast(DecimalType(precision, scale)))
+      .otherwise(cleaned.try_cast(DoubleType).cast(DecimalType(precision, scale)))
   }
 
   def asString(c: Column): Column = c.cast(StringType)
@@ -60,14 +62,14 @@ object Coercions {
   def asDate(c: Column): Column = {
     val s = trim(c.cast(StringType))
     // ISO datetime prefix handled first (strip time), then candidates.
-    val isoPrefix = to_date(substring(s, 1, 10), "yyyy-MM-dd")
-    coalesce((isoPrefix +: dateFormats.map(f => to_date(s, f))): _*)
+    val isoPrefix = try_to_date(substring(s, 1, 10), "yyyy-MM-dd")
+    coalesce((isoPrefix +: dateFormats.map(f => try_to_date(s, f))): _*)
   }
 
   /** Datetime coercion: ISO-8601, naive values assumed UTC (session TZ
     * is pinned to UTC — build.sbt / SparkSession config).
     */
-  def asTimestamp(c: Column): Column = c.cast(TimestampType)
+  def asTimestamp(c: Column): Column = c.try_cast(TimestampType)
 
   /** Coerce by the 5-type vocabulary name used in mapping specs. */
   def coerce(c: Column, typeName: String): Column = typeName match {
