@@ -1,5 +1,169 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Deduplication query family (SURVEY.md §2.H): exact, n-gram Jaccard,
+  * MinHash-LSH, SimHash, embedding near-dup — each oracle-verified
+  * (the md5-based hash discipline makes even the LSH signatures
+  * replayable in DuckDB).
+  */
 object DedupQueries {
-  def all: Seq[QueryDef] = Seq()
+
+  /** Shared DuckDB CTEs: tokenization → distinct shingle inverted index
+    * with the df≤100 hot-shingle cap → per-doc set sizes. Mirrors
+    * Dedup.shingleIndex exactly.
+    */
+  private val shingleCtes = """
+      toks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      sh0 AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+        FROM toks WHERE len(t) >= 3),
+      df AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100),
+      sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+
+  /** Exact dedup: lowest doc_id survives per content fingerprint. */
+  val d01 = QueryDef(
+    "d01_exact_dedup",
+    (s, dir) => {
+      Dedup.exact(Tables.documents(s, dir))
+        .select("doc_id", "fingerprint", "lang", "source", "n_chars")
+    },
+    Some("""
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        lang, source, n_chars
+      FROM documents
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1
+    """.stripMargin.trim))
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index
+    * (pairs sharing ≥1 shingle; cost tracks collisions, not n²).
+    */
+  val d02 = QueryDef(
+    "d02_ngram_jaccard",
+    (s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingleIndex(Tables.documents(s, dir)), threshold = 0.5),
+    Some(s"""
+      WITH $shingleCtes,
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common,
+        n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """.stripMargin.trim))
+
+  /** MinHash-LSH: 8 band signatures (min-md5 of band-salted shingles),
+    * bucket-join candidates, exact-Jaccard re-verification — the
+    * standard recall/precision split at corpus scale. The oracle
+    * replays the identical signature computation, so the result is
+    * bit-equal, not just approximately right.
+    */
+  val d03 = QueryDef(
+    "d03_minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir)),
+    Some(s"""
+      WITH $shingleCtes,
+      shl AS (
+        SELECT doc_id, list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS sl
+        FROM toks WHERE len(t) >= 3),
+      bands AS (
+        SELECT doc_id, b.band,
+          list_min(list_transform(sl, s -> md5(CAST(b.band AS VARCHAR) || '|' || s))) AS band_hash
+        FROM shl, range(8) b(band)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        WHERE x.band_hash IS NOT NULL),
+      common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """.stripMargin.trim))
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 16-bit signatures). The
+    * Spark plan uses 4-bit pigeonhole banding (exact at this radius);
+    * the oracle brute-forces the n² scan — identical result proves the
+    * banding loses nothing.
+    */
+  val d04: QueryDef = {
+    val votes = (0 until 16)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n          ")
+    val assemble = (0 until 16)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    QueryDef(
+      "d04_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir)),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM th),
+        votes AS (
+          SELECT doc_id,
+          $votes
+          FROM hh GROUP BY 1),
+        sims AS (SELECT doc_id, CAST($assemble AS INTEGER) AS simhash FROM votes)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.simhash AS simhash_a, b.simhash AS simhash_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      """.stripMargin.trim))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact decimal-accumulated dot
+    * products). Brute-force pair space at test scale; the IVF/bucketed
+    * restriction is the s02 scale path.
+    */
+  val d05 = QueryDef(
+    "d05_embedding_neardup",
+    (s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4),
+    Some("""
+      WITH ex0 AS (
+        SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+        FROM ex0),
+      vn AS (
+        SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns
+        FROM ex GROUP BY 1),
+      dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+      SELECT va, vb, dot / (sqrt(na.ns) * sqrt(nb.ns)) AS cosine
+      FROM dots
+      JOIN vn na ON na.vec_id = va
+      JOIN vn nb ON nb.vec_id = vb
+      WHERE dot / (sqrt(na.ns) * sqrt(nb.ns)) >= 0.4
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
 }

@@ -1,5 +1,148 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.StableAgg._
+import graft.similarity.Similarity
+import graft.functions.{Oracle => O}
+
+/** Similarity-search query family (SURVEY.md §2.H): brute-force cosine
+  * top-k (exact baseline — broadcast queries, one corpus pass) and IVF
+  * (label-partitioned coarse quantizer, 2-probe) as the scale path.
+  */
 object SimilarityQueries {
-  def all: Seq[QueryDef] = Seq()
+
+  /** Brute-force cosine top-5 for 8 query vectors. */
+  val s01 = QueryDef(
+    "s01_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+    Some("""
+      WITH ex0 AS (
+        SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+        FROM ex0),
+      vn AS (
+        SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns
+        FROM ex GROUP BY 1),
+      dots AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id < 8 AND c.vec_id != q.vec_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT q_id, n_id, dot / (sqrt(qn.ns) * sqrt(cn.ns)) AS cosine
+        FROM dots JOIN vn qn ON qn.vec_id = q_id JOIN vn cn ON cn.vec_id = n_id)
+      SELECT q_id, n_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+        FROM scored)
+      WHERE rn <= 5
+    """.stripMargin.trim))
+
+  /** IVF top-5: centroids = per-label mean vectors (the coarse
+    * quantizer), each query probes its 2 nearest centroids and searches
+    * only those labels' vectors. At 100 TB: centroids/probes broadcast,
+    * corpus stays partitioned by label, each query touches
+    * probes/nlist of the data.
+    */
+  val s02 = QueryDef(
+    "s02_ivf_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ex = emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "val0")))
+        .withColumn("val", col("val0").cast("double")).drop("val0")
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg((dsum(col("val"), 12) / count(col("val"))).as("cval"))
+      val centn = cent.groupBy("label").agg(dsum(col("cval") * col("cval"), 12).as("cns"))
+      val vn = ex.groupBy("vec_id").agg(dsum(col("val") * col("val"), 12).as("vns"))
+      val qex = ex.filter(col("vec_id") < 8)
+      val qc = qex.drop("label")
+        .join(broadcast(cent.withColumnRenamed("label", "c_label")), Seq("pos"))
+        .groupBy(col("vec_id").as("q_id"), col("c_label").as("label"))
+        .agg(dsum(col("val") * col("cval"), 12).as("dot"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy((col("dot") / (sqrt(col("vns")) * sqrt(col("cns")))).desc, col("label"))
+      val probes = qc
+        .join(vn.withColumnRenamed("vec_id", "q_id"), "q_id")
+        .join(broadcast(centn), "label")
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select("q_id", "label")
+      val cand = broadcast(probes)
+        .join(emb.select(col("vec_id").as("n_id"), col("label")), "label")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+      val qe = ex.select(col("vec_id").as("q_id"), col("pos"), col("val").as("qval"))
+      val ne = ex.select(col("vec_id").as("n_id"), col("pos"), col("val").as("nval"))
+      val dots = cand.join(qe, "q_id").join(ne, Seq("n_id", "pos"))
+        .groupBy("q_id", "n_id")
+        .agg(dsum(col("qval") * col("nval"), 12).as("dot"))
+      val scored = dots
+        .join(vn.select(col("vec_id").as("q_id"), col("vns").as("q_ns")), "q_id")
+        .join(vn.select(col("vec_id").as("n_id"), col("vns").as("n_ns")), "n_id")
+        .withColumn("cosine", col("dot") / (sqrt(col("q_ns")) * sqrt(col("n_ns"))))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id", "cosine", "rank")
+    },
+    Some(s"""
+      WITH ex0 AS (
+        SELECT vec_id, label, embedding, unnest(range(1, len(embedding)+1)) AS pos
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, label, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+        FROM ex0),
+      cent AS (
+        SELECT label, pos, ${O.dsum("val", 12)} / COUNT(val) AS cval
+        FROM ex GROUP BY 1, 2),
+      centn AS (
+        SELECT label, ${O.dsum("cval * cval", 12)} AS cns
+        FROM cent GROUP BY 1),
+      vn AS (
+        SELECT vec_id, ${O.dsum("val * val", 12)} AS vns
+        FROM ex GROUP BY 1),
+      qc AS (
+        SELECT q.vec_id AS q_id, c.label, ${O.dsum("q.val * c.cval", 12)} AS dot
+        FROM ex q JOIN cent c ON q.pos = c.pos
+        WHERE q.vec_id < 8
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT q_id, label FROM (
+          SELECT q_id, label,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY dot / (sqrt(vns) * sqrt(cns)) DESC, label) AS rn
+          FROM qc
+          JOIN vn ON vn.vec_id = q_id
+          JOIN centn USING (label))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT p.q_id, e.vec_id AS n_id
+        FROM probes p JOIN embeddings e ON e.label = p.label AND e.vec_id != p.q_id),
+      dots AS (
+        SELECT c.q_id, c.n_id, ${O.dsum("qe.val * ne.val", 12)} AS dot
+        FROM cand c
+        JOIN ex qe ON qe.vec_id = c.q_id
+        JOIN ex ne ON ne.vec_id = c.n_id AND ne.pos = qe.pos
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT q_id, n_id, dot / (sqrt(a.vns) * sqrt(b.vns)) AS cosine
+        FROM dots JOIN vn a ON a.vec_id = q_id JOIN vn b ON b.vec_id = n_id)
+      SELECT q_id, n_id, cosine, CAST(rn AS INTEGER) AS rank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+        FROM scored)
+      WHERE rn <= 5
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(s01, s02)
 }

@@ -1,5 +1,154 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Text-analysis queries over the documents table (SURVEY.md §2.H): the
+  * per-document statistics a 100 TB training-data pipeline computes as
+  * its first pass — token counts, quality scores, language ID, content
+  * fingerprints. All narrow per-row projections; no shuffles.
+  */
 object TextQueries {
-  def all: Seq[QueryDef] = Seq()
+
+  /** Token counting: token / char counts and mean token length, all via
+    * integer length arithmetic on the canonical single-spaced form (so
+    * both engines derive identical doubles).
+    */
+  val t01 = QueryDef(
+    "t01_token_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      d.select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).as("raw_len"),
+        size(toks).as("n_tokens"),
+        ((length(norm) - (size(toks) - 1)) / size(toks)).as("avg_token_len"))
+    },
+    Some("""
+      SELECT doc_id, n_chars,
+        CAST(length(text) AS INTEGER) AS raw_len,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        (length(norm) - (len(toks) - 1)) * 1.0 / len(toks) AS avg_token_len
+      FROM (
+        SELECT doc_id, n_chars, text,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents)
+    """.stripMargin.trim))
+
+  /** Quality scoring: stopword ratio, non-alphanumeric ratio, and a
+    * composite score — the heuristics corpus filters (C4-style) apply
+    * before training. Ratios are int/int divisions → engine-portable
+    * doubles.
+    */
+  val t02 = QueryDef(
+    "t02_quality_score",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val norm = normText(col("text"))
+      val toks = tokens(col("text"))
+      val stopHits = hitCount(toks, Seq("the", "a", "of", "and", "is", "to", "in"))
+      val punct = length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))
+      d.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        stopHits.as("stop_hits"),
+        (stopHits / size(toks)).as("stopword_ratio"),
+        (punct / length(norm)).as("punct_ratio"),
+        ((stopHits / size(toks)) * lit(2.0)
+          - (punct / length(norm)) * lit(5.0)
+          + when(size(toks) >= 20 && size(toks) <= 1000, 1.0).otherwise(0.0))
+          .as("quality_score"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(stop_hits AS INTEGER) AS stop_hits,
+        stop_hits * 1.0 / len(toks) AS stopword_ratio,
+        punct * 1.0 / length(norm) AS punct_ratio,
+        (stop_hits * 1.0 / len(toks)) * 2.0
+          - (punct * 1.0 / length(norm)) * 5.0
+          + CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+          AS quality_score
+      FROM (
+        SELECT doc_id, norm, toks,
+          len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS stop_hits,
+          length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS punct
+        FROM (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+          FROM documents))
+    """.stripMargin.trim))
+
+  /** Language ID: score each candidate language by stopword hits and
+    * take the argmax with a fixed priority tie-break — the cheap
+    * first-pass lang filter of a web-scale corpus pipeline.
+    */
+  val t03: QueryDef = {
+    val langs = graft.text.TextFunctions.langStopwords
+    QueryDef(
+      "t03_language_id",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = tokens(col("text"))
+        val scored = d.select(
+          (col("doc_id") +: col("lang").as("labelled_lang") +:
+            langs.map { case (l, ws) => hitCount(toks, ws).as(s"score_$l") }): _*)
+        val pred = langs.map(_._1).foldRight(lit("und")) { (l, els) =>
+          val mine = col(s"score_$l")
+          val beatsRest = langs.map(_._1).filter(_ != l)
+            .map(o => mine >= col(s"score_$o")).reduce(_ && _)
+          when(mine > 0 && beatsRest, lit(l)).otherwise(els)
+        }
+        scored.withColumn("predicted_lang", pred)
+      },
+      Some {
+        val scoreExprs = langs.map { case (l, ws) =>
+          s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+        }.mkString(",\n          ")
+        val pred = langs.map(_._1).foldRight("'und'") { (l, els) =>
+          val beats = langs.map(_._1).filter(_ != l)
+            .map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"CASE WHEN score_$l > 0 AND $beats THEN '$l' ELSE $els END"
+        }
+        s"""
+        SELECT doc_id, labelled_lang,
+          CAST(score_en AS INTEGER) AS score_en, CAST(score_de AS INTEGER) AS score_de,
+          CAST(score_es AS INTEGER) AS score_es, CAST(score_fr AS INTEGER) AS score_fr,
+          $pred AS predicted_lang
+        FROM (
+          SELECT doc_id, lang AS labelled_lang,
+          $scoreExprs
+          FROM (
+            SELECT doc_id, lang,
+              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents))
+        """.stripMargin.trim
+      })
+  }
+
+  /** Document fingerprinting: md5 content fingerprint plus its 60-bit
+    * integer prefix (the cheap shuffle/bucket key used by exact dedup).
+    */
+  val t04 = QueryDef(
+    "t04_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fingerprint"),
+        fingerprint60(col("text")).as("fingerprint60"))
+    },
+    Some("""
+      SELECT doc_id, fp AS fingerprint,
+        ('0x' || substr(fp, 1, 15))::BIGINT AS fingerprint60
+      FROM (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents)
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04)
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.H):
+  * exact (fingerprint group-by), n-gram Jaccard via inverted shingle
+  * index, MinHash-LSH banding, SimHash with pigeonhole banding.
+  *
+  * Scale design: nothing here ever cross-joins the full corpus. Pair
+  * generation always goes through an inverted index or a band bucket
+  * (shuffle keyed on shingle / band hash / simhash band), so candidate
+  * cost tracks the number of *colliding* documents, not n². Hot buckets
+  * (stopword shingles) are dropped by a document-frequency cap — the
+  * standard stopword-shingle guard at corpus scale.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc id per content fingerprint. One
+    * shuffle on the 60-bit fingerprint.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs.withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("__fp", "fingerprint")
+  }
+
+  /** Distinct (doc, shingle) inverted index with a document-frequency
+    * cap: shingles occurring in more than `maxDf` docs are dropped
+    * (they generate quadratic candidate blowup and carry no dedup
+    * signal — the "the quick brown"-problem).
+    */
+  def shingleIndex(docs: DataFrame, k: Int = 3, maxDf: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+      .distinct()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    sh.join(df.select("shingle"), Seq("shingle"))
+  }
+
+  /** Exact pairwise Jaccard over the inverted index: pairs sharing ≥1
+    * surviving shingle, similarity = |A∩B| / |A∪B|, thresholded.
+    * Returns (doc_a, doc_b, n_common, jaccard).
+    */
+  def jaccardPairs(index: DataFrame, threshold: Double): DataFrame = {
+    val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = index.as("a"); val b = index.as("b")
+    val common = a.join(b,
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** MinHash band signatures, b bands × 1 row: band hash = min md5 of
+    * the band-salted shingle. Returns (doc_id, band, band_hash) — the
+    * LSH bucket key. Candidate probability for similarity s is
+    * 1 − (1−s)^b (high recall at low precision, which is why candidates
+    * are re-verified with exact Jaccard).
+    */
+  def minhashBands(docs: DataFrame, k: Int = 3, bands: Int = 8): DataFrame = {
+    val sh = shingles(col("text"), k)
+    val bandCols = (0 until bands).map { b =>
+      array_min(transform(sh, s => md5(concat(lit(s"$b|"), s)))).as(s"__h$b")
+    }
+    docs.select((col("doc_id") +: bandCols): _*)
+      .filter(col("__h0").isNotNull) // docs with < k tokens have no signature
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"__h$b")): _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** LSH candidates (pairs sharing any band bucket) re-verified with
+    * exact Jaccard over the inverted index. The verify join is keyed on
+    * candidate pairs — cost tracks collisions, never n².
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
+      maxDf: Int = 100, threshold: Double = 0.5): DataFrame = {
+    val bandsDf = minhashBands(docs, k, bands)
+    val x = bandsDf.as("x"); val y = bandsDf.as("y")
+    val candidates = x.join(y,
+      col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val index = shingleIndex(docs, k, maxDf)
+    val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val ia = index.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a")
+    val ib = index.withColumnRenamed("doc_id", "doc_b2").withColumnRenamed("shingle", "sh_b")
+    val common = candidates
+      .join(ia, "doc_a")
+      .join(ib, col("doc_b") === col("doc_b2") && col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 16-bit SimHash per document (token-multiset majority vote per bit,
+    * token hashes from md5). One explode + one group-by — two narrow
+    * shuffles, no pairs yet.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", tokenHash16(col("tok")))
+    val votes = (0 until 16).map(j => sum(bitVote(col("h"), j)).as(s"v$j"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        simhashFromVotes((0 until 16).map(j => col(s"v$j"))).as("simhash"))
+  }
+
+  /** Near-dup pairs at Hamming distance ≤ maxHamming over the 16-bit
+    * SimHash, found via 4-bit band buckets. Pigeonhole: ≤3 flipped bits
+    * across 4 bands leave ≥1 band identical, so banding at maxHamming≤3
+    * is EXACT (same result as the n² scan), not approximate.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees Hamming <= 3")
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15))): _*)).as(Seq("band", "band_val")))
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y,
+      col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("simhash_a"), col("y.simhash").as("simhash_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+}
