@@ -78,10 +78,56 @@ object DedupQueries {
       shl AS (
         SELECT doc_id, list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS sl
         FROM toks WHERE len(t) >= 3),
+      sh_all AS (SELECT doc_id, unnest(sl) AS s FROM shl),
+      hb AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+        FROM sh_all),
+      sigs AS (
+        SELECT doc_id,
+          MIN((h * 1 + 1) % 2147483647) AS m0,
+          MIN((h * 3 + 7920) % 2147483647) AS m1,
+          MIN((h * 5 + 15839) % 2147483647) AS m2,
+          MIN((h * 7 + 23758) % 2147483647) AS m3,
+          MIN((h * 9 + 31677) % 2147483647) AS m4,
+          MIN((h * 11 + 39596) % 2147483647) AS m5,
+          MIN((h * 13 + 47515) % 2147483647) AS m6,
+          MIN((h * 15 + 55434) % 2147483647) AS m7,
+          MIN((h * 17 + 63353) % 2147483647) AS m8,
+          MIN((h * 19 + 71272) % 2147483647) AS m9,
+          MIN((h * 21 + 79191) % 2147483647) AS m10,
+          MIN((h * 23 + 87110) % 2147483647) AS m11,
+          MIN((h * 25 + 95029) % 2147483647) AS m12,
+          MIN((h * 27 + 102948) % 2147483647) AS m13,
+          MIN((h * 29 + 110867) % 2147483647) AS m14,
+          MIN((h * 31 + 118786) % 2147483647) AS m15
+        FROM hb GROUP BY 1),
+      sigsel AS (
+        SELECT doc_id,
+          CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR) AS bh0,
+          CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR) AS bh1,
+          CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR) AS bh2,
+          CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR) AS bh3,
+          CAST(m8 AS VARCHAR) || '_' || CAST(m9 AS VARCHAR) AS bh4,
+          CAST(m10 AS VARCHAR) || '_' || CAST(m11 AS VARCHAR) AS bh5,
+          CAST(m12 AS VARCHAR) || '_' || CAST(m13 AS VARCHAR) AS bh6,
+          CAST(m14 AS VARCHAR) || '_' || CAST(m15 AS VARCHAR) AS bh7
+        FROM sigs),
       bands AS (
-        SELECT doc_id, b.band,
-          list_min(list_transform(sl, s -> md5(CAST(b.band AS VARCHAR) || '|' || s))) AS band_hash
-        FROM shl, range(8) b(band)),
+        SELECT doc_id, 0 AS band, bh0 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 1 AS band, bh1 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 2 AS band, bh2 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 3 AS band, bh3 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 4 AS band, bh4 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 5 AS band, bh5 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 6 AS band, bh6 AS band_hash FROM sigsel
+        UNION ALL
+        SELECT doc_id, 7 AS band, bh7 AS band_hash FROM sigsel),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y

@@ -43,10 +43,24 @@ object Similarity {
   def cosine(dotCol: Column, normSqA: Column, normSqB: Column): Column =
     dotCol / (sqrt(normSqA) * sqrt(normSqB))
 
+  /** Fast double-fold dot product — used only as a conservative
+    * prefilter (its deviation from the exact decimal dot is bounded by
+    * ~64·ulp, far below the filter margin).
+    */
+  def dotApprox(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** All pairs with cosine ≥ threshold — the embedding near-dup
-    * operator. Brute force (n² zip_with, no shuffle per pair beyond the
-    * join); at corpus scale restrict the pair space first with
-    * `ivfTopK`-style bucketing or SimHash over sign bits.
+    * operator. Two-phase: a cheap double-arithmetic dot prunes the n²
+    * pair space with a safety margin, then the exact decimal cosine is
+    * recomputed only for survivors (a tiny set at any real threshold),
+    * so the published values stay order-independent and
+    * oracle-reproducible while the hot loop stays primitive-typed. At
+    * corpus scale restrict the pair space first with `ivfTopK`-style
+    * bucketing or sign-bit sketching.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
@@ -55,6 +69,8 @@ object Similarity {
     val a = v.select(col("vec_id").as("va"), col("emb").as("ea"), col("ns").as("na"))
     val b = v.select(col("vec_id").as("vb"), col("emb").as("eb"), col("ns").as("nb"))
     a.join(b, col("va") < col("vb"))
+      .withColumn("cos_approx", cosine(dotApprox(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos_approx") >= threshold - 1e-6)
       .withColumn("cosine", cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("va", "vb", "cosine")

@@ -25,11 +25,16 @@ object TextFunctions {
   /** Tokens of the canonical text (single-space split). */
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Word k-grams ("shingles") of the canonical text; empty array when
-    * the document has fewer than k tokens.
+  /** Word k-grams ("shingles") from a MATERIALIZED token-array column;
+    * empty array when the document has fewer than k tokens.
+    *
+    * `toks` must be a plain column attribute (`withColumn` it first),
+    * not an expression tree: lambda bodies re-evaluate captured child
+    * expressions per element, so `element_at(split(...), i)` inside
+    * `transform` re-runs the split for every shingle — O(tokens²) per
+    * row. Against a materialized array column each access is O(1).
     */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val toks = tokens(c)
+  def shinglesOf(toks: Column, k: Int = 3): Column = {
     val make = transform(
       sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
