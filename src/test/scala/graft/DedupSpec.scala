@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Dedup specs: exact-dedup survivor rule, SimHash banding exactness
+  * (pigeonhole vs brute force), LSH candidate recall on the real corpus.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps the lowest id per identical content") {
+    val docs = Seq(
+      (10L, "same  Text here"), (3L, "same text HERE"), (7L, "different"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 7L)) // normalization collapses case/space
+  }
+
+  test("simhash banding equals brute-force hamming scan (pigeonhole)") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val banded = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sims = Dedup.simhash(docs)
+    val a = sims.select(col("doc_id").as("da"), col("simhash").as("sa"))
+    val b = sims.select(col("doc_id").as("db"), col("simhash").as("sb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("minhash-LSH finds the strong Jaccard pairs the exact scan finds") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.jaccardPairs(Dedup.shingleIndex(docs), threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // r=2/b=8 recall at j≥0.8 is 1-(1-0.64)^8 ≈ 0.9997 — on this corpus
+    // every strong pair must surface.
+    assert(exact.subsetOf(lsh), s"missing: ${exact.diff(lsh)}")
+  }
+}

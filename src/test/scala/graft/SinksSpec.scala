@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.sinks.{BatchSink, MergeWriter}
+
+/** Sink specs: keyed MERGE semantics (D1/D3), last-writer dedup, dynamic
+  * partition overwrite (D5), and the batched retrying uploader (D1's
+  * connector path) including continue-on-error accounting and backoff.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge: updates replace matched keys, unmatched target survives") {
+    val target = Seq((1, "old"), (2, "old"), (3, "old")).toDF("k", "v")
+    val updates = Seq((2, "new"), (4, "new")).toDF("k", "v")
+    val out = MergeWriter.merge(target, updates, Seq("k"))
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "old", 2 -> "new", 3 -> "old", 4 -> "new"))
+  }
+
+  test("latestPerKey: deterministic last-writer-wins with tiebreak") {
+    val updates = Seq((1, 10, "a"), (1, 20, "b"), (1, 20, "c"), (2, 5, "d"))
+      .toDF("k", "ts", "v")
+    val out = MergeWriter.latestPerKey(updates, Seq("k"),
+      col("ts").desc, col("v").desc)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "c", 2 -> "d"))
+  }
+
+  test("overwritePartitions replaces only the partitions present") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val v1 = Seq((2024, "a"), (2025, "b")).toDF("fy", "v")
+    MergeWriter.overwritePartitions(v1, dir, Seq("fy"))
+    val v2 = Seq((2025, "b2")).toDF("fy", "v")
+    MergeWriter.overwritePartitions(v2, dir, Seq("fy"))
+    val out = spark.read.parquet(dir).select("fy", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(2024 -> "a", 2025 -> "b2"))
+  }
+
+  test("BatchSink batches, retries transient failures, counts outcomes") {
+    SinksSpec.attempts.set(0)
+    val uploader = new BatchSink.Uploader {
+      def upload(batch: Seq[Row]): Seq[BatchSink.RowOutcome] = {
+        // static counter: task closures are deserialized copies, but
+        // local-mode tasks share the JVM so a companion object is shared
+        if (SinksSpec.attempts.incrementAndGet() == 1)
+          throw BatchSink.RetryableFailure("429", retryAfterMs = Some(1))
+        batch.map { r =>
+          val k = r.getAs[Long]("k")
+          if (k % 10 == 0) BatchSink.Failed("bad row")
+          else if (k % 2 == 0) BatchSink.Created
+          else BatchSink.Updated
+        }
+      }
+    }
+    val df = spark.range(0, 100).toDF("k")
+    val stats = BatchSink.write(df, uploader, batchSize = 25, sinkParallelism = Some(2))
+    assert(stats.failed == 10)
+    assert(stats.created == 40)
+    assert(stats.updated == 50)
+    assert(SinksSpec.attempts.get() >= 5) // 2 partitions x 2 batches, +1 retried
+  }
+}
+
+object SinksSpec {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
