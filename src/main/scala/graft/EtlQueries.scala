@@ -172,5 +172,77 @@ object EtlQueries {
         FROM events)
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
+  /** SURVEY.md §7.3 — the minimum end-to-end slice, whole: the
+    * daily_sales incremental sync re-expressed natively. Rolling
+    * last-28-day slicer (G6) → multi-measure group-by at store×day
+    * grain (G1/G2) → typed projection through the mapping layer
+    * (B1/B2) → business key + display name + metadata (B6/B7/B8).
+    * The output is the exact record shape the keyed MERGE sink (D1)
+    * consumes. One scan, one aggregation shuffle, then narrow
+    * projections — at 100 TB the slicer prunes to the last partitions
+    * and nothing else changes.
+    */
+  val e06 = QueryDef(
+    "e06_daily_sales_e2e",
+    (s, dir) => {
+      import graft.functions.StableAgg._
+      val li = Tables.lineitem(s, dir)
+      val maxd = li.agg(max(col("l_shipdate")).as("max_ship"))
+      val grouped = li.crossJoin(broadcast(maxd))
+        .filter(datediff(col("max_ship"), col("l_shipdate")) < 28)
+        .groupBy(col("l_suppkey").as("store_raw"),
+          to_date(col("l_shipdate")).as("date_raw"))
+        .agg(
+          dsum(col("l_extendedprice")).as("net_sales_raw"),
+          dsum(col("l_quantity")).as("qty_raw"),
+          countDistinct(col("l_orderkey")).as("orders_raw"),
+          davg(col("l_extendedprice")).as("avg_price_raw"))
+      val spec = PipelineSpec(
+        name = "daily_sales",
+        fields = Seq(
+          FieldSpec("store_raw", "store", "string"),
+          FieldSpec("date_raw", "cal_date", "date")),
+        measures = Seq(
+          FieldSpec("net_sales_raw", "net_sales", "decimal"),
+          FieldSpec("qty_raw", "qty", "decimal"),
+          FieldSpec("orders_raw", "orders", "int"),
+          FieldSpec("avg_price_raw", "avg_price", "decimal")),
+        requiredDims = Seq("store", "cal_date"),
+        keyComponents = Seq("store", "cal_date"),
+        displayComponents = Seq("store", "cal_date"),
+        datasource = Some("daily_sales"))
+      Pipeline.compile(spec, grouped,
+        refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT * FROM lineitem
+        WHERE date_diff('day', CAST(l_shipdate AS DATE),
+                (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem)) < 28),
+      g AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          CAST(l_shipdate AS DATE) AS cal_date,
+          ${O.dsum("l_extendedprice")} AS net_sales_raw,
+          ${O.dsum("l_quantity")} AS qty_raw,
+          COUNT(DISTINCT l_orderkey) AS orders_raw,
+          ${O.davg("l_extendedprice")} AS avg_price_raw
+        FROM base GROUP BY 1, 2)
+      SELECT store, cal_date,
+        -- cast through VARCHAR: Spark's double->decimal goes via the
+        -- shortest decimal repr (BigDecimal.valueOf), not the binary
+        -- value, and DuckDB's string->decimal rounds half-up the same way
+        CAST(CAST(net_sales_raw AS VARCHAR) AS DECIMAL(18,2)) AS net_sales,
+        CAST(CAST(qty_raw AS VARCHAR) AS DECIMAL(18,2)) AS qty,
+        orders_raw AS orders,
+        CAST(CAST(avg_price_raw AS VARCHAR) AS DECIMAL(18,2)) AS avg_price,
+        concat_ws('_',
+          regexp_replace(store, '[ -]', '_', 'g'),
+          strftime(cal_date, '%Y%m%d')) AS business_key,
+        concat_ws(' - ', store, CAST(cal_date AS VARCHAR)) AS display_name,
+        'daily_sales' AS datasource,
+        TIMESTAMP '2026-01-01 00:00:00' AS lastrefreshed
+      FROM g
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06)
 }
