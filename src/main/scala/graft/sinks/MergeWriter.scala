@@ -40,6 +40,13 @@ object MergeWriter {
     untouched.unionByName(updates.select(target.columns.map(col): _*))
   }
 
+  /** D4 — bulk keyed delete: remove target rows whose key appears in
+    * `deleteKeys` (the reference's threaded DELETE-changeset loop,
+    * `full_refresh_fy2023_2025.py:59-167`, collapsed to one anti-join).
+    */
+  def deleteByKeys(target: DataFrame, deleteKeys: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(deleteKeys.select(keys.map(col): _*), keys, "left_anti")
+
   /** D5 — full-refresh as dynamic partition overwrite: replaces only the
     * partitions present in `df`, the Spark-native form of the reference's
     * delete-then-reload per fiscal year
