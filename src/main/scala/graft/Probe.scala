@@ -30,6 +30,24 @@ object Probe {
     val index = dedup.Dedup.shingleIndex(docs)
     time("shingleIndex.count")(println("index=" + index.count()))
     time("full d03.count")(println("d03=" + dedup.Dedup.minhashLshPairs(docs).count()))
+    // d05 variants
+    val emb = Tables.embeddings(spark, dir)
+    time("d05 HOF prefilter")(println("d05=" +
+      similarity.Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4).count()))
+    time("d05 explode-join") {
+      val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+        .withColumn("v", col("v0").cast("double")).drop("v0")
+      val vn = ex.groupBy("vec_id").agg(sum(col("v") * col("v")).as("ns"))
+      val a = ex.select(col("vec_id").as("va"), col("pos"), col("v").as("x"))
+      val b = ex.select(col("vec_id").as("vb"), col("pos"), col("v").as("y"))
+      val dots = a.join(b, Seq("pos")).filter(col("va") < col("vb"))
+        .groupBy("va", "vb").agg(sum(col("x") * col("y")).as("dot"))
+      val out = dots
+        .join(vn.select(col("vec_id").as("va"), col("ns").as("na")), "va")
+        .join(vn.select(col("vec_id").as("vb"), col("ns").as("nb")), "vb")
+        .filter(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) >= 0.4 - 1e-6)
+      println("d05b=" + out.count())
+    }
     spark.stop()
   }
 }

@@ -66,7 +66,11 @@ object Similarity {
       threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
       .withColumn("ns", normSq(col("emb")))
-    val a = v.select(col("vec_id").as("va"), col("emb").as("ea"), col("ns").as("na"))
+    // corpus tables often arrive as one file → one partition; spread the
+    // streaming side so the O(n²) probe uses every core/executor
+    val par = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = v.repartition(par)
+      .select(col("vec_id").as("va"), col("emb").as("ea"), col("ns").as("na"))
     val b = v.select(col("vec_id").as("vb"), col("emb").as("eb"), col("ns").as("nb"))
     a.join(b, col("va") < col("vb"))
       .withColumn("cos_approx", cosine(dotApprox(col("ea"), col("eb")), col("na"), col("nb")))
@@ -86,7 +90,9 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
       .withColumn("q_ns", normSq(col("q_emb"))))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_emb"))
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_emb"))
       .withColumn("n_ns", normSq(col("n_emb")))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine(dot(col("q_emb"), col("n_emb")), col("q_ns"), col("n_ns")))
