@@ -345,9 +345,11 @@ object CubeQueries {
 
   /** G1 at full width — the daily_sales "47 measures on Axis0" shape
     * (`pipelines.yaml:20-67`): one wide agg at (supplier × fiscal
-    * period) grain with sum/avg/count/conditional measure families
-    * generated from a single spec, exactly how the engine compiles a
-    * mapping file. One shuffle regardless of measure count.
+    * period) grain with exactly 47 sum/avg/count/count-distinct/
+    * conditional measures generated from a single spec, exactly how the
+    * engine compiles a mapping file. One shuffle regardless of measure
+    * count — partial aggregation combines map-side, so the shuffle
+    * carries one 47-column partial row per (group × task).
     */
   val q11: QueryDef = {
     // (name, spark aggregate, duckdb mirror) — one row per measure.
@@ -374,7 +376,60 @@ object CubeQueries {
       ("n_parts", countDistinct(col("l_partkey")), "COUNT(DISTINCT l_partkey)"),
       ("n_returned", count(when(col("l_returnflag") === "R", lit(1))),
         "COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)"))
-    val all = sumMeasures ++ avgMeasures ++ countMeasures
+    // Conditional measure families, generated like a mapping compiler
+    // would — this is what takes the agg to the reference's 47-measure
+    // width while staying ONE aggregate (one shuffle of partials).
+    val perFlag: Seq[(String, Column, String)] =
+      Seq("A", "N", "R").flatMap { f =>
+        val cond = col("l_returnflag") === f
+        val sqlCond = s"l_returnflag = '$f'"
+        val fl = f.toLowerCase
+        Seq(
+          (s"${fl}_sales", dsum(when(cond, col("l_extendedprice"))),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice END")),
+          (s"${fl}_qty", dsum(when(cond, col("l_quantity"))),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_quantity END")),
+          (s"${fl}_avg_price", davg(when(cond, col("l_extendedprice"))),
+            s"${O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice END", 4)} / COUNT(CASE WHEN $sqlCond THEN l_extendedprice END)"),
+          (s"${fl}_n_lines", count(when(cond, lit(1))),
+            s"COUNT(CASE WHEN $sqlCond THEN 1 END)"),
+          (s"${fl}_n_parts", countDistinct(when(cond, col("l_partkey"))),
+            s"COUNT(DISTINCT CASE WHEN $sqlCond THEN l_partkey END)"),
+          (s"${fl}_tax", dsum(when(cond, col("l_extendedprice") * col("l_tax")), 6),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice * l_tax END", 6)))
+      }
+    val perStatus: Seq[(String, Column, String)] =
+      Seq("O", "F").flatMap { st =>
+        val cond = col("l_linestatus") === st
+        val sqlCond = s"l_linestatus = '$st'"
+        val sl = st.toLowerCase
+        Seq(
+          (s"st${sl}_sales", dsum(when(cond, col("l_extendedprice"))),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice END")),
+          (s"st${sl}_qty", dsum(when(cond, col("l_quantity"))),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_quantity END")),
+          (s"st${sl}_n_lines", count(when(cond, lit(1))),
+            s"COUNT(CASE WHEN $sqlCond THEN 1 END)"))
+      }
+    val discBuckets: Seq[(String, Column, String)] =
+      Seq(("disc_none", "l_discount < 0.02", col("l_discount") < 0.02),
+        ("disc_mid", "l_discount >= 0.02 AND l_discount < 0.06",
+          col("l_discount") >= 0.02 && col("l_discount") < 0.06),
+        ("disc_deep", "l_discount >= 0.06", col("l_discount") >= 0.06))
+        .map { case (n, sqlCond, cond) =>
+          (s"${n}_sales", dsum(when(cond, col("l_extendedprice"))),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice END"))
+        }
+    val extremes: Seq[(String, Column, String)] = Seq(
+      ("max_price", max(col("l_extendedprice")), "MAX(l_extendedprice)"),
+      ("min_price", min(col("l_extendedprice")), "MIN(l_extendedprice)"),
+      ("max_qty", max(col("l_quantity")), "MAX(l_quantity)"),
+      ("big_qty_sales", dsum(when(col("l_quantity") > 40, col("l_extendedprice"))),
+        O.dsum("CASE WHEN l_quantity > 40 THEN l_extendedprice END")),
+      ("small_qty_sales", dsum(when(col("l_quantity") <= 10, col("l_extendedprice"))),
+        O.dsum("CASE WHEN l_quantity <= 10 THEN l_extendedprice END")))
+    val all = sumMeasures ++ avgMeasures ++ countMeasures ++
+      perFlag ++ perStatus ++ discBuckets ++ extremes // 8+3+4+18+6+3+5 = 47
     QueryDef(
       "q11_daily_sales_wide",
       (s, dir) => {
