@@ -449,5 +449,37 @@ object CubeQueries {
       """.stripMargin.trim))
   }
 
-  def all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11)
+  /** G4/G5 via a materialized date dimension: the fiscal-calendar
+    * hierarchy as a broadcast dimension table (FiscalCalendar.dateDim),
+    * slicer applied to the DIM side before the join — the shape that
+    * becomes dynamic partition pruning on calendar-partitioned facts.
+    */
+  val q12 = QueryDef(
+    "q12_date_dim_join",
+    (s, dir) => {
+      val dim = FiscalCalendar.dateDim(s, "1995-01-01", "2001-12-31")
+        .filter(col("fiscal_period") === 1)
+      Tables.lineitem(s, dir)
+        .join(broadcast(dim), to_date(col("l_shipdate")) === col("cal_date"))
+        .groupBy(col("fiscal_year"), col("fiscal_week"))
+        .agg(dsum(col("l_extendedprice")).as("net_sales"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT CAST(d AS DATE) AS cal_date,
+          CAST(year(d) AS INTEGER) AS fiscal_year,
+          CAST(LEAST(13, CAST(FLOOR((dayofyear(d) - 1) / 28.0) AS INTEGER) + 1) AS INTEGER) AS fiscal_period,
+          CAST(LEAST(53, CAST(FLOOR((dayofyear(d) - 1) / 7.0) AS INTEGER) + 1) AS INTEGER) AS fiscal_week
+        FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d))
+      SELECT fiscal_year, fiscal_week,
+        ${O.dsum("l_extendedprice")} AS net_sales,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN dim ON CAST(l_shipdate AS DATE) = cal_date
+      WHERE fiscal_period = 1
+      GROUP BY 1, 2
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
 }

@@ -150,5 +150,36 @@ object TextQueries {
         FROM documents)
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04)
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter
+    * runs / digit runs / single punctuation) — the unit that tracks
+    * model token counts far better than whitespace words. Counted with
+    * regexp_extract_all on both engines.
+    */
+  val t05 = QueryDef(
+    "t05_bpe_tokens",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val norm = normText(col("text"))
+      val pieces = regexp_extract_all(norm, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+      d.select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        size(pieces).as("n_bpe_pieces"),
+        (size(pieces) / size(tokens(col("text")))).as("pieces_per_word"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_words,
+        CAST(len(pieces) AS INTEGER) AS n_bpe_pieces,
+        len(pieces) * 1.0 / len(toks) AS pieces_per_word
+      FROM (
+        SELECT doc_id,
+          string_split(norm, ' ') AS toks,
+          regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+        FROM (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents))
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
 }
