@@ -481,5 +481,25 @@ object CubeQueries {
       GROUP BY 1, 2
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  /** Skew-safe aggregation: the hot-key salting pattern (events has
+    * only 5 event types over 100k+ rows — exactly the shape that
+    * serializes a reducer). Two-phase decimal-exact plan; the oracle is
+    * the plain GROUP BY, proving salting changes nothing but the
+    * physical distribution.
+    */
+  val q13 = QueryDef(
+    "q13_salted_hot_keys",
+    (s, dir) =>
+      cube.SkewAgg.saltedSumCount(
+        Tables.events(s, dir), Seq("event_type"), col("value"), salts = 16),
+    Some(s"""
+      SELECT event_type,
+        ${O.dsum("value")} AS total,
+        COUNT(*) AS n_rows
+      FROM events
+      GROUP BY event_type
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
 }
