@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression tests: the scale properties (pushdown,
+  * pruning, broadcast, partial aggregation) asserted on the actual
+  * physical plans, so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(name: String): String =
+    Queries.byName(name).query(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: date slicer reaches the parquet scan; columns prune") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 8 needed columns of 11 are read
+    assert(!p.contains("l_partkey"), "column pruning lost: l_partkey read but unused")
+  }
+
+  test("q02: all dimension joins broadcast; fact never shuffles for them") {
+    val p = planOf("q02_star_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q11: 47 measures aggregate with map-side partial combine") {
+    val df = Queries.byName("q11_daily_sales_wide").query(spark, sfDir)
+    assert(df.columns.length == 50) // 3 group cols + 47 measures
+    val p = df.queryExecution.executedPlan.toString
+    // partial + final hash aggregation (pre-shuffle combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final aggregation")
+  }
+
+  test("partitioned table: calendar predicate prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    Tables.lineitem(spark, sfDir)
+      .withColumn("fiscal_year", year(col("l_shipdate")))
+      .write.partitionBy("fiscal_year").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("fiscal_year") === 1996)
+      .agg(sum(col("l_quantity")))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(fiscal_year"), scan)
+    assert(scan.contains("(fiscal_year#") && scan.contains("= 1996)"), scan)
+  }
+
+  test("e01: typed projection is a pure narrow plan (no shuffle)") {
+    val p = planOf("e01_typed_projection")
+    assert(!p.contains("Exchange"), "mapping projection must not shuffle")
+  }
+}
