@@ -50,9 +50,12 @@ object Pipeline {
       raw: DataFrame,
       refreshedAt: Option[Column] = None): DataFrame = {
 
+    // null-safe compare: a null dim must NOT trip the 'All' filter (it
+    // would make the OR-chain NULL and silently drop the row — nulls are
+    // the required-dims filter's job, not this one's)
     val noAll =
       if (spec.dropAllOn.isEmpty) raw
-      else raw.filter(!spec.dropAllOn.map(c => col(c) === "All").reduce(_ || _))
+      else raw.filter(!spec.dropAllOn.map(c => col(c) <=> "All").reduce(_ || _))
 
     val projected = noAll.select(
       (spec.fields ++ spec.measures).map { f =>
