@@ -37,6 +37,38 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** The reference's production loop — "extract the recent window, upsert
+    * by business key" (`truenas/cron-jobs.txt:12` daily, MyView windows)
+    * — as an incremental stream: each micro-batch dedupes to
+    * last-writer-wins per key and MERGEs into the parquet target. The
+    * business key makes redelivered batches idempotent, which is the
+    * whole exactly-once story this sink needs.
+    */
+  def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val updates = graft.sinks.MergeWriter.latestPerKey(
+          batch.toDF(), Seq("event_id"), col("ts").desc)
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val target = spark.read.parquet(targetPath)
+            graft.sinks.MergeWriter.merge(target, updates.select(target.columns.map(col): _*),
+              Seq("event_id"))
+          } else updates
+        // stage then swap: parquet target is not transactional
+        val staging = targetPath + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .start()
+
   // ---- sessionization via explicit state (st02's incremental form) ----
 
   final case class Ev(user_id: Long, ts_us: Long, value: Double)

@@ -51,6 +51,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2, s"only ${streamed.size}/${batch.size} windows emitted")
   }
 
+  test("streaming keyed upsert converges to the batch latest-per-key state") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-upsrc")
+    val events = Tables.events(spark, sfDir)
+    events.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(srcDir.toString)
+    val target = java.nio.file.Files.createTempDirectory("graft-uptgt").resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upckpt").toString
+    val q = EventStream.upsertStream(
+      EventStream.read(spark, srcDir.toString, maxFilesPerTrigger = Some(2)),
+      target, ckpt)
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.read.parquet(target)
+    // every event upserted exactly once (event_id is the key)
+    assert(got.count() == events.count())
+    assert(got.select("event_id").distinct().count() == events.count())
+  }
+
   test("session state transition matches batch gap semantics") {
     val us = 1000000L
     val evs = Seq(
