@@ -119,5 +119,40 @@ object StreamQueries {
         FROM events GROUP BY user_id)
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(st01, st02, st03)
+  /** As-of attribution: each purchase joined to the user's latest view
+    * at-or-before it (graft.operators.AsOfJoin — union-window plan, one
+    * shuffle, no range-join pair explosion). The oracle is DuckDB's
+    * native ASOF LEFT JOIN, so the operator semantics are pinned against
+    * an independent implementation.
+    */
+  val st04 = QueryDef(
+    "st04_asof_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.operators.AsOfJoin.latestPreceding(
+        purchases, views,
+        key = "user_id", leftTime = "ts", rightTime = "view_ts",
+        payload = Seq("view_id", "view_ts"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    },
+    Some("""
+      WITH views AS (
+        SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, v.view_id,
+        epoch_us(p.ts) - epoch_us(v.view_ts) AS gap_us
+      FROM p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(st01, st02, st03, st04)
 }
