@@ -500,6 +500,33 @@ object CubeQueries {
       GROUP BY event_type
     """.stripMargin.trim))
 
+  /** G10 at full width — df.cube(): every grouping-set combination with
+    * a grouping_id to tag the grain, the complete DrilldownLevel /
+    * INCLUDE_CALC_MEMBERS surface (q07's rollup is the hierarchy-prefix
+    * subset). Consumers filter on grouping_id instead of the 'All'
+    * string sentinel.
+    */
+  val q14 = QueryDef(
+    "q14_full_cube",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("net_sales"),
+          count(lit(1)).as("n_lines"),
+          grouping_id().cast("int").as("grain"))
+        .withColumn("l_returnflag", coalesce(col("l_returnflag"), lit("All")))
+        .withColumn("l_linestatus", coalesce(col("l_linestatus"), lit("All")))
+    },
+    Some(s"""
+      SELECT COALESCE(l_returnflag, 'All') AS l_returnflag,
+        COALESCE(l_linestatus, 'All') AS l_linestatus,
+        ${O.dsum("l_extendedprice")} AS net_sales,
+        COUNT(*) AS n_lines,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS grain
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
 }

@@ -59,6 +59,31 @@ class ReferencePipelinesSpec extends SparkSpec {
     assert(r1.getAs[java.math.BigDecimal]("ly_net_sales_usd").intValue == 1000)
   }
 
+  test("store_hours master data: HH:MM normalization through the pipeline") {
+    val spec = load("store_hours")
+    val raw = Seq(
+      ("101", "1", "100", "1100"),
+      ("101", "2", "9:30", "23:00"),
+      ("All", "1", "100", "200"))
+      .toDF("store_number", "day_of_week", "open_raw", "close_raw")
+    val compiled = Pipeline.compile(spec, raw,
+      refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+      // HH:MM columns ride alongside the spec-compiled dims (B11)
+      .join(raw.select(col("store_number"), col("day_of_week").cast("long").as("day_of_week"),
+        graft.functions.Coercions.asHhmm(col("open_raw")).as("open_time"),
+        graft.functions.Coercions.asHhmm(col("close_raw")).as("close_time")),
+        Seq("store_number", "day_of_week"))
+      .orderBy("store_number", "day_of_week")
+    val rows = compiled.collect()
+    assert(rows.length == 3) // no drop_all_on in this spec: 'All' is a legal store label here
+    assert(rows(0).getAs[String]("business_key") == "101_1")
+    assert(rows(0).getAs[String]("open_time") == "01:00")
+    assert(rows(0).getAs[String]("close_time") == "11:00")
+    assert(rows(1).getAs[String]("open_time") == "09:30")
+    assert(rows(1).getAs[String]("close_time") == "23:00")
+    assert(rows(2).getAs[String]("business_key") == "All_1")
+  }
+
   test("daily_sales 47-measure spec compiles to a single narrow projection") {
     val spec = load("daily_sales")
     // raw frame with all 49 source columns, one row
