@@ -154,5 +154,36 @@ object StreamQueries {
         ON p.user_id = v.user_id AND v.view_ts <= p.ts
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(st01, st02, st03, st04)
+  /** Interval self-join: pairs of same-type events within 10 minutes —
+    * the stream-stream interval-join shape, computed with
+    * graft.operators.RangeJoin's exact bucket banding (plain equi-join
+    * on (key, bucket), no per-key cross product). The oracle is the
+    * brute inequality join.
+    */
+  val st05 = QueryDef(
+    "st05_interval_self_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+      graft.operators.RangeJoin.within(e,
+        key = "event_type", timeCol = "t", idCol = "event_id",
+        width = 600L * 1000000L)
+        .groupBy(col("a_event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("a_t") - col("b_t"))).as("total_gap_us"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS t FROM events)
+      SELECT a.event_type,
+        COUNT(*) AS n_pairs,
+        CAST(SUM(ABS(a.t - b.t)) AS BIGINT) AS total_gap_us
+      FROM e a JOIN e b
+        ON a.event_type = b.event_type
+        AND a.event_id < b.event_id
+        AND ABS(a.t - b.t) < 600 * 1000000
+      GROUP BY 1
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
 }
