@@ -30,6 +30,25 @@ object Probe {
     val index = dedup.Dedup.shingleIndex(docs)
     time("shingleIndex.count")(println("index=" + index.count()))
     time("full d03.count")(println("d03=" + dedup.Dedup.minhashLshPairs(docs).count()))
+    // candidate-generation variants for d03
+    val bands2 = dedup.Dedup.minhashBands(docs)
+    time("cand via self-join") {
+      val x2 = bands2.as("x"); val y2 = bands2.as("y")
+      println("cand=" + x2.join(y2,
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count())
+    }
+    time("cand via collect+expand") {
+      val grouped = bands2.groupBy("band", "band_hash")
+        .agg(sort_array(collect_set(col("doc_id"))).as("l"))
+        .filter(size(col("l")) > 1)
+      val pairs = grouped.select(explode(flatten(transform(col("l"),
+        (x, i) => transform(slice(col("l"), i + 2, size(col("l"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      println("cand2=" + pairs.count())
+    }
     // d05 variants
     val emb = Tables.embeddings(spark, dir)
     time("d05 HOF prefilter")(println("d05=" +

@@ -181,5 +181,35 @@ object TextQueries {
           FROM documents))
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+  /** Deterministic stratified split: every document lands in
+    * train/val/test by a content-hash bucket (fingerprint60 mod 100 →
+    * 80/10/10) — reproducible across runs, engines, and cluster sizes,
+    * and leak-free (identical content always lands in the same split).
+    * Output is the per-(source, split) contingency table.
+    */
+  val t06 = QueryDef(
+    "t06_train_val_split",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = fingerprint60(col("text")) % 100
+      d.withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+    },
+    Some("""
+      SELECT source, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      FROM (
+        SELECT source, n_chars,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (
+          SELECT source, n_chars,
+            ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT % 100 AS b
+          FROM documents))
+      GROUP BY 1, 2
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06)
 }
