@@ -71,6 +71,12 @@ object Dedup {
     * than salted re-hashing.
     */
   val MinhashP = 2147483647L
+
+  /** The i-th permutation as plain arithmetic (shared by the Column
+    * plan and the typed MinHashAggregator).
+    */
+  def permHash(h: Long, i: Int): Long = (h * (2 * i + 1) + (7919 * i + 1)) % MinhashP
+
   private def perm(h: Column, i: Int): Column =
     (h * (2 * i + 1) + (7919 * i + 1)) % MinhashP
 

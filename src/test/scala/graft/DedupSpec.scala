@@ -31,6 +31,34 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("typed MinHashAggregator equals the Column-plan signatures") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    // base hashes exactly as minhashBands computes them
+    val hashes = docs
+      .withColumn("__toks", graft.text.TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(graft.text.TextFunctions.shinglesOf(col("__toks"))).as("__s"))
+      .withColumn("h",
+        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long") % Dedup.MinhashP)
+      .select(col("doc_id"), col("h")).as[(Long, Long)]
+    val agg = new graft.dedup.MinHashAggregator(16)
+    val typed = hashes.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .collect().toMap
+    val fromBands = Dedup.minhashBands(docs)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("band"))
+        .flatMap(_.getAs[String]("band_hash").split("_").map(_.toLong)).toSeq)
+      .toMap
+    assert(typed.keySet == fromBands.keySet)
+    typed.foreach { case (id, sig) =>
+      assert(sig.toSeq == fromBands(id), s"doc $id")
+    }
+  }
+
   test("minhash-LSH finds the strong Jaccard pairs the exact scan finds") {
     val docs = Tables.documents(spark, sfDir)
     val exact = Dedup.jaccardPairs(Dedup.shingleIndex(docs), threshold = 0.8)
