@@ -34,7 +34,7 @@ object SkewAgg {
       valueCol: Column,
       salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(valueCol.cast(Dec)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -59,6 +59,6 @@ object Multimodal {
   def extractFeatures(df: DataFrame, nFeatures: Int = 4): DataFrame = {
     val feats = (0 until nFeatures).map(j =>
       fakeDecodeFeature(col("payload"), j).as(s"f$j"))
-    df.select((df.columns.filter(c => c != "payload").map(col) ++ feats): _*)
+    df.select((df.columns.toIndexedSeq.filter(c => c != "payload").map(col) ++ feats): _*)
   }
 }

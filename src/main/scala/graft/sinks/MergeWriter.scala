@@ -37,7 +37,7 @@ object MergeWriter {
     */
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val untouched = target.join(updates.select(keys.map(col): _*), keys, "left_anti")
-    untouched.unionByName(updates.select(target.columns.map(col): _*))
+    untouched.unionByName(updates.select(target.columns.toIndexedSeq.map(col): _*))
   }
 
   /** D4 — bulk keyed delete: remove target rows whose key appears in
