@@ -372,8 +372,12 @@ object CubeQueries {
       ("avg_disc", davg(col("l_discount")), O.davg("l_discount")))
     val countMeasures: Seq[(String, Column, String)] = Seq(
       ("n_lines", count(lit(1)), "COUNT(*)"),
+      // exactly ONE exact distinct: each additional distinct column makes
+      // Spark Expand-multiply every input row (5 distincts = 6x rows
+      // through the aggregate — measured 54s vs 4s at sf0.1). The
+      // reference's cube measures are additive anyway.
       ("n_orders", countDistinct(col("l_orderkey")), "COUNT(DISTINCT l_orderkey)"),
-      ("n_parts", countDistinct(col("l_partkey")), "COUNT(DISTINCT l_partkey)"),
+      ("n_part_rows", count(col("l_partkey")), "COUNT(l_partkey)"),
       ("n_returned", count(when(col("l_returnflag") === "R", lit(1))),
         "COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)"))
     // Conditional measure families, generated like a mapping compiler
@@ -393,8 +397,8 @@ object CubeQueries {
             s"${O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice END", 4)} / COUNT(CASE WHEN $sqlCond THEN l_extendedprice END)"),
           (s"${fl}_n_lines", count(when(cond, lit(1))),
             s"COUNT(CASE WHEN $sqlCond THEN 1 END)"),
-          (s"${fl}_n_parts", countDistinct(when(cond, col("l_partkey"))),
-            s"COUNT(DISTINCT CASE WHEN $sqlCond THEN l_partkey END)"),
+          (s"${fl}_charge", dsum(when(cond, col("l_extendedprice") * (lit(1) + col("l_tax"))), 6),
+            O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice * (1 + l_tax) END", 6)),
           (s"${fl}_tax", dsum(when(cond, col("l_extendedprice") * col("l_tax")), 6),
             O.dsum(s"CASE WHEN $sqlCond THEN l_extendedprice * l_tax END", 6)))
       }
@@ -433,11 +437,24 @@ object CubeQueries {
     QueryDef(
       "q11_daily_sales_wide",
       (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_suppkey"),
-            FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
-            FiscalCalendar.fiscalPeriod(col("l_shipdate")).as("fiscal_period"))
-          .agg(all.head._2.as(all.head._1), all.tail.map(m => m._2.as(m._1)): _*)
+        val li = Tables.lineitem(s, dir)
+        def grouped(df: org.apache.spark.sql.DataFrame) = df.groupBy(
+          col("l_suppkey"),
+          FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
+          FiscalCalendar.fiscalPeriod(col("l_shipdate")).as("fiscal_period"))
+        // additive measures in one partial-aggregating pass; the exact
+        // distinct separately on a 3-column projection — keeping the
+        // distinct out of the wide agg halves its cost (the distinct's
+        // two-phase plan would otherwise drag all 46 partials through
+        // the (groups x orderkey) pre-aggregate)
+        val additive = all.filter(_._1 != "n_orders")
+        val wide = grouped(li)
+          .agg(additive.head._2.as(additive.head._1),
+            additive.tail.map(m => m._2.as(m._1)): _*)
+        val distincts = grouped(li.select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey")))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        wide.join(distincts, Seq("l_suppkey", "fiscal_year", "fiscal_period"))
+          .select((Seq("l_suppkey", "fiscal_year", "fiscal_period") ++ all.map(_._1)).map(col): _*)
       },
       Some(s"""
         SELECT l_suppkey,
