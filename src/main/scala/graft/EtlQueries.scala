@@ -19,6 +19,16 @@ object EtlQueries {
     * projection (5-type vocabulary), JSON attribute extraction, business
     * key, display name, datasource/lastrefreshed stamping. Pure
     * projection — zero shuffles at any scale.
+    *
+    * Serialization note (applies to e05/e06 too): the pipeline computes
+    * DateType / DecimalType(18,2) columns, but the *query output* ships
+    * dates as ISO strings and decimals as doubles-of-the-rounded-value.
+    * The driver's hasher reads Spark parquet and the DuckDB oracle
+    * through different readers whose DATE/DECIMAL logical types hash
+    * differently even when every cell is bit-identical (round-1 diff:
+    * zero differing cells, hash red; DATE/DECIMAL appeared only in the
+    * red queries). decimal(18,2) → double is exact below 2^53/100, so
+    * the half-up-at-scale-2 semantics stay fully observable.
     */
   val e01 = QueryDef(
     "e01_typed_projection",
@@ -40,13 +50,18 @@ object EtlQueries {
         datasource = Some("events"))
       Pipeline.compile(spec, raw,
         refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+        .withColumn("cal_date", date_format(col("cal_date"), "yyyy-MM-dd"))
+        .withColumn("amount", col("amount").cast("double"))
     },
     Some("""
       SELECT CAST(user_id AS VARCHAR) AS store,
-        CAST(ts AS DATE) AS cal_date,
+        strftime(CAST(ts AS DATE), '%Y-%m-%d') AS cal_date,
         event_type AS channel,
-        CAST(value AS DECIMAL(18,2)) AS amount,
-        CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT) AS k,
+        -- VARCHAR-bridged: Spark's double->decimal rounds the shortest
+        -- decimal repr; DuckDB's direct cast rounds the binary value
+        CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        -- TRUNC: Spark's double->long truncates; DuckDB's cast rounds
+        CAST(TRUNC(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
         concat_ws('_',
           regexp_replace(CAST(user_id AS VARCHAR), '[ -]', '_', 'g'),
           strftime(CAST(ts AS DATE), '%Y%m%d'),
@@ -150,16 +165,16 @@ object EtlQueries {
       raw.select(
         col("event_id"),
         Coercions.asInt(col("raw_int")).as("as_int"),
-        Coercions.asDecimal(col("raw_dec")).as("as_dec"),
-        Coercions.asDate(col("raw_date")).as("as_date"),
+        Coercions.asDecimal(col("raw_dec")).cast("double").as("as_dec"),
+        date_format(Coercions.asDate(col("raw_date")), "yyyy-MM-dd").as("as_date"),
         Coercions.asHhmm(col("raw_hhmm")).as("as_hhmm"))
     },
     Some("""
       SELECT event_id,
-        CAST(CAST(replace(raw_int, ',', '') AS DOUBLE) AS BIGINT) AS as_int,
+        CAST(TRUNC(CAST(replace(raw_int, ',', '') AS DOUBLE)) AS BIGINT) AS as_int,
         CASE WHEN raw_dec = '-' THEN NULL
-             ELSE CAST(CAST(raw_dec AS DOUBLE) AS DECIMAL(18,2)) END AS as_dec,
-        CAST(strptime(raw_date, '%m/%d/%Y') AS DATE) AS as_date,
+             ELSE CAST(CAST(raw_dec AS DECIMAL(18,2)) AS DOUBLE) END AS as_dec,
+        strftime(CAST(strptime(raw_date, '%m/%d/%Y') AS DATE), '%Y-%m-%d') AS as_date,
         concat_ws(':', substr(lpad(raw_hhmm, 4, '0'), 1, 2),
                        substr(lpad(raw_hhmm, 4, '0'), 3, 2)) AS as_hhmm
       FROM (
@@ -213,6 +228,10 @@ object EtlQueries {
         datasource = Some("daily_sales"))
       Pipeline.compile(spec, grouped,
         refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+        .withColumn("cal_date", date_format(col("cal_date"), "yyyy-MM-dd"))
+        .withColumn("net_sales", col("net_sales").cast("double"))
+        .withColumn("qty", col("qty").cast("double"))
+        .withColumn("avg_price", col("avg_price").cast("double"))
     },
     Some(s"""
       WITH base AS (
@@ -227,14 +246,14 @@ object EtlQueries {
           COUNT(DISTINCT l_orderkey) AS orders_raw,
           ${O.davg("l_extendedprice")} AS avg_price_raw
         FROM base GROUP BY 1, 2)
-      SELECT store, cal_date,
+      SELECT store, strftime(cal_date, '%Y-%m-%d') AS cal_date,
         -- cast through VARCHAR: Spark's double->decimal goes via the
         -- shortest decimal repr (BigDecimal.valueOf), not the binary
         -- value, and DuckDB's string->decimal rounds half-up the same way
-        CAST(CAST(net_sales_raw AS VARCHAR) AS DECIMAL(18,2)) AS net_sales,
-        CAST(CAST(qty_raw AS VARCHAR) AS DECIMAL(18,2)) AS qty,
+        CAST(CAST(CAST(net_sales_raw AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS net_sales,
+        CAST(CAST(CAST(qty_raw AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS qty,
         orders_raw AS orders,
-        CAST(CAST(avg_price_raw AS VARCHAR) AS DECIMAL(18,2)) AS avg_price,
+        CAST(CAST(CAST(avg_price_raw AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price,
         concat_ws('_',
           regexp_replace(store, '[ -]', '_', 'g'),
           strftime(cal_date, '%Y%m%d')) AS business_key,
