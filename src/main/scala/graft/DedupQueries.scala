@@ -181,34 +181,95 @@ object DedupQueries {
       """.stripMargin.trim))
   }
 
-  /** Embedding-cosine near-dup pairs (exact decimal-accumulated dot
-    * products). Brute-force pair space at test scale; the IVF/bucketed
-    * restriction is the s02 scale path.
+  /** Embedding-cosine near-dup pairs via banded sign-bit LSH candidates
+    * + exact decimal cosine re-verification (`Similarity.lshCosinePairs`)
+    * — the same recall/precision split as d03, with no operator in the
+    * plan touching the n² pair space.
+    *
+    * The raw embeddings table has no true near-dups (max pairwise cosine
+    * ≈ 0.51/0.60 at sf0.01/0.1 — below any regime where LSH, or any
+    * sublinear method, can separate signal from noise), so the corpus is
+    * augmented with deterministically perturbed copies of every 5th
+    * vector (±≤3.9% per-dim, k/128 factors so each perturbed value is
+    * exact in float — both engines compute bit-identical doubles) and
+    * the operator runs at its design point: threshold 0.9, where each
+    * copy pairs with its source at cosine ≈ 0.999. The oracle replays
+    * the perturbation, the md5 hyperplane weights, the band hashes, and
+    * the bucket cap bit-for-bit, so the result is exact-equal, not just
+    * approximately right.
     */
   val d05 = QueryDef(
     "d05_embedding_neardup",
-    (s, dir) =>
-      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4),
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // two selects: aliasing vec_id+1000000 AS vec_id in the same list
+      // as the lambda would make the lambda's vec_id resolve laterally
+      // to the NEW id, silently desyncing the perturbation from the oracle
+      val copies = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") *
+              (lit(1.0) +
+                ((i.cast("long") * 7919L + col("vec_id") * 104729L) % 11L - 5L)
+                  .cast("double") / lit(128.0)))
+              .cast("float").cast("double")).as("embedding"))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.lshCosinePairs(base.unionByName(copies),
+        "vec_id", "embedding", threshold = 0.9)
+    },
     Some("""
       WITH ex0 AS (
         SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
         FROM embeddings),
-      ex AS (
-        SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+      exb AS (
+        SELECT vec_id, pos, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val
         FROM ex0),
+      ex AS (
+        SELECT vec_id, pos, val FROM exb
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, pos,
+          CAST(CAST(val * (1.0 + CAST(((pos-1) * 7919 + vec_id * 104729) % 11 - 5 AS DOUBLE) / 128.0)
+            AS REAL) AS DOUBLE) AS val
+        FROM exb WHERE vec_id % 5 = 0),
+      w AS (
+        SELECT p, pos,
+          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 15))::BIGINT
+            % 2000001 - 1000000 AS DOUBLE) AS wt
+        FROM (SELECT unnest(range(0, 32)) AS p)
+        CROSS JOIN (SELECT DISTINCT pos FROM ex0)),
+      proj AS (
+        SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
+        FROM ex e JOIN w ON w.pos = e.pos
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT vec_id, CAST(FLOOR(p / 8) AS INTEGER) AS band,
+          SUM(CASE WHEN pr >= 0 THEN (1 << (CAST(p AS INTEGER) % 8)) ELSE 0 END) AS band_hash
+        FROM proj GROUP BY 1, 2),
+      okb AS (
+        SELECT band, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM bands x
+        JOIN okb ON okb.band = x.band AND okb.band_hash = x.band_hash
+        JOIN bands y ON y.band = x.band AND y.band_hash = x.band_hash
+          AND x.vec_id < y.vec_id),
       vn AS (
         SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns
         FROM ex GROUP BY 1),
       dots AS (
-        SELECT a.vec_id AS va, b.vec_id AS vb,
+        SELECT c.va, c.vb,
           CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
-        FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.va
+        JOIN ex b ON b.vec_id = c.vb AND b.pos = a.pos
         GROUP BY 1, 2)
       SELECT va, vb, dot / (sqrt(na.ns) * sqrt(nb.ns)) AS cosine
       FROM dots
       JOIN vn na ON na.vec_id = va
       JOIN vn nb ON nb.vec_id = vb
-      WHERE dot / (sqrt(na.ns) * sqrt(nb.ns)) >= 0.4
+      WHERE dot / (sqrt(na.ns) * sqrt(nb.ns)) >= 0.9
     """.stripMargin.trim))
 
   def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)

@@ -53,16 +53,95 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** All pairs with cosine ≥ threshold — the embedding near-dup
-    * operator. Two-phase: a cheap double-arithmetic dot prunes the n²
-    * pair space with a safety margin, then the exact decimal cosine is
-    * recomputed only for survivors (a tiny set at any real threshold),
-    * so the published values stay order-independent and
-    * oracle-reproducible while the hot loop stays primitive-typed. At
-    * corpus scale restrict the pair space first with `ivfTopK`-style
-    * bucketing or sign-bit sketching.
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * md5-derived integer in [-1e6, 1e6]. The md5 discipline (same as the
+    * MinHash band salts in graft.dedup) makes the "random" projection
+    * replayable bit-for-bit in any engine with md5 — the property that
+    * lets a DuckDB oracle reproduce the exact candidate set.
     */
-  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+  private def planeWeight(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(p.toString + "_"), i.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 2000001L - 1000000L).cast("double")
+
+  /** Signed projection of a vector onto hyperplane `p`, accumulated as
+    * exact decimals (order-independent → the sign bit is deterministic
+    * across engines, partitionings, and AQE re-plans). The weight is an
+    * integer ≤ 2^21 and the values are float-precision, so every product
+    * is exact in double before the decimal cast.
+    */
+  private def planeProj(vec: Column, p: Int): Column =
+    aggregate(
+      transform(vec, (x, i) => (planeWeight(p, i) * x.cast("double")).cast(Dec)),
+      dzero,
+      (acc, x) => (acc + x).cast(Dec))
+
+  /** Banded sign-bit LSH near-dup pairs — the embedding near-dup
+    * operator at scale (SURVEY.md §2.H). Candidate generation is a
+    * bucket equi-join on (band, band-hash) — the same recall/precision
+    * split as the MinHash-LSH dedup (graft.dedup.Dedup.minhashLshPairs):
+    * LSH proposes, the exact decimal cosine disposes. No operator in the
+    * plan touches the n² pair space; the join is a shuffled hash/sort
+    * join on band keys, never a nested-loop/theta join.
+    *
+    * Tuning math (Goemans–Williamson): P[sign bits agree] =
+    * 1 − θ/π where θ = arccos(cosine). At a true near-dup threshold
+    * (0.9+, θ ≤ 26°) a bit agrees with p ≥ 0.856, so an 8-bit band
+    * matches with p ≥ 0.29 and 4 bands already give > 99% recall at
+    * cosine ≥ 0.99 while random pairs (p_bit ≈ 0.5) collide at only
+    * 4/256 per pair. Below cosine ≈ 0.6 sign-bit LSH cannot separate
+    * near-dups from noise (p_bit ≈ 0.63 vs 0.5) — that regime is not a
+    * near-dup problem and callers should use `bruteCosinePairs` or an
+    * IVF restriction instead.
+    *
+    * `bucketCap` drops pathological hot buckets (all-zero vectors, mass
+    * duplicates) exactly like the df-cap on the shingle inverted index —
+    * cost tracks genuine collisions, never a skew blowup.
+    */
+  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 32, bandBits: Int = 8,
+      bucketCap: Int = 1000): DataFrame = {
+    require(planes % bandBits == 0, "planes must divide into whole bands")
+    val nBands = planes / bandBits
+    val par = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = emb.repartition(par)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+      .withColumn("ns", normSq(col("emb")))
+    // band hash = the band's sign bits packed little-endian; each
+    // projection aggregate appears exactly once in the expression tree
+    // (no shared array column → no projection-collapse re-evaluation)
+    val bandHashes = (0 until nBands).map { b =>
+      (0 until bandBits).map { j =>
+        when(planeProj(col("emb"), b * bandBits + j) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val sig = v.select(col("vec_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+    val ok = sig.groupBy("band", "band_hash").count()
+      .filter(col("count") <= bucketCap).select("band", "band_hash")
+    val sigOk = sig.join(ok, Seq("band", "band_hash"))
+    val cand = sigOk.select(col("band"), col("band_hash"), col("vec_id").as("va"))
+      .join(sigOk.select(col("band"), col("band_hash"), col("vec_id").as("vb")),
+        Seq("band", "band_hash"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val a = v.select(col("vec_id").as("va"), col("emb").as("ea"), col("ns").as("na"))
+    val b = v.select(col("vec_id").as("vb"), col("emb").as("eb"), col("ns").as("nb"))
+    cand.join(a, "va").join(b, "vb")
+      .withColumn("cosine", cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("va", "vb", "cosine")
+  }
+
+  /** All pairs with cosine ≥ threshold — brute-force baseline, O(n²)
+    * candidate generation. Test-scale/verification use only: the shipped
+    * near-dup operator is `lshCosinePairs`, whose banded candidates keep
+    * the pair space sub-quadratic. Two-phase: a cheap double-arithmetic
+    * dot prunes the pair space with a safety margin, then the exact
+    * decimal cosine is recomputed only for survivors, so the published
+    * values stay order-independent and oracle-reproducible while the hot
+    * loop stays primitive-typed.
+    */
+  def bruteCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
       .withColumn("ns", normSq(col("emb")))

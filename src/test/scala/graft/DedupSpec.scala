@@ -69,4 +69,30 @@ class DedupSpec extends SparkSpec {
     // every strong pair must surface.
     assert(exact.subsetOf(lsh), s"missing: ${exact.diff(lsh)}")
   }
+
+  test("sign-bit LSH cosine pairs match brute force at the design threshold") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // perturbed copies — same construction as d05 (float-exact k/128 factors)
+    val copies = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) +
+              ((i.cast("long") * 7919L + col("vec_id") * 104729L) % 11L - 5L)
+                .cast("double") / lit(128.0)))
+            .cast("float").cast("double")).as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(copies)
+    val lsh = Similarity.lshCosinePairs(corpus, "vec_id", "embedding", 0.9)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteCosinePairs(corpus, "vec_id", "embedding", 0.9)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    // at cosine ≈ 0.999 a sign bit agrees with p ≈ 0.99, an 8-bit band with
+    // p ≈ 0.93 — any of the 4 bands missing all 100 pairs is ~impossible
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size} missing=${brute.diff(lsh)}")
+    assert(brute.nonEmpty)
+  }
 }
