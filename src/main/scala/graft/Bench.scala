@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main — one JSON line with per-query seconds. Integrity rules:
+  * failures are RECORDED (query time -1.0 + an `errors` map), never
+  * swallowed as fake timings; each query runs twice and the min is
+  * published, so one GC/RPC stall can't corrupt the round's artifact;
+  * the session timezone is pinned UTC like Runner/Verify so timing runs
+  * execute the same plans the correctness gate verified.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,24 +15,52 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, shuffle service, FS client) so
     // the first timed query doesn't pay JVM/session init
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // noop sink: full evaluation of every output column (count() would
+    // let Catalyst prune unreferenced aggregates and understate work)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      // noop sink: full evaluation of every output column (count() would
-      // let Catalyst prune unreferenced aggregates and understate work)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = once(fn) match {
+        case Right(t1) => once(fn) match {
+          case Right(t2) => Right(math.min(t1, t2))
+          case Left(err) => Left(err) // flaky second run is still a failure
+        }
+        case Left(err) => Left(err)
+      }
+      name -> r
+    }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+    val qs = runs.map { case (k, r) =>
+      s"\"${esc(k)}\":" + r.fold(_ => "-1.0", t => t.toString)
+    }.mkString("{", ",", "}")
+    val errs = runs.collect { case (k, Left(err)) => s"\"${esc(k)}\":\"${esc(err)}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = runs.collect { case (_, Right(t)) => t }.sum
+    val nFailed = runs.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

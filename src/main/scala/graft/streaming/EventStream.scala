@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -40,9 +41,21 @@ object EventStream {
   /** The reference's production loop — "extract the recent window, upsert
     * by business key" (`truenas/cron-jobs.txt:12` daily, MyView windows)
     * — as an incremental stream: each micro-batch dedupes to
-    * last-writer-wins per key and MERGEs into the parquet target. The
-    * business key makes redelivered batches idempotent, which is the
-    * whole exactly-once story this sink needs.
+    * last-writer-wins per key and MERGEs into a `p_date`-partitioned
+    * parquet target. The merge is partition-scoped: only the dates
+    * present in the batch are read back and rewritten (dynamic partition
+    * overwrite); every other partition's files are untouched. At 100 TB
+    * a micro-batch touches the last day or two of a years-deep table —
+    * reading or rewriting the whole table per batch (the naive form)
+    * would be quadratic in history.
+    *
+    * All filesystem access goes through Hadoop `FileSystem` resolved
+    * from the target path, and the merge output is staged on that same
+    * filesystem before the overwrite (the plan reads the partitions it
+    * replaces, and executors don't share driver-local temp dirs) — works
+    * unchanged on HDFS/S3, unlike `java.io.File` checks which silently
+    * misreport there. The business key makes redelivered batches
+    * idempotent, which is the whole exactly-once story this sink needs.
     */
   def upsertStream(events: DataFrame, targetPath: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -51,20 +64,33 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val tPath = new Path(targetPath)
+        val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val updates = graft.sinks.MergeWriter.latestPerKey(
-          batch.toDF(), Seq("event_id"), col("ts").desc)
-        val merged =
-          if (new java.io.File(targetPath).exists()) {
-            val target = spark.read.parquet(targetPath)
-            graft.sinks.MergeWriter.merge(target, updates.select(target.columns.map(col): _*),
-              Seq("event_id"))
-          } else updates
-        // stage then swap: parquet target is not transactional
-        val staging = targetPath + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(targetPath)
+            batch.toDF(), Seq("event_id"), col("ts").desc)
+          .withColumn("p_date", to_date(col("ts")))
+        if (!fs.exists(tPath)) {
+          updates.write.mode("overwrite").partitionBy("p_date").parquet(targetPath)
+        } else {
+          // partition-scoped: read back only the dates this batch touches
+          // (isin on the partition column → directory pruning, no scan of
+          // the rest of the table)
+          val touchedDates = updates.select("p_date").distinct()
+            .collect().map(_.getDate(0)).toSeq
+          val target = spark.read.parquet(targetPath)
+          val touched = target.filter(col("p_date").isInCollection(touchedDates))
+          val merged = graft.sinks.MergeWriter.merge(
+            touched, updates.select(target.columns.toIndexedSeq.map(col): _*), Seq("event_id"))
+          // NOT dot-prefixed — Spark's file index ignores hidden paths
+          val staging = new Path(tPath.getParent, s"${tPath.getName}_staging_$batchId")
+          merged.write.mode("overwrite").parquet(staging.toString)
+          spark.read.parquet(staging.toString)
+            .write.mode("overwrite").partitionBy("p_date").parquet(targetPath)
+          fs.delete(staging, true)
+        }
         ()
       }
       .start()
@@ -95,21 +121,47 @@ object EventStream {
     }
 
   /** Incremental sessionization: state per user, sessions emitted when
-    * the 30-min gap closes them (event-time timeout flushes the last
-    * open session).
+    * the 30-min gap closes them in-batch, and — the part `NoTimeout`
+    * loses — the final open session is flushed by an event-time timeout
+    * once the watermark passes `last event + gap`. In a batch execution
+    * of the same code timeouts never fire (Spark defines batch
+    * watermarks as never advancing), so batch callers see exactly the
+    * in-batch closed sessions.
     */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // batch executions of this plan have no watermark: timeouts never
+    // fire and GroupState.getCurrentWatermarkMs throws — skip the
+    // timeout bookkeeping entirely there
+    val streaming = events.isStreaming
     events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "30 minutes")
+      .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (userId: Long, it: Iterator[Ev], state: GroupState[SessionState]) => {
-          val (next, closed) = advance(userId, state.getOption, it.toSeq)
-          next match {
-            case Some(s) => state.update(s)
-            case None => state.remove()
+          if (state.hasTimedOut) {
+            // watermark passed last_us + gap with no new events: the open
+            // session can never be extended — emit and clear it
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start_us, s.last_us, s.n, s.value))
+          } else {
+            val (next, closed) = advance(userId, state.getOption, it.toSeq)
+            next match {
+              case Some(s) =>
+                state.update(s)
+                // flush when event time passes the gap after the last
+                // event; clamp above the current watermark (a late batch
+                // could otherwise request a timeout already in the past)
+                if (streaming) state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs + 1,
+                    s.last_us / 1000L + GapUs / 1000L))
+              case None => state.remove()
+            }
+            closed.iterator
           }
-          closed.iterator
         })
   }
 }

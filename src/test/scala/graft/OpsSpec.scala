@@ -41,6 +41,36 @@ class OpsSpec extends SparkSpec {
     TableManager.drop(spark, name)
   }
 
+  test("partitioned merge rewrites only the touched partitions (D6)") {
+    val name = "graft_test_part_keyed"
+    TableManager.drop(spark, name)
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), name)
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    val schema = Seq.empty[(String, Double, Int)]
+      .toDF("business_key", "net_sales", "fy").schema
+    TableManager.ensureKeyedTable(spark, name, schema, "business_key",
+      buckets = 2, partitionCols = Seq("fy"))
+    TableManager.mergeInto(spark, name,
+      Seq(("S1_2024", 1.0, 2024), ("S1_2025", 2.0, 2025))
+        .toDF("business_key", "net_sales", "fy"),
+      "business_key")
+    val files2024 = spark.table(name).filter(col("fy") === 2024)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    // second merge touches only fy=2025
+    TableManager.mergeInto(spark, name,
+      Seq(("S1_2025", 99.0, 2025), ("S2_2025", 5.0, 2025))
+        .toDF("business_key", "net_sales", "fy"),
+      "business_key")
+    val files2024After = spark.table(name).filter(col("fy") === 2024)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(files2024 == files2024After, "untouched partition was rewritten")
+    val out = spark.table(name).select("business_key", "net_sales")
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("S1_2024" -> 1.0, "S1_2025" -> 99.0, "S2_2025" -> 5.0))
+    TableManager.drop(spark, name)
+  }
+
   test("credential resolution: overrides beat env beat default (E3)") {
     assert(Ops.credential("X", Map("X" -> "o"), Some("d")) == "o")
     assert(Ops.credential("X", Map.empty, Some("d")) == "d")

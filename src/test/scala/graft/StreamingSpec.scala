@@ -68,6 +68,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == events.count())
   }
 
+  test("streaming upsert leaves untouched date partitions' files unchanged") {
+    val events = Tables.events(spark, sfDir)
+    val dates = events.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").as[java.sql.Date].collect()
+    assert(dates.length >= 2, "need at least two event dates")
+    val cut = dates(dates.length / 2)
+    // seed the target with the older half via the same streaming sink
+    val srcOld = java.nio.file.Files.createTempDirectory("graft-up-old")
+    events.filter(to_date(col("ts")) < lit(cut))
+      .write.mode("overwrite").parquet(srcOld.toString)
+    val target = java.nio.file.Files.createTempDirectory("graft-uptgt2").resolve("t").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-upck1").toString
+    EventStream.upsertStream(EventStream.read(spark, srcOld.toString), target, ck1)
+      .awaitTermination(120000)
+    val oldFiles = spark.read.parquet(target).filter(col("p_date") < lit(cut))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(oldFiles.nonEmpty)
+    // now stream only the newer half — old partitions must not be rewritten
+    val srcNew = java.nio.file.Files.createTempDirectory("graft-up-new")
+    events.filter(to_date(col("ts")) >= lit(cut))
+      .write.mode("overwrite").parquet(srcNew.toString)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-upck2").toString
+    EventStream.upsertStream(EventStream.read(spark, srcNew.toString), target, ck2)
+      .awaitTermination(120000)
+    val got = spark.read.parquet(target)
+    assert(got.count() == events.count())
+    val oldFilesAfter = got.filter(col("p_date") < lit(cut))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(oldFiles == oldFilesAfter, "untouched partitions were rewritten")
+  }
+
   test("session state transition matches batch gap semantics") {
     val us = 1000000L
     val evs = Seq(
@@ -93,7 +124,52 @@ class StreamingSpec extends SparkSpec {
       EventStream.Ev(6, 0, 2.0)).toDS()
     // batch Dataset through the same flatMapGroupsWithState path
     val sessions = EventStream.sessionize(evs).collect()
-    // only user 5's first session is closed (the rest are still open)
+    // only user 5's first session is closed (batch watermarks never
+    // advance, so the timeout flush is streaming-only — see next test)
     assert(sessions.toSeq == Seq(EventStream.Session(5, 0, 10 * us, 2, 2.0)))
+  }
+
+  test("streaming sessionize flushes the final open session via event-time timeout") {
+    val us = 1000000L
+    val hour = 3600L * us
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess")
+    // three files = three micro-batches; the watermark computed after each
+    // batch drives timeouts in the next. user 5's session (ends t=10s)
+    // times out once the watermark passes 10s+30min — i.e. in batch 3,
+    // whose predecessor saw t=2h.
+    def file(n: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_us", "value")
+        .withColumn("event_id", col("user_id"))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withColumn("event_type", lit("x"))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$n")
+    // base offset keeps the first event strictly above the initial
+    // watermark (0) — a row at exactly t=0 is dropped as late data
+    val base = hour
+    file("f1", Seq((5L, base, 1.0), (5L, base + 10L * us, 1.0)))
+    file("f2", Seq((6L, base + 2L * hour, 2.0)))
+    file("f3", Seq((7L, base + 4L * hour, 3.0)))
+    // stream the three files in ts order, one per micro-batch
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$dir/*")
+      .select(col("user_id"), (unix_micros(col("ts"))).as("ts_us"), col("value"))
+      .as[EventStream.Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sessck").toString
+    val q = EventStream.sessionize(src)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_test").as[EventStream.Session].collect().toSet
+    // user 5's open session was flushed by the timeout, not by a new event
+    assert(got.contains(EventStream.Session(5, base, base + 10 * us, 2, 2.0)),
+      s"open session not flushed; got $got")
   }
 }
