@@ -16,9 +16,9 @@ final case class QueryDef(
 /** Central registry; sections live in their own files. */
 object Queries {
   def all: Seq[QueryDef] =
-    CubeQueries.all ++ EtlQueries.all ++ DedupQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
-      MultimodalQueries.all
+    CubeQueries.all ++ EtlQueries.all ++ SourceQueries.all ++
+      DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      StreamQueries.all ++ MultimodalQueries.all
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

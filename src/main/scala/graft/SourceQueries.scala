@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{FieldSpec, Pipeline, PipelineSpec}
+import graft.sinks.MergeWriter
+import graft.sources.{Connectors, Mddataset}
+import graft.functions.{Oracle => O}
+
+/** Source/sink-layer oracle queries (SURVEY.md §2 groups A and D) — the
+  * operators that previously lived only in ScalaTest. Each derives a
+  * deterministic input from the driver tables so the DuckDB oracle can
+  * replay it bit-for-bit.
+  */
+object SourceQueries {
+
+  /** A2 — the generic mddataset decode
+    * (`/root/reference/modules/generic_xmla_parser.py:64-170`): a dense
+    * ordinal-addressed cell matrix (3 measures, sparse — every 7th cell
+    * missing, the NON EMPTY artifact) pivoted back to one row per Axis1
+    * tuple via integer div/mod + conditional aggregation. The cells
+    * frame is synthesized from `supplier` with integer-valued strings so
+    * the wire format is engine-exact.
+    */
+  val e07 = QueryDef(
+    "e07_mddataset_decode",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val cells = Seq(
+        sup.select((col("s_suppkey") * 3 + lit(0)).as("ordinal"),
+          (col("s_suppkey") * 7 % 100).cast("string").as("value")),
+        sup.select((col("s_suppkey") * 3 + lit(1)).as("ordinal"),
+          col("s_nationkey").cast("string").as("value")),
+        sup.select((col("s_suppkey") * 3 + lit(2)).as("ordinal"),
+          length(col("s_name")).cast("string").as("value")))
+        .reduce(_ unionByName _)
+        .filter(col("ordinal") % 7 =!= 0)
+      val tuples = sup.select(col("s_suppkey").as("row_idx"),
+        col("s_name"), col("s_nationkey"))
+      Mddataset.decode(cells, Seq("m_key", "m_nation", "m_namelen"), Some(tuples))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT s_suppkey * 3 + 0 AS ordinal, CAST(s_suppkey * 7 % 100 AS VARCHAR) AS value FROM supplier
+        UNION ALL
+        SELECT s_suppkey * 3 + 1, CAST(s_nationkey AS VARCHAR) FROM supplier
+        UNION ALL
+        SELECT s_suppkey * 3 + 2, CAST(length(s_name) AS VARCHAR) FROM supplier),
+      live AS (SELECT * FROM cells WHERE ordinal % 7 != 0),
+      addressed AS (
+        SELECT CAST(FLOOR(ordinal / 3) AS BIGINT) AS row_idx,
+          CAST(ordinal % 3 AS INTEGER) AS m_idx, value
+        FROM live),
+      wide AS (
+        SELECT row_idx,
+          MAX(CASE WHEN m_idx = 0 THEN value END) AS m_key,
+          MAX(CASE WHEN m_idx = 1 THEN value END) AS m_nation,
+          MAX(CASE WHEN m_idx = 2 THEN value END) AS m_namelen
+        FROM addressed GROUP BY 1)
+      SELECT t.row_idx, t.s_name, t.s_nationkey, w.m_key, w.m_nation, w.m_namelen
+      FROM (SELECT s_suppkey AS row_idx, s_name, s_nationkey FROM supplier) t
+      LEFT JOIN wide w USING (row_idx)
+    """.stripMargin.trim))
+
+  /** A7 + B1/B6 — the bulk CSV load path (`/root/reference/load_csv.py:41-131`)
+    * end-to-end through a REAL csv file: the events table is serialized
+    * to headered CSV (all strings, M/d/yyyy dates — the reference's wire
+    * shape), read back via the header-keyed scan, and pushed through the
+    * mapping layer (typed projection, multi-format date parse, business
+    * key, display name, metadata). The oracle replays the logical
+    * content from the parquet table — proving the CSV round-trip is
+    * lossless.
+    */
+  val e08 = QueryDef(
+    "e08_csv_pipeline",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("StoreNumber"),
+        date_format(col("ts"), "M/d/yyyy").as("CalendarDate"),
+        col("event_type").as("Channel"),
+        (col("event_id") % 1000).cast("string").as("Qty"))
+      val tmp = s"/tmp/graft_csv_${Integer.toHexString(dir.hashCode)}"
+      ev.write.mode("overwrite").option("header", "true").csv(tmp)
+      val raw = Connectors.csv(s, tmp)
+      val spec = PipelineSpec(
+        name = "csv_load",
+        fields = Seq(
+          FieldSpec("event_id", "event_id", "int"),
+          FieldSpec("StoreNumber", "store", "string"),
+          FieldSpec("CalendarDate", "cal_date", "date"),
+          FieldSpec("Channel", "channel", "string")),
+        measures = Seq(FieldSpec("Qty", "qty", "int")),
+        requiredDims = Seq("store", "cal_date"),
+        keyComponents = Seq("store", "cal_date", "channel"),
+        displayComponents = Seq("store", "channel"),
+        datasource = Some("csv_load"))
+      Pipeline.compile(spec, raw,
+        refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+        .withColumn("cal_date", date_format(col("cal_date"), "yyyy-MM-dd"))
+    },
+    Some("""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS VARCHAR) AS store,
+        strftime(CAST(ts AS DATE), '%Y-%m-%d') AS cal_date,
+        event_type AS channel,
+        CAST(event_id % 1000 AS BIGINT) AS qty,
+        concat_ws('_',
+          regexp_replace(CAST(user_id AS VARCHAR), '[ -]', '_', 'g'),
+          strftime(CAST(ts AS DATE), '%Y%m%d'),
+          regexp_replace(event_type, '[ -]', '_', 'g')) AS business_key,
+        concat_ws(' - ', CAST(user_id AS VARCHAR), event_type) AS display_name,
+        'csv_load' AS datasource,
+        TIMESTAMP '2026-01-01 00:00:00' AS lastrefreshed
+      FROM events
+    """.stripMargin.trim))
+
+  /** D4 — bulk keyed delete (`full_refresh_fy2023_2025.py:59-167`'s
+    * threaded DELETE-changeset loop) as one anti-join: every third
+    * event_id is deleted, the rest pass through untouched.
+    */
+  val e09 = QueryDef(
+    "e09_bulk_delete",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val del = ev.filter(col("event_id") % 3 === 0).select("event_id")
+      MergeWriter.deleteByKeys(ev, del, Seq("event_id"))
+    },
+    Some("""
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events WHERE event_id % 3 != 0
+    """.stripMargin.trim))
+
+  /** D5 — full-refresh as dynamic partition overwrite
+    * (`full_refresh_fy2023_2025.py:201-419`: confirmed delete-all +
+    * per-FY re-extract, collapsed to partition-scoped overwrite): an
+    * initial FY1996+FY1997 load, then a "full refresh" of FY1997 alone
+    * with different content. The read-back must show FY1996 untouched
+    * and FY1997 fully replaced — delete+reload without ever touching
+    * the other year's files.
+    */
+  val e10 = QueryDef(
+    "e10_partition_refresh",
+    (s, dir) => {
+      import graft.functions.StableAgg._
+      val li = Tables.lineitem(s, dir)
+      def slice(y: Int) = li.filter(
+        col("l_shipdate") >= to_timestamp(lit(f"$y-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit(f"${y + 1}-01-01")))
+      def agg(base: org.apache.spark.sql.DataFrame, y: Int) = base
+        .groupBy(lit(y).as("fy"), col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      val path = s"/tmp/graft_refresh_${Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      // initial load: both fiscal years
+      MergeWriter.overwritePartitions(
+        agg(slice(1996), 1996).unionByName(agg(slice(1997), 1997)), path, Seq("fy"))
+      // full refresh of FY1997 only, with a narrower extract
+      MergeWriter.overwritePartitions(
+        agg(slice(1997).filter(col("l_linestatus") === "F"), 1997), path, Seq("fy"))
+      s.read.parquet(path).select("fy", "l_returnflag", "sum_qty", "n_lines")
+    },
+    Some(s"""
+      SELECT CAST(1996 AS INTEGER) AS fy, l_returnflag,
+        ${O.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 2
+      UNION ALL
+      SELECT CAST(1997 AS INTEGER) AS fy, l_returnflag,
+        ${O.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_linestatus = 'F'
+      GROUP BY 2
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10)
+}
