@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.etl.{Pipeline, SpecLoader}
+import graft.functions.StableAgg._
+import graft.functions.{Oracle => O}
+
+/** End-to-end native bindings for the four reference pipelines beyond
+  * daily_sales (which is e06): each runs the reference's MDX shape as a
+  * native aggregation over the star schema, then the shipped mapping
+  * YAML (`src/main/resources/pipelines/<name>.yaml`, mirroring
+  * `/root/reference/pipelines/mappings/<name>.yaml`) through the compiled
+  * pipeline: typed projection → business key → display name → metadata —
+  * the exact record shape the keyed MERGE sink consumes.
+  *
+  * Serialization note (same as e01/e05/e06): outputs ship dates as ISO
+  * strings and decimals as doubles so the driver's cross-reader hashing
+  * sees identical logical types; the pipeline itself still computes
+  * DateType/DecimalType(18,2).
+  */
+object PipelineQueries {
+
+  private val Refresh = "2026-01-01 00:00:00"
+
+  private def serialized(df: DataFrame, decimals: Seq[String]): DataFrame = {
+    val d = df.withColumn("calendar_date", date_format(col("calendar_date"), "yyyy-MM-dd"))
+    decimals.foldLeft(d)((acc, c) => acc.withColumn(c, col(c).cast("double")))
+  }
+
+  /** Shared oracle tail: decimal(18,2) through the VARCHAR bridge (Spark
+    * rounds the shortest double repr; DuckDB's string→decimal rounds
+    * half-up the same way).
+    */
+  private def dec2(expr: String): String =
+    s"CAST(CAST(CAST($expr AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE)"
+
+  /** sales_channel — the 5-dim × 5-measure shape
+    * (`/root/reference/pipelines/pipelines.yaml:94-98`): store × date ×
+    * actor × channel × day-part with TY/LY comparative measures. LY is
+    * the 364-day-aligned prior year (G7): the same aggregate shifted one
+    * retail year forward and left-joined — no second fact scan shape at
+    * scale beyond the self-join on the aggregate (group-grain-small).
+    */
+  val e11 = QueryDef(
+    "e11_sales_channel_e2e",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val dayPart = (col("l_linenumber") % 3).cast("int")
+      val dims: Seq[(String, Column)] = Seq(
+        "StoreNumber" -> col("l_suppkey").cast("string"),
+        "CalendarDate" -> to_date(col("l_shipdate")),
+        "SourceActor" -> col("l_returnflag"),
+        "SourceChannel" -> col("l_linestatus"),
+        "DayPart" -> when(dayPart === 0, "Morning")
+          .when(dayPart === 1, "Afternoon").otherwise("Evening"))
+      val ty = li.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+        .agg(dsum(col("l_extendedprice")).as("TY Net Sales USD"),
+          countDistinct(col("l_orderkey")).as("TY Orders"),
+          dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discounts USD"))
+      val ly = ty.select(
+        col("StoreNumber"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
+        col("SourceActor"), col("SourceChannel"), col("DayPart"),
+        col("TY Net Sales USD").as("LY Net Sales USD"),
+        col("TY Orders").as("LY Orders"))
+      val joined = ty.join(ly,
+        Seq("StoreNumber", "CalendarDate", "SourceActor", "SourceChannel", "DayPart"),
+        "left")
+      val out = Pipeline.compile(SpecLoader.fromResource("sales_channel"), joined,
+        refreshedAt = Some(to_timestamp(lit(Refresh))))
+      serialized(out, Seq("ty_net_sales_usd", "discounts_usd", "ly_net_sales_usd"))
+    },
+    Some(s"""
+      WITH ty AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store_number,
+          CAST(l_shipdate AS DATE) AS cal_d,
+          l_returnflag AS source_actor, l_linestatus AS source_channel,
+          CASE CAST(l_linenumber AS INTEGER) % 3
+            WHEN 0 THEN 'Morning' WHEN 1 THEN 'Afternoon' ELSE 'Evening' END AS day_part,
+          ${O.dsum("l_extendedprice")} AS ty_net,
+          COUNT(DISTINCT l_orderkey) AS ty_orders,
+          ${O.dsum("l_extendedprice * l_discount", 6)} AS discounts
+        FROM lineitem GROUP BY 1, 2, 3, 4, 5),
+      ly AS (
+        SELECT store_number, cal_d + 364 AS cal_d, source_actor, source_channel,
+          day_part, ty_net AS ly_net, ty_orders AS ly_orders
+        FROM ty)
+      SELECT t.store_number,
+        strftime(t.cal_d, '%Y-%m-%d') AS calendar_date,
+        t.source_actor, t.source_channel, t.day_part,
+        ${dec2("t.ty_net")} AS ty_net_sales_usd,
+        CAST(t.ty_orders AS BIGINT) AS ty_orders,
+        ${dec2("t.discounts")} AS discounts_usd,
+        ${dec2("l.ly_net")} AS ly_net_sales_usd,
+        CAST(l.ly_orders AS BIGINT) AS ly_orders,
+        concat_ws('_', t.store_number, strftime(t.cal_d, '%Y%m%d'),
+          t.source_actor, t.source_channel, t.day_part) AS business_key,
+        concat_ws(' - ', t.store_number, CAST(t.cal_d AS VARCHAR),
+          t.source_channel, t.day_part) AS display_name,
+        'OARS Franchise' AS datasource,
+        TIMESTAMP '$Refresh' AS lastrefreshed
+      FROM ty t
+      LEFT JOIN ly l USING (store_number, cal_d, source_actor, source_channel, day_part)
+    """.stripMargin.trim))
+
+  /** offers — store × date × offer with 8 mixed measures
+    * (`pipelines.yaml:113-133`): counts, discount/margin sums, and the
+    * G8-style post-aggregation ratios (Order Mix %, Sales Mix USD % —
+    * ratios of sums, never averages of row ratios). OfferCode comes from
+    * the part dimension (broadcast join — the fact never shuffles for
+    * it).
+    */
+  val e12 = QueryDef(
+    "e12_offers_e2e",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
+      val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val agg = joined.groupBy(
+          col("l_suppkey").cast("string").as("StoreNumber"),
+          to_date(col("l_shipdate")).as("CalendarDate"),
+          col("p_brand").as("OfferCode"),
+          col("p_type").as("OfferPOSDescription"))
+        .agg(
+          count(lit(1)).as("Redeemed Count"),
+          dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discount Amount USD"),
+          dsum(net - col("l_quantity") * col("p_retailprice") * lit(0.6), 6).as("Gross Margin USD"),
+          (countDistinct(col("l_orderkey")) / count(lit(1))).as("Order Mix %"),
+          (dsum(col("l_extendedprice") * col("l_discount"), 6) / dsum(col("l_extendedprice"))).as("Sales Mix USD %"),
+          dsum(net, 6).as("Net Sales USD"),
+          countDistinct(col("l_orderkey")).as("Order Count"),
+          dsum(col("l_quantity") * col("p_retailprice") * lit(0.31), 6).as("Target Food Cost USD"))
+      val out = Pipeline.compile(SpecLoader.fromResource("offers"), agg,
+        refreshedAt = Some(to_timestamp(lit(Refresh))))
+      serialized(out, Seq("discount_amount_usd", "gross_margin_usd", "order_mix_pct",
+        "sales_mix_usd_pct", "net_sales_usd", "target_food_cost_usd"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store_number,
+          CAST(l_shipdate AS DATE) AS cal_d,
+          p_brand AS offer_code, p_type AS offer_pos_description,
+          COUNT(*) AS redeemed,
+          ${O.dsum("l_extendedprice * l_discount", 6)} AS discount_amt,
+          ${O.dsum("l_extendedprice * (1.0 - l_discount) - l_quantity * p_retailprice * 0.6", 6)} AS gross_margin,
+          COUNT(DISTINCT l_orderkey) / COUNT(*) AS order_mix,
+          ${O.dsum("l_extendedprice * l_discount", 6)} / ${O.dsum("l_extendedprice")} AS sales_mix,
+          ${O.dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS net_sales,
+          COUNT(DISTINCT l_orderkey) AS order_count,
+          ${O.dsum("l_quantity * p_retailprice * 0.31", 6)} AS food_cost
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3, 4)
+      SELECT store_number,
+        strftime(cal_d, '%Y-%m-%d') AS calendar_date,
+        offer_code, offer_pos_description,
+        CAST(redeemed AS BIGINT) AS redeemed_count,
+        ${dec2("discount_amt")} AS discount_amount_usd,
+        ${dec2("gross_margin")} AS gross_margin_usd,
+        ${dec2("order_mix")} AS order_mix_pct,
+        ${dec2("sales_mix")} AS sales_mix_usd_pct,
+        ${dec2("net_sales")} AS net_sales_usd,
+        CAST(order_count AS BIGINT) AS order_count,
+        ${dec2("food_cost")} AS target_food_cost_usd,
+        concat_ws('_', store_number, strftime(cal_d, '%Y%m%d'), offer_code) AS business_key,
+        concat_ws(' - ', store_number, CAST(cal_d AS VARCHAR), offer_code) AS display_name,
+        'OARS Franchise' AS datasource,
+        TIMESTAMP '$Refresh' AS lastrefreshed
+      FROM g
+    """.stripMargin.trim))
+
+  /** inventory — store × date × item, one measure (`pipelines.yaml:148-159`):
+    * the widest-cardinality, narrowest-measure pipeline. Item identity
+    * from the part dimension (broadcast).
+    */
+  val e13 = QueryDef(
+    "e13_inventory_e2e",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+      val agg = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(
+          col("l_suppkey").cast("string").as("StoreNumber"),
+          to_date(col("l_shipdate")).as("CalendarDate"),
+          col("l_partkey").cast("string").as("ItemNumber"),
+          col("p_name").as("ItemDescription"))
+        .agg(dsum(col("l_quantity")).as("Qty On Hand"))
+      val out = Pipeline.compile(SpecLoader.fromResource("inventory"), agg,
+        refreshedAt = Some(to_timestamp(lit(Refresh))))
+      serialized(out, Seq("qty_on_hand"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store_number,
+          CAST(l_shipdate AS DATE) AS cal_d,
+          CAST(l_partkey AS VARCHAR) AS item_number,
+          p_name AS item_description,
+          ${O.dsum("l_quantity")} AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3, 4)
+      SELECT store_number,
+        strftime(cal_d, '%Y-%m-%d') AS calendar_date,
+        item_number, item_description,
+        ${dec2("qty")} AS qty_on_hand,
+        concat_ws('_', store_number, strftime(cal_d, '%Y%m%d'), item_number) AS business_key,
+        concat_ws(' - ', store_number, CAST(cal_d AS VARCHAR), item_number) AS display_name,
+        'OARS Franchise' AS datasource,
+        TIMESTAMP '$Refresh' AS lastrefreshed
+      FROM g
+    """.stripMargin.trim))
+
+  /** clock_in_out — store × date × employee with datetime + pay measures
+    * (`pipelines.yaml:174-194`): clock in/out as min/max event time,
+    * regular/overtime hours split at 8h, conditional pay sums. Runs over
+    * the events table (user = employee).
+    */
+  val e14 = QueryDef(
+    "e14_clockinout_e2e",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spanH = (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .cast("double") / lit(3600000000.0)
+      val agg = ev.groupBy(
+          (col("user_id") % 10).cast("string").as("StoreNumber"),
+          to_date(col("ts")).as("CalendarDate"),
+          concat(lit("U"), col("user_id").cast("string")).as("EmployeeName"),
+          col("user_id").cast("string").as("SystemUserID"))
+        .agg(
+          min(col("ts")).as("Actual Clock In Ts"),
+          max(col("ts")).as("Actual Clock Out Ts"),
+          least(spanH, lit(8.0)).as("m_reg_hours_worked_sum"),
+          greatest(spanH - lit(8.0), lit(0.0)).as("m_ovt_hours_worked_sum"),
+          spanH.as("m_total_hours_worked_sum"),
+          dsum(col("value")).as("m_total_pay_usd_sum"),
+          dsum(when(col("event_type") === "click", col("value")).otherwise(lit(0.0)))
+            .as("m_reg_pay_usd_sum"),
+          dsum(when(col("event_type") === "view", col("value")).otherwise(lit(0.0)))
+            .as("m_ovt_pay_usd_sum"))
+      val out = Pipeline.compile(SpecLoader.fromResource("clock_in_out"), agg,
+        refreshedAt = Some(to_timestamp(lit(Refresh))))
+      serialized(out, Seq("m_reg_hours_worked_sum", "m_ovt_hours_worked_sum",
+        "m_total_hours_worked_sum", "m_total_pay_usd_sum",
+        "m_reg_pay_usd_sum", "m_ovt_pay_usd_sum"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT CAST(user_id % 10 AS VARCHAR) AS store_number,
+          CAST(ts AS DATE) AS cal_d,
+          'U' || CAST(user_id AS VARCHAR) AS employee_name,
+          CAST(user_id AS VARCHAR) AS system_user_id,
+          MIN(CAST(ts AS TIMESTAMP)) AS clock_in,
+          MAX(CAST(ts AS TIMESTAMP)) AS clock_out,
+          CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) - epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS DOUBLE)
+            / 3600000000.0 AS span_h,
+          ${O.dsum("value")} AS total_pay,
+          ${O.dsum("CASE WHEN event_type = 'click' THEN value ELSE 0.0 END")} AS reg_pay,
+          ${O.dsum("CASE WHEN event_type = 'view' THEN value ELSE 0.0 END")} AS ovt_pay
+        FROM events
+        GROUP BY 1, 2, 3, 4)
+      SELECT store_number,
+        strftime(cal_d, '%Y-%m-%d') AS calendar_date,
+        employee_name, system_user_id,
+        clock_in AS actual_clock_in_ts,
+        clock_out AS actual_clock_out_ts,
+        ${dec2("LEAST(span_h, 8.0)")} AS m_reg_hours_worked_sum,
+        ${dec2("GREATEST(span_h - 8.0, 0.0)")} AS m_ovt_hours_worked_sum,
+        ${dec2("span_h")} AS m_total_hours_worked_sum,
+        ${dec2("total_pay")} AS m_total_pay_usd_sum,
+        ${dec2("reg_pay")} AS m_reg_pay_usd_sum,
+        ${dec2("ovt_pay")} AS m_ovt_pay_usd_sum,
+        concat_ws('_', store_number, strftime(cal_d, '%Y%m%d'),
+          regexp_replace(employee_name, '[ -]', '_', 'g'), system_user_id) AS business_key,
+        concat_ws(' - ', store_number, CAST(cal_d AS VARCHAR), employee_name) AS display_name,
+        'OARS Franchise' AS datasource,
+        TIMESTAMP '$Refresh' AS lastrefreshed
+      FROM g
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e11, e12, e13, e14)
+}

@@ -17,8 +17,8 @@ final case class QueryDef(
 object Queries {
   def all: Seq[QueryDef] =
     CubeQueries.all ++ EtlQueries.all ++ SourceQueries.all ++
-      DedupQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      StreamQueries.all ++ MultimodalQueries.all
+      PipelineQueries.all ++ DedupQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ StreamQueries.all ++ MultimodalQueries.all
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

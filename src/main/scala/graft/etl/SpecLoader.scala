@@ -55,4 +55,14 @@ object SpecLoader {
 
   def load(path: String): PipelineSpec =
     parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** Load one of the shipped reference pipeline specs from the classpath
+    * (`src/main/resources/pipelines/<name>.yaml`).
+    */
+  def fromResource(name: String): PipelineSpec = {
+    val in = getClass.getResourceAsStream(s"/pipelines/$name.yaml")
+    require(in != null, s"no pipeline resource: $name")
+    try parse(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
 }
