@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cube.FiscalCalendar
+import graft.cube.{CubeQuery, FiscalCalendar}
 import graft.functions.StableAgg._
 import graft.functions.{Oracle => O}
 
@@ -231,17 +231,14 @@ object CubeQueries {
   val q07 = QueryDef(
     "q07_rollup_all",
     (s, dir) => {
-      val rolled = Tables.lineitem(s, dir)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_extendedprice")).as("net_sales"),
-          count(lit(1)).as("n_lines"))
-      rolled
-        .withColumn("l_returnflag", coalesce(col("l_returnflag"), lit("All")))
-        .withColumn("l_linestatus", coalesce(col("l_linestatus"), lit("All")))
+      CubeQuery.rollupAll(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(CubeQuery.Measure("net_sales", dsum(col("l_extendedprice"))),
+          CubeQuery.Measure("n_lines", count(lit(1)))))
     },
     Some(s"""
-      SELECT COALESCE(l_returnflag, 'All') AS l_returnflag,
-        COALESCE(l_linestatus, 'All') AS l_linestatus,
+      SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'All' ELSE l_returnflag END AS l_returnflag,
+        CASE WHEN GROUPING(l_linestatus) = 1 THEN 'All' ELSE l_linestatus END AS l_linestatus,
         ${O.dsum("l_extendedprice")} AS net_sales,
         COUNT(*) AS n_lines
       FROM lineitem
@@ -531,12 +528,18 @@ object CubeQueries {
         .agg(dsum(col("l_extendedprice")).as("net_sales"),
           count(lit(1)).as("n_lines"),
           grouping_id().cast("int").as("grain"))
-        .withColumn("l_returnflag", coalesce(col("l_returnflag"), lit("All")))
-        .withColumn("l_linestatus", coalesce(col("l_linestatus"), lit("All")))
+        // the grain bits (not nullness) decide the 'All' labels, so a
+        // genuinely-NULL detail value survives as null
+        .withColumn("l_returnflag",
+          when(col("grain").bitwiseAND(lit(2)) === 2, lit("All"))
+            .otherwise(col("l_returnflag").cast("string")))
+        .withColumn("l_linestatus",
+          when(col("grain").bitwiseAND(lit(1)) === 1, lit("All"))
+            .otherwise(col("l_linestatus").cast("string")))
     },
     Some(s"""
-      SELECT COALESCE(l_returnflag, 'All') AS l_returnflag,
-        COALESCE(l_linestatus, 'All') AS l_linestatus,
+      SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'All' ELSE l_returnflag END AS l_returnflag,
+        CASE WHEN GROUPING(l_linestatus) = 1 THEN 'All' ELSE l_linestatus END AS l_linestatus,
         ${O.dsum("l_extendedprice")} AS net_sales,
         COUNT(*) AS n_lines,
         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS grain

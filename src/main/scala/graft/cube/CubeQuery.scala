@@ -46,25 +46,34 @@ object CubeQuery {
     else grouped
   }
 
-  /** G10 — DrilldownLevel/rollup: hierarchy totals with the grand-total
+  /** G10 — DrilldownLevel/rollup: hierarchy totals with the subtotal
     * rows labelled 'All', matching the cube artifact the reference then
     * filters out downstream (`modules/pipeline_runner.py:159-166`).
+    * Subtotal rows are identified by `grouping()` — NOT by the column
+    * being null — so a genuinely-NULL dimension value in the data stays
+    * null (a detail row) instead of being mislabelled as a subtotal and
+    * silently dropped by `dropAllRows`.
     */
   def rollupAll(
       fact: DataFrame,
       dims: Seq[String],
       measures: Seq[Measure]): DataFrame = {
+    val gcols = dims.map(d => grouping(col(d)).as(s"__g_$d"))
     val rolled = fact
       .rollup(dims.map(col): _*)
       .agg(measures.head.agg.as(measures.head.name),
-        measures.tail.map(m => m.agg.as(m.name)): _*)
-    dims.foldLeft(rolled)((df, d) =>
-      df.withColumn(d, coalesce(col(d).cast("string"), lit("All"))))
+        (measures.tail.map(m => m.agg.as(m.name)) ++ gcols): _*)
+    val relabeled = dims.foldLeft(rolled)((df, d) =>
+      df.withColumn(d,
+        when(col(s"__g_$d") === 1, lit("All")).otherwise(col(d).cast("string"))))
+    relabeled.drop(dims.map(d => s"__g_$d"): _*)
   }
 
   /** B4 — drop the 'All' aggregate rows so flat consumers never see mixed
-    * grain (inverse of rollupAll's labelling).
+    * grain (inverse of rollupAll's labelling). Null-safe compare: a
+    * genuinely-NULL dim value must NOT trip the filter (a null in an
+    * OR-chain of `===` propagates and would silently drop the row).
     */
   def dropAllRows(df: DataFrame, dims: Seq[String]): DataFrame =
-    df.filter(!dims.map(col(_) === "All").reduce(_ || _))
+    df.filter(!dims.map(col(_) <=> "All").reduce(_ || _))
 }
