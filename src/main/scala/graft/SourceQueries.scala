@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.etl.{FieldSpec, Pipeline, PipelineSpec}
+import graft.etl.{FieldSpec, Pipeline, PipelineSpec, SpecLoader}
 import graft.sinks.MergeWriter
 import graft.sources.{Connectors, Mddataset}
 import graft.functions.{Oracle => O}
@@ -177,5 +177,62 @@ object SourceQueries {
       GROUP BY 2
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10)
+  /** A8 + B11 — the store-hours master-data load
+    * (`/root/reference/load_store_hours.py:64-108`) end-to-end through a
+    * REAL .xlsx file: a deterministic store × day-of-week sheet (HHMM
+    * time cells stored as Excel numbers) is written, read back through
+    * the zip+XML sheet decode (header row, skip-empty-first-cell), and
+    * pushed through the store_hours mapping + HH:MM normalization. The
+    * oracle replays the logical content — proving the xlsx round-trip
+    * is lossless. Master-data scale: the sheet is stores × 7 rows, a
+    * driver-side parse that broadcast-joins downstream.
+    */
+  val e15 = QueryDef(
+    "e15_store_hours_e2e",
+    (s, dir) => {
+      import graft.functions.Coercions
+      val base = Tables.events(s, dir)
+        .select((col("user_id") % 50).cast("int").as("store"),
+          ((col("user_id") % 7) + 1).cast("int").as("dow"))
+        .distinct()
+        .select(col("store"), col("dow"),
+          (lit(600) + (col("store") % 6) * 100).cast("int").as("open_i"),
+          (lit(2100) + (col("dow") % 3) * 100).cast("int").as("close_i"))
+      val sheetRows = base.orderBy("store", "dow").collect().map(r =>
+        Seq(r.getInt(0).toString, r.getInt(1).toString,
+          r.getInt(2).toString, r.getInt(3).toString).toSeq).toSeq
+      val path = s"/tmp/graft_xlsx_${Integer.toHexString(dir.hashCode)}.xlsx"
+      graft.sources.ExcelSource.writeXlsx(path, "Store hours",
+        Seq("store_number", "day_of_week", "open_raw", "close_raw") +: sheetRows)
+      val raw = graft.sources.ExcelSource.read(s, path, "Store hours")
+      Pipeline.compile(SpecLoader.fromResource("store_hours"), raw,
+        refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+        .join(raw.select(col("store_number"),
+          Coercions.asInt(col("day_of_week")).as("day_of_week"),
+          Coercions.asHhmm(col("open_raw")).as("open_time"),
+          Coercions.asHhmm(col("close_raw")).as("close_time")),
+          Seq("store_number", "day_of_week"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT DISTINCT CAST(user_id % 50 AS INTEGER) AS store,
+          CAST(user_id % 7 + 1 AS INTEGER) AS dow
+        FROM events),
+      t AS (
+        SELECT store, dow,
+          lpad(CAST(600 + (store % 6) * 100 AS VARCHAR), 4, '0') AS open_p,
+          lpad(CAST(2100 + (dow % 3) * 100 AS VARCHAR), 4, '0') AS close_p
+        FROM base)
+      SELECT CAST(store AS VARCHAR) AS store_number,
+        CAST(dow AS BIGINT) AS day_of_week,
+        CAST(store AS VARCHAR) || '_' || CAST(dow AS VARCHAR) AS business_key,
+        concat_ws(' - ', CAST(store AS VARCHAR), CAST(dow AS VARCHAR)) AS display_name,
+        'Store Hours Excel' AS datasource,
+        TIMESTAMP '2026-01-01 00:00:00' AS lastrefreshed,
+        concat_ws(':', substr(open_p, 1, 2), substr(open_p, 3, 2)) AS open_time,
+        concat_ws(':', substr(close_p, 1, 2), substr(close_p, 3, 2)) AS close_time
+      FROM t
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15)
 }
