@@ -157,17 +157,22 @@ object CubeQueries {
 
   /** G7 — TY/LY comparative measures (`TY Net Sales` vs `LY Comp Net
     * Sales USD`, `pipelines.yaml:21-24`): aggregate to fiscal
-    * (year, week) grain, then self-join the prior fiscal year on the
-    * same fiscal week — the calendar-aligned join SURVEY.md §7.5 risk 3
-    * calls out (not a naive date_sub(364)).
+    * (year, week) grain on the ANCHORED 52/53-week retail calendar
+    * (`FiscalCalendar.fiscalWeekAnchored` — Sunday nearest Feb 1, no
+    * day folding), then self-join the prior fiscal year on the same
+    * fiscal week — the calendar-aligned join SURVEY.md §7.5 risk 3
+    * calls out (not a naive date_sub(364)). The data range includes a
+    * 53-week year (FY1995), whose week 53 has no LY counterpart and
+    * correctly surfaces a null comparative.
     */
   val q05 = QueryDef(
     "q05_ty_ly_weekly",
     (s, dir) => {
+      val d = to_date(col("l_shipdate"))
       val weekly = Tables.lineitem(s, dir)
         .groupBy(
-          FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
-          FiscalCalendar.fiscalWeek(col("l_shipdate")).as("fiscal_week"))
+          FiscalCalendar.fiscalYearAnchored(d).as("fiscal_year"),
+          FiscalCalendar.fiscalWeekAnchored(d).as("fiscal_week"))
         .agg(dsum(col("l_extendedprice"), 2).as("rev"))
       val ly = weekly.select(
         (col("fiscal_year") + 1).as("fiscal_year"),
@@ -182,11 +187,33 @@ object CubeQueries {
           (col("ty_net_sales") - col("ly_net_sales")).as("yoy_delta"))
     },
     Some(s"""
-      WITH weekly AS (
-        SELECT CAST(year(l_shipdate) AS INTEGER) AS fiscal_year,
-          CAST(LEAST(53, CAST(FLOOR((dayofyear(l_shipdate) - 1) / 7.0) AS INTEGER) + 1) AS INTEGER) AS fiscal_week,
+      WITH d0 AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, l_extendedprice FROM lineitem),
+      ys AS (
+        SELECT DISTINCT year(d) AS yy FROM d0
+        UNION
+        SELECT DISTINCT year(d) - 1 FROM d0),
+      starts AS (
+        -- Sunday nearest Feb 1 (DuckDB dayofweek: Sunday = 0)
+        SELECT yy,
+          CASE WHEN dayofweek(make_date(yy, 2, 1)) <= 3
+            THEN make_date(yy, 2, 1) - CAST(dayofweek(make_date(yy, 2, 1)) AS INTEGER)
+            ELSE make_date(yy, 2, 1) - CAST(dayofweek(make_date(yy, 2, 1)) AS INTEGER) + 7
+          END AS ystart
+        FROM ys),
+      f AS (
+        SELECT d0.d, d0.l_extendedprice,
+          CASE WHEN d0.d < s1.ystart THEN year(d0.d) - 1 ELSE year(d0.d) END AS fy
+        FROM d0 JOIN starts s1 ON s1.yy = year(d0.d)),
+      w AS (
+        SELECT CAST(f.fy AS INTEGER) AS fiscal_year,
+          CAST(FLOOR(date_diff('day', s2.ystart, f.d) / 7.0) AS INTEGER) + 1 AS fiscal_week,
+          f.l_extendedprice
+        FROM f JOIN starts s2 ON s2.yy = f.fy),
+      weekly AS (
+        SELECT fiscal_year, CAST(fiscal_week AS INTEGER) AS fiscal_week,
           ${O.dsum("l_extendedprice")} AS rev
-        FROM lineitem GROUP BY 1, 2)
+        FROM w GROUP BY 1, 2)
       SELECT ty.fiscal_year, ty.fiscal_week,
         ty.rev AS ty_net_sales, ly.rev AS ly_net_sales,
         ty.rev - ly.rev AS yoy_delta

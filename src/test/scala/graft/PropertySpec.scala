@@ -58,6 +58,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("anchored calendar: 52/53-week years, no gaps, week-aligned starts") {
+    import spark.implicits._
+    import graft.cube.FiscalCalendar._
+    // every day over two decades, classified by the anchored calendar
+    val dim = spark.sql(
+      "SELECT explode(sequence(to_date('1990-01-15'), to_date('2010-12-15'), interval 1 day)) AS d")
+      .select(col("d"),
+        fiscalYearAnchored(col("d")).as("fy"),
+        fiscalWeekAnchored(col("d")).as("fw"),
+        fiscalPeriodAnchored(col("d")).as("fp"))
+    val perYear = dim.groupBy("fy")
+      .agg(count(lit(1)).as("days"), max(col("fw")).as("max_week"),
+        min(col("fw")).as("min_week"), max(col("fp")).as("max_period"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .orderBy("fy")
+      .collect()
+    // interior years only (range edges truncate the first/last year)
+    val interior = perYear.drop(1).dropRight(1)
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      val days = r.getAs[Long]("days")
+      val maxW = r.getAs[Int]("max_week")
+      assert(days == 364 || days == 371, s"fy=${r.get(0)} days=$days")
+      assert(r.getAs[Int]("min_week") == 1)
+      // week 53 exists exactly in 371-day years — no folding
+      assert(maxW == (if (days == 371) 53 else 52), s"fy=${r.get(0)}")
+      assert(r.getAs[Int]("max_period") == 13)
+      // anchor is a Sunday (week-aligned start)
+      assert(java.time.LocalDate.parse(r.getAs[java.sql.Date]("first_day").toString)
+        .getDayOfWeek == java.time.DayOfWeek.SUNDAY)
+    }
+    // continuity: consecutive fiscal years tile the calendar exactly
+    interior.sliding(2).foreach { case Array(a, b) =>
+      val lastA = a.getAs[java.sql.Date]("last_day").toLocalDate
+      val firstB = b.getAs[java.sql.Date]("first_day").toLocalDate
+      assert(firstB == lastA.plusDays(1), s"gap between fy ${a.get(0)} and ${b.get(0)}")
+    }
+    // every week inside a fiscal year has exactly 7 days
+    val weekSizes = dim.groupBy("fy", "fw").count()
+      .join(dim.groupBy("fy").agg(count(lit(1)).as("ydays")), "fy")
+      .filter(col("ydays") >= 364) // interior years
+      .select("count").distinct().as[Long].collect().toSet
+    assert(weekSizes == Set(7L))
+  }
+
   test("asDate normalizes every supported format to the same day") {
     import spark.implicits._
     for (d <- samples(Gen.choose(0, 25000), 40)) { // 1970..2038
