@@ -177,6 +177,39 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("notifier: sendMail-shaped POST, 202 = sent, disabled/no-op gates") {
+    import graft.ops.Notifier
+    val seen = new AtomicReference[(String, String)]()
+    withServer(s => s.createContext("/v1.0/users/ops@x.com/sendMail", (ex: HttpExchange) => {
+      seen.set((ex.getRequestHeaders.getFirst("Authorization"), readBody(ex)))
+      respond(ex, 202, "")
+    })) { base =>
+      val cfg = Notifier.Config(
+        enabled = true,
+        endpoint = s"$base/v1.0/users/ops@x.com/sendMail",
+        recipients = Seq("a@x.com", "b@x.com"),
+        tokens = TokenProvider.static("graph-tok"))
+      val run = Notifier.RunSummary("daily_sales", created = 100, updated = 50,
+        failed = 0, elapsedSec = 2.0, error = None)
+      assert(Notifier.notifyRun(cfg, run))
+      val (auth, body) = seen.get()
+      assert(auth == "Bearer graph-tok")
+      assert(body.contains("\"subject\":\"[OK] daily_sales sync complete\""))
+      assert(body.contains("\"contentType\":\"Text\""))
+      assert(body.contains("{\"emailAddress\":{\"address\":\"a@x.com\"}}"))
+      assert(body.contains("Created: 100"))
+      assert(body.contains("75 rows/sec"))
+      // failure summary flips the subject
+      val (subj, _) = Notifier.format(run.copy(failed = 3, error = Some("boom")))
+      assert(subj == "[FAILED] daily_sales sync")
+      // config gates: disabled or no recipients → no-op, never throws
+      assert(!Notifier.notifyRun(cfg.copy(enabled = false), run))
+      assert(!Notifier.notifyRun(cfg.copy(recipients = Nil), run))
+      // unreachable endpoint → false, not an exception (never fails a run)
+      assert(!Notifier.send(cfg.copy(endpoint = "http://127.0.0.1:9/sendMail"), "s", "b"))
+    }
+  }
+
   test("$batch uploader: 5xx retries then exhausts to per-row failures") {
     val calls = new AtomicInteger(0)
     withServer(s => s.createContext("/api/data/v9.2/$batch", (ex: HttpExchange) => {

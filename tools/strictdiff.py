@@ -38,11 +38,11 @@ def cell_key(v):
     return "s:" + str(v)
 
 
-def frame_rows(df):
-    cols = sorted(df.columns)
-    rows = []
-    for t in df[cols].itertuples(index=False, name=None):
-        rows.append(tuple(cell_key(v) for v in t))
+def frame_rows(cur):
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    rows = [tuple(cell_key(t[i]) for i in order) for t in cur.fetchall()]
     rows.sort()
     return cols, rows
 
@@ -52,10 +52,12 @@ def diff_one(con, name, sql, out_dir):
     if not spark_files:
         print(f"{name}: NO SPARK OUTPUT")
         return False
-    got_rel = con.execute(f"SELECT * FROM read_parquet({spark_files!r})")
-    got = got_rel.df()
-    got_types = dict(zip(got_rel.description and [d[0] for d in con.execute(f'SELECT * FROM read_parquet({spark_files!r}) LIMIT 0').description], []))
-    want = con.execute(sql).df()
+    # fetchall (not .df()) so DECIMAL columns stay decimal.Decimal with
+    # scale preserved -- pandas conversion would flatten them to float64.
+    # Each cursor is drained before the next execute (one connection ==
+    # one pending result set in duckdb).
+    gc, grows = frame_rows(con.execute(f"SELECT * FROM read_parquet({spark_files!r})"))
+    wc, wrows = frame_rows(con.execute(sql))
     # dtype report via duckdb DESCRIBE
     gt = con.execute(f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").df()
     wt = con.execute(f"DESCRIBE ({sql})").df()
@@ -66,14 +68,20 @@ def diff_one(con, name, sql, out_dir):
         if gtypes.get(c) != wtypes.get(c):
             print(f"{name}: TYPE col {c}: spark={gtypes.get(c)} oracle={wtypes.get(c)}")
             ok = False
-    gc, grows = frame_rows(got)
-    wc, wrows = frame_rows(want)
     if gc != wc:
         print(f"{name}: COLS spark={gc} oracle={wc}")
         return False
     if len(grows) != len(wrows):
+        # positional pairing misaligns after one inserted/missing row:
+        # diff as multisets and show rows unique to each side instead
         print(f"{name}: ROWS spark={len(grows)} oracle={len(wrows)}")
-        ok = False
+        from collections import Counter
+        gset, wset = Counter(grows), Counter(wrows)
+        for r in list((gset - wset).elements())[:3]:
+            print(f"{name}: spark-only row: {r}")
+        for r in list((wset - gset).elements())[:3]:
+            print(f"{name}: oracle-only row: {r}")
+        return False
     ndiff = 0
     for i, (g, w) in enumerate(zip(grows, wrows)):
         if g != w:
