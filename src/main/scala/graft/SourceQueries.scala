@@ -234,5 +234,69 @@ object SourceQueries {
       FROM t
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15)
+  /** D6 — managed keyed-table lifecycle end-to-end: create a bucketed,
+    * FY-partitioned table, MERGE an initial two-year load, then MERGE a
+    * recomputed FY1997 slice. Upsert semantics (not partition replace):
+    * 1997 keys present in the update are replaced, 1997 keys absent
+    * from it survive from the first load, 1996 is untouched — and the
+    * partition-scoped merge never rewrites the 1996 files (pinned by
+    * OpsSpec). The oracle expresses the final table state.
+    */
+  val e16 = QueryDef(
+    "e16_managed_table_merge",
+    (s, dir) => {
+      import graft.functions.StableAgg._
+      import graft.sinks.TableManager
+      val name = "graft_e16_keyed"
+      TableManager.drop(s, name)
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), name)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val li = Tables.lineitem(s, dir)
+      def slice(y: Int) = li.filter(
+        col("l_shipdate") >= to_timestamp(lit(f"$y-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit(f"${y + 1}-01-01")))
+      def aggOf(base: org.apache.spark.sql.DataFrame, y: Int) = base
+        .groupBy(col("l_suppkey").cast("string").as("store"))
+        .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_lines"))
+        .select(concat_ws("_", col("store"), lit(y.toString)).as("business_key"),
+          col("store"), lit(y).as("fy"), col("qty"), col("n_lines"))
+      val initial = aggOf(slice(1996), 1996).unionByName(aggOf(slice(1997), 1997))
+      TableManager.ensureKeyedTable(s, name, initial.schema, "business_key",
+        buckets = 4, partitionCols = Seq("fy"))
+      TableManager.mergeInto(s, name, initial, "business_key")
+      TableManager.mergeInto(s, name,
+        aggOf(slice(1997).filter(col("l_linestatus") === "F"), 1997), "business_key")
+      s.table(name).select("business_key", "store", "fy", "qty", "n_lines")
+    },
+    Some(s"""
+      WITH y96 AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          ${O.dsum("l_quantity")} AS qty, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1),
+      full97 AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          ${O.dsum("l_quantity")} AS qty, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1),
+      f97 AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          ${O.dsum("l_quantity")} AS qty, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_linestatus = 'F'
+        GROUP BY 1)
+      SELECT store || '_1996' AS business_key, store, CAST(1996 AS INTEGER) AS fy,
+        qty, n_lines
+      FROM y96
+      UNION ALL
+      SELECT o.store || '_1997' AS business_key, o.store, CAST(1997 AS INTEGER) AS fy,
+        COALESCE(f.qty, o.qty) AS qty, COALESCE(f.n_lines, o.n_lines) AS n_lines
+      FROM full97 o LEFT JOIN f97 f ON f.store = o.store
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16)
 }

@@ -126,7 +126,14 @@ object Similarity {
       .select("va", "vb").distinct()
     val a = v.select(col("vec_id").as("va"), col("emb").as("ea"), col("ns").as("na"))
     val b = v.select(col("vec_id").as("vb"), col("emb").as("eb"), col("ns").as("nb"))
+    // cheap double-fold dot prunes the candidate set with a safety margin
+    // (deviation from the exact decimal dot is ~64·ulp ≪ 1e-6), then the
+    // exact decimal cosine runs only on survivors — the published values
+    // stay order-independent and oracle-reproducible
     cand.join(a, "va").join(b, "vb")
+      .withColumn("cos_approx",
+        cosine(dotApprox(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos_approx") >= threshold - 1e-6)
       .withColumn("cosine", cosine(dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("va", "vb", "cosine")

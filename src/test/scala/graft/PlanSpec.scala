@@ -49,4 +49,29 @@ class PlanSpec extends SparkSpec {
     val p = planOf("e01_typed_projection")
     assert(!p.contains("Exchange"), "mapping projection must not shuffle")
   }
+
+  test("d05: LSH candidate generation has no nested-loop/theta join") {
+    val p = planOf("d05_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "n² pair space leaked into the plan")
+    assert(!p.contains("CartesianProduct"), "n² pair space leaked into the plan")
+    // candidates come from hash joins on (band, band_hash) equality
+    assert("HashJoin".r.findAllIn(p).nonEmpty, p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("e12/e13: offer/item dimensions broadcast; fact never shuffles for them") {
+    Seq("e12_offers_e2e", "e13_inventory_e2e").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: part join must broadcast")
+    }
+  }
+
+  test("e11: LY self-join happens at group grain, after aggregation") {
+    val df = Queries.byName("e11_sales_channel_e2e").query(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the join input must be the aggregate, not a second fact scan join
+    val aggIdx = p.indexOf("Aggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      "TY/LY join must sit above the aggregate (group-grain), not below it")
+  }
 }
