@@ -298,5 +298,80 @@ object SourceQueries {
       FROM full97 o LEFT JOIN f97 f ON f.store = o.store
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16)
+  /** A9 — OData-style paged read (`load_store_hours.py:111-138`): a
+    * paged source serving the supplier table in 17-row pages with
+    * nextLink-style tokens, drained by the driver-side page loop into a
+    * DataFrame. Control-plane scale by design — the reference pages
+    * existing-key maps and metadata, never facts (SURVEY.md §2.A9);
+    * the supplier dim here stands in for that key map.
+    */
+  val e17 = QueryDef(
+    "e17_paged_read",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      val all = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey").collect().toSeq
+      val schema = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").schema
+      val source = new Connectors.PagedFetch {
+        def fetch(pageToken: Option[String]): (Seq[Row], Option[String]) = {
+          val off = pageToken.map(_.toInt).getOrElse(0)
+          val page = all.slice(off, off + 17)
+          val next = if (off + 17 < all.size) Some((off + 17).toString) else None
+          (page, next)
+        }
+      }
+      Connectors.pagedRead(s, schema, source)
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"))
+
+  /** A10 — MDX template rendering (`modules/pipeline_config.py:20-34`):
+    * `${var}` placeholders substitute, literal MDX braces and `&[..]`
+    * member syntax survive untouched. One row per parameterization.
+    */
+  val e18 = QueryDef(
+    "e18_mdx_template",
+    (s, dir) => {
+      import s.implicits._
+      val template =
+        "SELECT {[Measures].[TY Net Sales USD]} ON COLUMNS FROM [${cube}] " +
+          "WHERE ([Calendar].[Fiscal_Year].&[${fy}])"
+      Seq(2023, 2024, 2025).map { fy =>
+        (fy, Connectors.renderTemplate(template,
+          Map("cube" -> "OARS", "fy" -> fy.toString)))
+      }.toDF("fy", "mdx")
+    },
+    Some("""
+      SELECT CAST(fy AS INTEGER) AS fy,
+        'SELECT {[Measures].[TY Net Sales USD]} ON COLUMNS FROM [OARS] WHERE ([Calendar].[Fiscal_Year].&[' || fy || '])' AS mdx
+      FROM (VALUES (2023), (2024), (2025)) AS t(fy)
+    """.stripMargin.trim))
+
+  /** A11 — pipeline/mapping config load (`modules/pipeline_config.py:41-87`):
+    * the shipped store_hours spec parsed from YAML into its field list.
+    * The oracle pins the loader's output against the spec's literal
+    * content — a schema drift in either the YAML or the loader goes red.
+    */
+  val e19 = QueryDef(
+    "e19_spec_load",
+    (s, dir) => {
+      import s.implicits._
+      val spec = SpecLoader.fromResource("store_hours")
+      val rows =
+        spec.fields.map(f => (spec.name, "field", f.src, f.dst, f.typ)) ++
+          spec.measures.map(m => (spec.name, "measure", m.src, m.dst, m.typ)) ++
+          spec.keyComponents.map(k => (spec.name, "key", k, k, "string"))
+      rows.toDF("pipeline", "section", "src", "dst", "typ")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('store_hours', 'field', 'store_number', 'store_number', 'string'),
+        ('store_hours', 'field', 'day_of_week', 'day_of_week', 'int'),
+        ('store_hours', 'key', 'store_number', 'store_number', 'string'),
+        ('store_hours', 'key', 'day_of_week', 'day_of_week', 'string'))
+        AS t(pipeline, section, src, dst, typ)
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16, e17, e18, e19)
 }
