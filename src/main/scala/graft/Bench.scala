@@ -34,6 +34,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      } finally {
+        // queries that persist() intermediates (e11/q05 TY aggregate)
+        // must not hand a warm cache to their own second run or to later
+        // queries — every published timing is a cold-cache run
+        spark.catalog.clearCache()
       }
     }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -169,11 +169,15 @@ object CubeQueries {
     "q05_ty_ly_weekly",
     (s, dir) => {
       val d = to_date(col("l_shipdate"))
+      // persist: TY and LY join inputs are the same weekly aggregate —
+      // without it the self-join scans + aggregates the fact twice (same
+      // fix as e11; see PipelineQueries scaladoc).
       val weekly = Tables.lineitem(s, dir)
         .groupBy(
           FiscalCalendar.fiscalYearAnchored(d).as("fiscal_year"),
           FiscalCalendar.fiscalWeekAnchored(d).as("fiscal_week"))
         .agg(dsum(col("l_extendedprice"), 2).as("rev"))
+        .persist()
       val ly = weekly.select(
         (col("fiscal_year") + 1).as("fiscal_year"),
         col("fiscal_week"),

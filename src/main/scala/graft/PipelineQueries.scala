@@ -54,10 +54,19 @@ object PipelineQueries {
         "SourceChannel" -> col("l_linestatus"),
         "DayPart" -> when(dayPart === 0, "Morning")
           .when(dayPart === 1, "Afternoon").otherwise("Evening"))
+      // Persist the group-grain aggregate: TY and LY are the SAME
+      // aggregate (LY = TY shifted 364 days), and without the persist the
+      // self-join recomputes the full fact scan + 5-dim hash agg twice —
+      // at 100 TB that is two fact passes where one suffices. The cached
+      // relation is group-grain (≪ fact size) and MEMORY_AND_DISK, so it
+      // spills rather than OOMs at scale; Bench/Verify clearCache() after
+      // each query so timings stay honest and caches never leak across
+      // queries. PlanSpec pins that both join inputs read the cache.
       val ty = li.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
         .agg(dsum(col("l_extendedprice")).as("TY Net Sales USD"),
           countDistinct(col("l_orderkey")).as("TY Orders"),
           dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discounts USD"))
+        .persist()
       val ly = ty.select(
         col("StoreNumber"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
         col("SourceActor"), col("SourceChannel"), col("DayPart"),

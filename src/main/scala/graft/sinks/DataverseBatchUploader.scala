@@ -60,12 +60,21 @@ final class DataverseBatchUploader(
     row.schema.fields.indices.flatMap { i =>
       if (row.isNullAt(i)) None
       else {
-        val v = row.get(i) match {
-          case n: java.lang.Number => n.toString
-          case b: java.lang.Boolean => b.toString
-          case other => "\"" + jsonEscape(other.toString) + "\""
+        val v: Option[String] = row.get(i) match {
+          // non-finite doubles have no JSON representation — a bare NaN/
+          // Infinity token would corrupt the wire body; treat them like
+          // nulls (omitted), matching the null-stripping rule
+          case d: java.lang.Double if d.isNaN || d.isInfinite => None
+          case f: java.lang.Float if f.isNaN || f.isInfinite => None
+          // BigDecimal.toString may render scientific notation ('1E+2');
+          // the reference's json.dumps always writes plain decimals
+          case d: java.math.BigDecimal => Some(d.toPlainString)
+          case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString)
+          case n: java.lang.Number => Some(n.toString)
+          case b: java.lang.Boolean => Some(b.toString)
+          case other => Some("\"" + jsonEscape(other.toString) + "\"")
         }
-        Some("\"" + jsonEscape(row.schema.fields(i).name) + "\":" + v)
+        v.map(s => "\"" + jsonEscape(row.schema.fields(i).name) + "\":" + s)
       }
     }.mkString("{", ",", "}")
 

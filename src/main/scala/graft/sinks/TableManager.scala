@@ -57,18 +57,39 @@ object TableManager {
     * On an unpartitioned table the merge necessarily rewrites the table
     * — declare `partitionCols` in `ensureKeyedTable` to get the scoped
     * path.
+    *
+    * '''Moved-key contract''': partition columns must be functionally
+    * derived from the business key (as in e16, where the FY is embedded
+    * in the key). If a key's partition value could change between merges,
+    * its stale row in the old partition would otherwise never be read or
+    * rewritten — pass `removeMovedKeys = true` to detect those keys with
+    * a key-join against the untouched partitions (an extra column-pruned
+    * scan of the rest of the table) and rewrite the affected partitions
+    * too.
+    *
+    * Crash-atomicity caveat: `INSERT OVERWRITE` on a parquet catalog
+    * table is not transactional — a crash mid-overwrite can leave the
+    * touched partitions partial. [[VersionedTable]] is the sink with the
+    * atomic manifest-swap commit; this path trades that for catalog
+    * integration (stock `spark.table` readers).
     */
   def mergeInto(spark: SparkSession, name: String, updates: DataFrame,
-      businessKey: String): Unit = {
+      businessKey: String, removeMovedKeys: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val partCols = spark.catalog.listColumns(name).collect()
       .filter(_.isPartition).map(_.name).toSeq
     val target = spark.table(name)
     val merged =
       if (partCols.isEmpty) MergeWriter.merge(target, updates, Seq(businessKey))
       else {
-        val parts = updates.select(partCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        val touched = target.join(
-          org.apache.spark.sql.functions.broadcast(parts), partCols, "left_semi")
+        val parts0 = updates.select(partCols.map(col): _*).distinct()
+        val parts =
+          if (!removeMovedKeys) parts0
+          else parts0.unionByName(
+            // partitions holding a stale row of an updated key that moved
+            target.join(updates.select(businessKey).distinct(), Seq(businessKey), "left_semi")
+              .select(partCols.map(col): _*).distinct()).distinct()
+        val touched = target.join(broadcast(parts), partCols, "left_semi")
         MergeWriter.merge(touched, updates, Seq(businessKey))
       }
     // NOT dot-prefixed: Spark's file index silently ignores hidden paths,
@@ -78,6 +99,7 @@ object TableManager {
       warehouse, s"graft_merge_staging_${name}_${System.nanoTime()}")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     merged.write.mode("overwrite").parquet(staging.toString)
+    val priorMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // BY NAME: positional insertInto resolves partitioned tables in a
     // different column order than the relation exposes
@@ -85,6 +107,12 @@ object TableManager {
     spark.read.parquet(staging.toString).createOrReplaceTempView(view)
     try spark.sql(s"INSERT OVERWRITE TABLE $name BY NAME SELECT * FROM $view")
     finally {
+      // restore: dynamic mode must not leak into unrelated writes that
+      // expect static (full-truncate) overwrite semantics
+      priorMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
       spark.catalog.dropTempView(view)
       fs.delete(staging, true)
     }

@@ -1,0 +1,264 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Atomic, versioned parquet table — the transactional commit protocol the
+  * plain `INSERT OVERWRITE` merge path (`TableManager.mergeInto`) lacks.
+  *
+  * The reference's sink is per-row atomic (PATCH by alternate key,
+  * `/root/reference/modules/dataverse.py:88`); a parquet dynamic-partition
+  * overwrite is not — a crash between staging cleanup and overwrite leaves
+  * a partial table. This table format closes that window with the standard
+  * log-structured design (the same shape Delta/Iceberg use, reduced to
+  * what parquet + a rename-atomic filesystem can guarantee):
+  *
+  * {{{
+  * root/
+  *   manifest-v00000001.txt     one line per live (commit, partition) pair
+  *   manifest-v00000002.txt     newest complete manifest wins
+  *   commits/c-<uuid>/fy=1995/part-*.parquet   immutable once written
+  * }}}
+  *
+  * - **Data files are immutable.** A merge writes only the touched
+  *   partitions into a fresh commit directory; no file referenced by any
+  *   published manifest is ever modified or deleted (until `vacuum`).
+  * - **Publish is one atomic rename** of a complete temp manifest to its
+  *   versioned name. A crash before the rename leaves the previous
+  *   version fully readable; after it, the new one. There is no window
+  *   where a reader sees a partial table.
+  * - **Readers take the highest-numbered manifest** — no pointer file to
+  *   corrupt, and a half-written temp manifest is never eligible.
+  *
+  * Partition-scoped like `TableManager.mergeInto`: only partitions present
+  * in the updates are read back and rewritten; at 100 TB a daily merge
+  * touches the trailing partitions of a years-deep table and the manifest
+  * (KBs — one line per live partition) is the only whole-table metadata.
+  *
+  * '''Moved-key contract''' (same as any partition-scoped merge): partition
+  * columns must be functionally derived from the business key (e.g. the FY
+  * embedded in the key). If they are not, a key whose partition value
+  * changes would leave its stale row in the old partition — pass
+  * `removeMovedKeys = true` to detect that with a key-join against the
+  * untouched partitions (an extra column-pruned scan of the rest of the
+  * table) and rewrite the affected partitions too.
+  *
+  * Single-writer: concurrent merges race on the manifest rename; the loser
+  * fails (rename onto an existing name) rather than corrupting state.
+  */
+object VersionedTable {
+
+  private val ManifestRe = raw"manifest-v(\d{8})\.txt".r
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One live unit of data: a commit directory and a Hive-style partition
+    * path inside it ("" for an unpartitioned table = the whole commit).
+    */
+  final case class Entry(commit: String, relPath: String)
+
+  private def fsOf(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Hive-style path escaping (subset of Spark's own: enough for the
+    * `/ \ : = %` metacharacters that can appear in string keys).
+    */
+  private def escape(s: String): String =
+    s.flatMap {
+      case c if c == '/' || c == '\\' || c == ':' || c == '=' || c == '%' ||
+        c < ' ' || c == 127 => f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+
+  private[sinks] def relPathOf(partCols: Seq[String], values: Seq[Any]): String =
+    partCols.zip(values).map { case (c, v) =>
+      val vs = if (v == null) HiveDefaultPartition else escape(v.toString)
+      s"${escape(c)}=$vs"
+    }.mkString("/")
+
+  private def currentVersion(fs: FileSystem, root: Path): Int =
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) => Some(v.toInt)
+        case _ => None
+      }
+    }.foldLeft(0)(math.max)
+
+  private def readManifest(fs: FileSystem, root: Path, version: Int): Seq[Entry] = {
+    val in = fs.open(new Path(root, f"manifest-v$version%08d.txt"))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(c, r) => Entry(c, r)
+        case Array(c) => Entry(c, "")
+        case _ => sys.error(s"corrupt manifest line: $line")
+      }
+    }.toSeq
+  }
+
+  /** Publish `entries` as version `v` — the single atomic step. The temp
+    * file is complete and flushed before the rename; rename onto a fresh
+    * versioned name either fully succeeds or fully fails.
+    */
+  private def publish(fs: FileSystem, root: Path, v: Int, entries: Seq[Entry]): Unit = {
+    val tmp = new Path(root, s"tmp-manifest-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(entries.map(e => s"${e.commit}\t${e.relPath}").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(root, f"manifest-v$v%08d.txt")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"concurrent commit: version $v already published at $root")
+    }
+  }
+
+  /** List the live leaf partition directories of a freshly written commit
+    * (depth = number of partition columns; "" when unpartitioned).
+    */
+  private def listEntries(fs: FileSystem, commitAbs: Path, commitRel: String,
+      depth: Int): Seq[Entry] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq("")
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        walk(st.getPath, d - 1).map { tail =>
+          if (tail.isEmpty) st.getPath.getName else s"${st.getPath.getName}/$tail"
+        }
+      }
+    walk(commitAbs, depth).map(Entry(commitRel, _))
+  }
+
+  private def readEntries(spark: SparkSession, root: Path, entries: Seq[Entry]): DataFrame = {
+    val perCommit = entries.groupBy(_.commit).toSeq.sortBy(_._1).map { case (commit, es) =>
+      val base = new Path(root, commit)
+      if (es.exists(_.relPath.isEmpty)) spark.read.parquet(base.toString)
+      else spark.read.option("basePath", base.toString)
+        .parquet(es.map(e => new Path(base, e.relPath).toString): _*)
+    }
+    perCommit.reduce(_.unionByName(_))
+  }
+
+  /** Read the table at its newest published version. */
+  def read(spark: SparkSession, rootDir: String): DataFrame = {
+    val root = new Path(rootDir)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(fs, root)
+    require(v > 0, s"no published version at $rootDir")
+    readEntries(spark, root, readManifest(fs, root, v))
+  }
+
+  /** MERGE `updates` by `businessKey` — insert-or-replace, partition-
+    * scoped, atomically published. `updates` must already be deduped by
+    * key (`MergeWriter.latestPerKey`). `onBeforePublish` is a test seam:
+    * crash-consistency tests throw from it to simulate dying between the
+    * data write and the manifest publish.
+    */
+  def merge(spark: SparkSession, rootDir: String, updates: DataFrame,
+      businessKey: String, partitionCols: Seq[String] = Nil,
+      removeMovedKeys: Boolean = false,
+      onBeforePublish: () => Unit = () => ()): Unit = {
+    val root = new Path(rootDir)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(fs, root)
+    val commitRel = s"commits/c-${java.util.UUID.randomUUID()}"
+    val commitAbs = new Path(root, commitRel)
+
+    def writeCommit(df: DataFrame): Seq[Entry] = {
+      val w = df.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(commitAbs.toString)
+      listEntries(fs, commitAbs, commitRel, partitionCols.size)
+    }
+
+    if (v == 0) {
+      val entries = writeCommit(updates)
+      onBeforePublish()
+      publish(fs, root, 1, entries)
+      return
+    }
+
+    val current = readManifest(fs, root, v)
+    val touchedRel: Set[String] =
+      if (partitionCols.isEmpty) current.map(_.relPath).toSet
+      else {
+        val base = updates.select(partitionCols.map(col): _*).distinct()
+          .collect().map(r => relPathOf(partitionCols, r.toSeq)).toSet
+        if (!removeMovedKeys) base
+        else {
+          // keys whose partition value changed live in untouched
+          // partitions — find those partitions (column-pruned scan) and
+          // rewrite them too, so the stale row is dropped by the merge
+          val keep0 = current.filterNot(e => base.contains(e.relPath))
+          if (keep0.isEmpty) base
+          else base ++ readEntries(spark, root, keep0)
+            .select((businessKey +: partitionCols).distinct.map(col): _*)
+            .join(updates.select(businessKey).distinct(), Seq(businessKey), "left_semi")
+            .select(partitionCols.map(col): _*).distinct()
+            .collect().map(r => relPathOf(partitionCols, r.toSeq))
+        }
+      }
+    val (touched, keep) = current.partition(e => touchedRel.contains(e.relPath))
+
+    val merged =
+      if (touched.isEmpty) updates
+      else {
+        // partition-dir type inference may widen on read-back (fy=2024 →
+        // int while the updates carry string) — realign to the updates'
+        // declared types before the keyed merge
+        val target0 = readEntries(spark, root, touched)
+        val target = partitionCols.foldLeft(target0)((df, c) =>
+          df.withColumn(c, col(c).cast(updates.schema(c).dataType)))
+        MergeWriter.merge(target, updates.select(target.columns.toIndexedSeq.map(col): _*),
+          Seq(businessKey))
+      }
+    val entries = keep ++ writeCommit(merged)
+    onBeforePublish()
+    publish(fs, root, v + 1, entries)
+  }
+
+  /** Drop everything not reachable from the newest version: older
+    * manifests, fully dead commit dirs, and dead partition dirs inside
+    * live commits. Readers pinned to old versions lose them — run with
+    * the same retention discipline as any table format's VACUUM.
+    */
+  def vacuum(spark: SparkSession, rootDir: String): Unit = {
+    val root = new Path(rootDir)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(fs, root)
+    require(v > 0, s"no published version at $rootDir")
+    val live = readManifest(fs, root, v)
+    val liveByCommit = live.groupBy(_.commit)
+    // old manifests + stray temp manifests
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(ver) if ver.toInt < v => fs.delete(st.getPath, false)
+        case n if n.startsWith("tmp-manifest-") => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    val commitsDir = new Path(root, "commits")
+    if (fs.exists(commitsDir)) fs.listStatus(commitsDir).foreach { st =>
+      val rel = s"commits/${st.getPath.getName}"
+      liveByCommit.get(rel) match {
+        case None => fs.delete(st.getPath, true) // no live entries at all
+        case Some(es) if es.exists(_.relPath.isEmpty) => () // whole commit live
+        case Some(es) =>
+          val liveRel = es.map(_.relPath).toSet
+          // dead partition dirs within a live commit (depth-1 prune is
+          // enough: an entry names the full leaf path)
+          def prune(p: Path, prefix: String): Unit =
+            fs.listStatus(p).filter(_.isDirectory).foreach { d =>
+              val r = if (prefix.isEmpty) d.getPath.getName
+                else s"$prefix/${d.getPath.getName}"
+              if (liveRel.contains(r)) ()
+              else if (liveRel.exists(_.startsWith(r + "/"))) prune(d.getPath, r)
+              else fs.delete(d.getPath, true)
+            }
+          prune(st.getPath, "")
+      }
+    }
+  }
+}

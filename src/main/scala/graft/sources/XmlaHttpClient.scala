@@ -16,6 +16,23 @@ import java.nio.charset.StandardCharsets
   */
 object XmlaHttpClient {
 
+  /** An MDX statement containing the literal `]]>` would terminate the
+    * CDATA section early and corrupt the envelope (statement injection);
+    * the standard fix is to split it across two CDATA sections.
+    */
+  private[sources] def cdataSafe(s: String): String =
+    s.replace("]]>", "]]]]><![CDATA[>")
+
+  /** Catalog is a plain XML text node (NOT CDATA-wrapped) — escape it. */
+  private[sources] def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c   => c.toString
+    }
+
   /** The reference's Execute envelope, byte-for-byte semantics
     * (`olap.py:12-27`): CDATA-wrapped statement, catalog + format
     * properties.
@@ -26,11 +43,11 @@ object XmlaHttpClient {
        |  <soap:Body>
        |    <Execute xmlns="urn:schemas-microsoft-com:xml-analysis">
        |      <Command>
-       |        <Statement><![CDATA[$mdx]]></Statement>
+       |        <Statement><![CDATA[${cdataSafe(mdx)}]]></Statement>
        |      </Command>
        |      <Properties>
        |        <PropertyList>
-       |          <Catalog>$catalog</Catalog>
+       |          <Catalog>${xmlEscape(catalog)}</Catalog>
        |          <Format>Multidimensional</Format>
        |        </PropertyList>
        |      </Properties>

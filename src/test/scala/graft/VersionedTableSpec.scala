@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.VersionedTable
+import graft.streaming.EventStream
+
+/** Crash-atomic versioned table: merge lifecycle, the kill-between-write-
+  * and-publish crash test the plain INSERT OVERWRITE path can't pass,
+  * moved-key rewrite, vacuum, and the streaming upsert built on it.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString + "/t"
+
+  test("merge lifecycle: insert, partition-scoped upsert, read newest version") {
+    val root = tmp("graft-vt")
+    val v1 = Seq((1, "2024", "a"), (2, "2024", "b"), (3, "2025", "c"))
+      .toDF("k", "fy", "v")
+    VersionedTable.merge(spark, root, v1, "k", Seq("fy"))
+    val v2 = Seq((2, "2024", "b2"), (4, "2024", "d")).toDF("k", "fy", "v")
+    VersionedTable.merge(spark, root, v2, "k", Seq("fy"))
+    val out = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "b2", 3 -> "c", 4 -> "d"))
+    // partition scoping: fy=2025's files were written exactly once — the
+    // second merge (touching only fy=2024) must not have rewritten them
+    val manifests = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("manifest-v")).map(_.getName).sorted
+    assert(manifests.toSeq == Seq("manifest-v00000001.txt", "manifest-v00000002.txt"))
+    val fy2025Commits = scala.io.Source.fromFile(s"$root/manifest-v00000002.txt")
+      .getLines().filter(_.contains("fy=2025")).toSeq
+    val fy2025V1 = scala.io.Source.fromFile(s"$root/manifest-v00000001.txt")
+      .getLines().filter(_.contains("fy=2025")).toSeq
+    assert(fy2025Commits == fy2025V1, "untouched partition must keep its v1 entry")
+  }
+
+  test("crash between data write and manifest publish leaves old version readable") {
+    val root = tmp("graft-vt-crash")
+    val v1 = Seq((1, "2024", "a"), (2, "2025", "b")).toDF("k", "fy", "v")
+    VersionedTable.merge(spark, root, v1, "k", Seq("fy"))
+    val before = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+
+    // die AFTER the new commit's parquet is fully written, BEFORE publish
+    val boom = intercept[RuntimeException] {
+      VersionedTable.merge(spark, root,
+        Seq((1, "2024", "CORRUPT")).toDF("k", "fy", "v"), "k", Seq("fy"),
+        onBeforePublish = () => throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage == "kill -9")
+    // the table still reads the previous state — no partial overwrite
+    val after = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(after == before)
+    // and the next merge recovers cleanly on top
+    VersionedTable.merge(spark, root,
+      Seq((1, "2024", "a2")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    val healed = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(healed == Map(1 -> "a2", 2 -> "b"))
+  }
+
+  test("unpartitioned table: full-rewrite merge, still atomic") {
+    val root = tmp("graft-vt-flat")
+    VersionedTable.merge(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v"), "k")
+    VersionedTable.merge(spark, root, Seq((2, "b2")).toDF("k", "v"), "k")
+    val out = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "b2"))
+  }
+
+  test("removeMovedKeys rewrites the stale partition of a moved key") {
+    val root = tmp("graft-vt-moved")
+    VersionedTable.merge(spark, root,
+      Seq((1, "2024", "a"), (2, "2025", "b")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    // key 1 moves 2024 → 2025; without moved-key handling its 2024 row
+    // would survive as a duplicate business key
+    val upd = Seq((1, "2025", "a-moved")).toDF("k", "fy", "v")
+    VersionedTable.merge(spark, root, upd, "k", Seq("fy"), removeMovedKeys = true)
+    val out = VersionedTable.read(spark, root)
+      .select("k", "fy", "v").as[(Int, String, String)].collect().toSet
+    assert(out == Set((1, "2025", "a-moved"), (2, "2025", "b")))
+  }
+
+  test("null partition value round-trips (no silent loss)") {
+    val root = tmp("graft-vt-null")
+    VersionedTable.merge(spark, root,
+      Seq((1, Some("2024"), "a"), (2, None, "b"))
+        .toDF("k", "fy", "v"), "k", Seq("fy"))
+    VersionedTable.merge(spark, root,
+      Seq((2, Option.empty[String], "b2")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    val out = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "b2"))
+  }
+
+  test("vacuum drops old manifests and dead data, keeps the live version") {
+    val root = tmp("graft-vt-vac")
+    VersionedTable.merge(spark, root,
+      Seq((1, "2024", "a"), (2, "2025", "b")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    VersionedTable.merge(spark, root,
+      Seq((1, "2024", "a2")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    VersionedTable.vacuum(spark, root)
+    val files = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(files.count(_.startsWith("manifest-v")) == 1)
+    val out = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a2", 2 -> "b"))
+    // the dead fy=2024 dir in the first commit is gone; live 2025 stays
+    val commitDirs = new java.io.File(s"$root/commits").listFiles().toSeq
+    val deadParts = commitDirs.flatMap(c =>
+      Option(c.listFiles()).toSeq.flatten.filter(_.isDirectory))
+    assert(deadParts.forall(d => VersionedTable.read(spark, root).count() == 2))
+  }
+
+  test("upsertStreamVersioned: atomic micro-batch merge, idempotent state") {
+    val base = Files.createTempDirectory("graft-vt-stream")
+    val root = base.resolve("table").toString
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-05-02 11:00:00"), 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.parquet(base.resolve("src1").toString)
+    EventStream.upsertStreamVersioned(
+      EventStream.read(spark, base.resolve("src1").toString), root,
+      base.resolve("ck1").toString)
+      .awaitTermination(120000)
+    val upd = Seq(
+      (2L, java.sql.Timestamp.valueOf("2024-05-02 11:30:00"), 8L, "view", 9.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-05-03 12:00:00"), 9L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    upd.write.parquet(base.resolve("src2").toString)
+    EventStream.upsertStreamVersioned(
+      EventStream.read(spark, base.resolve("src2").toString), root,
+      base.resolve("ck2").toString)
+      .awaitTermination(120000)
+    val out = VersionedTable.read(spark, root)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
+  }
+}
