@@ -379,8 +379,12 @@ object CubeQueries {
     * count — partial aggregation combines map-side, so the shuffle
     * carries one 47-column partial row per (group × task).
     */
-  val q11: QueryDef = {
-    // (name, spark aggregate, duckdb mirror) — one row per measure.
+  /** The 47-measure daily_sales set as (name, spark aggregate, duckdb
+    * mirror) triples — q11 verifies it against the oracle; the
+    * Orchestrator binds it positionally to the 47 captions of the
+    * shipped daily_sales mapping.
+    */
+  private[graft] lazy val dailySalesMeasures: Seq[(String, Column, String)] = {
     val sumMeasures: Seq[(String, Column, String)] = Seq(
       ("ty_net_sales", dsum(col("l_extendedprice")), O.dsum("l_extendedprice")),
       ("ty_disc_sales", dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6),
@@ -460,8 +464,12 @@ object CubeQueries {
         O.dsum("CASE WHEN l_quantity > 40 THEN l_extendedprice END")),
       ("small_qty_sales", dsum(when(col("l_quantity") <= 10, col("l_extendedprice"))),
         O.dsum("CASE WHEN l_quantity <= 10 THEN l_extendedprice END")))
-    val all = sumMeasures ++ avgMeasures ++ countMeasures ++
+    sumMeasures ++ avgMeasures ++ countMeasures ++
       perFlag ++ perStatus ++ discBuckets ++ extremes // 8+3+4+18+6+3+5 = 47
+  }
+
+  val q11: QueryDef = {
+    val all = dailySalesMeasures
     QueryDef(
       "q11_daily_sales_wide",
       (s, dir) => {

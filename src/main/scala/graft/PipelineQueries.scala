@@ -42,40 +42,49 @@ object PipelineQueries {
     * retail year forward and left-joined — no second fact scan shape at
     * scale beyond the self-join on the aggregate (group-grain-small).
     */
+  /** The sales_channel aggregation, exposed for the Orchestrator (which
+    * applies the slicer window via `pre` before the aggregate — filter
+    * first, aggregate the pruned fact).
+    */
+  private[graft] def salesChannelAgg(s: org.apache.spark.sql.SparkSession, dir: String,
+      pre: DataFrame => DataFrame = identity): DataFrame = {
+    val li = pre(Tables.lineitem(s, dir))
+    val dayPart = (col("l_linenumber") % 3).cast("int")
+    val dims: Seq[(String, Column)] = Seq(
+      "StoreNumber" -> col("l_suppkey").cast("string"),
+      "CalendarDate" -> to_date(col("l_shipdate")),
+      "SourceActor" -> col("l_returnflag"),
+      "SourceChannel" -> col("l_linestatus"),
+      "DayPart" -> when(dayPart === 0, "Morning")
+        .when(dayPart === 1, "Afternoon").otherwise("Evening"))
+    // Persist the group-grain aggregate: TY and LY are the SAME
+    // aggregate (LY = TY shifted 364 days), and without the persist the
+    // self-join recomputes the full fact scan + 5-dim hash agg twice —
+    // at 100 TB that is two fact passes where one suffices. The cached
+    // relation is group-grain (≪ fact size) and MEMORY_AND_DISK, so it
+    // spills rather than OOMs at scale; Bench/Verify clearCache() after
+    // each query so timings stay honest and caches never leak across
+    // queries. PlanSpec pins that both join inputs read the cache.
+    val ty = li.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(dsum(col("l_extendedprice")).as("TY Net Sales USD"),
+        countDistinct(col("l_orderkey")).as("TY Orders"),
+        dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discounts USD"))
+      .persist()
+    val ly = ty.select(
+      col("StoreNumber"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
+      col("SourceActor"), col("SourceChannel"), col("DayPart"),
+      col("TY Net Sales USD").as("LY Net Sales USD"),
+      col("TY Orders").as("LY Orders"))
+    ty.join(ly,
+      Seq("StoreNumber", "CalendarDate", "SourceActor", "SourceChannel", "DayPart"),
+      "left")
+  }
+
   val e11 = QueryDef(
     "e11_sales_channel_e2e",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val dayPart = (col("l_linenumber") % 3).cast("int")
-      val dims: Seq[(String, Column)] = Seq(
-        "StoreNumber" -> col("l_suppkey").cast("string"),
-        "CalendarDate" -> to_date(col("l_shipdate")),
-        "SourceActor" -> col("l_returnflag"),
-        "SourceChannel" -> col("l_linestatus"),
-        "DayPart" -> when(dayPart === 0, "Morning")
-          .when(dayPart === 1, "Afternoon").otherwise("Evening"))
-      // Persist the group-grain aggregate: TY and LY are the SAME
-      // aggregate (LY = TY shifted 364 days), and without the persist the
-      // self-join recomputes the full fact scan + 5-dim hash agg twice —
-      // at 100 TB that is two fact passes where one suffices. The cached
-      // relation is group-grain (≪ fact size) and MEMORY_AND_DISK, so it
-      // spills rather than OOMs at scale; Bench/Verify clearCache() after
-      // each query so timings stay honest and caches never leak across
-      // queries. PlanSpec pins that both join inputs read the cache.
-      val ty = li.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
-        .agg(dsum(col("l_extendedprice")).as("TY Net Sales USD"),
-          countDistinct(col("l_orderkey")).as("TY Orders"),
-          dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discounts USD"))
-        .persist()
-      val ly = ty.select(
-        col("StoreNumber"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
-        col("SourceActor"), col("SourceChannel"), col("DayPart"),
-        col("TY Net Sales USD").as("LY Net Sales USD"),
-        col("TY Orders").as("LY Orders"))
-      val joined = ty.join(ly,
-        Seq("StoreNumber", "CalendarDate", "SourceActor", "SourceChannel", "DayPart"),
-        "left")
-      val out = Pipeline.compile(SpecLoader.fromResource("sales_channel"), joined,
+      val out = Pipeline.compile(SpecLoader.fromResource("sales_channel"),
+        salesChannelAgg(s, dir),
         refreshedAt = Some(to_timestamp(lit(Refresh))))
       serialized(out, Seq("ty_net_sales_usd", "discounts_usd", "ly_net_sales_usd"))
     },
@@ -119,29 +128,33 @@ object PipelineQueries {
     * the part dimension (broadcast join — the fact never shuffles for
     * it).
     */
+  private[graft] def offersAgg(s: org.apache.spark.sql.SparkSession, dir: String,
+      pre: DataFrame => DataFrame = identity): DataFrame = {
+    val li = pre(Tables.lineitem(s, dir))
+    val part = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
+    val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    joined.groupBy(
+        col("l_suppkey").cast("string").as("StoreNumber"),
+        to_date(col("l_shipdate")).as("CalendarDate"),
+        col("p_brand").as("OfferCode"),
+        col("p_type").as("OfferPOSDescription"))
+      .agg(
+        count(lit(1)).as("Redeemed Count"),
+        dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discount Amount USD"),
+        dsum(net - col("l_quantity") * col("p_retailprice") * lit(0.6), 6).as("Gross Margin USD"),
+        (countDistinct(col("l_orderkey")) / count(lit(1))).as("Order Mix %"),
+        (dsum(col("l_extendedprice") * col("l_discount"), 6) / dsum(col("l_extendedprice"))).as("Sales Mix USD %"),
+        dsum(net, 6).as("Net Sales USD"),
+        countDistinct(col("l_orderkey")).as("Order Count"),
+        dsum(col("l_quantity") * col("p_retailprice") * lit(0.31), 6).as("Target Food Cost USD"))
+  }
+
   val e12 = QueryDef(
     "e12_offers_e2e",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val part = Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
-      val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      val agg = joined.groupBy(
-          col("l_suppkey").cast("string").as("StoreNumber"),
-          to_date(col("l_shipdate")).as("CalendarDate"),
-          col("p_brand").as("OfferCode"),
-          col("p_type").as("OfferPOSDescription"))
-        .agg(
-          count(lit(1)).as("Redeemed Count"),
-          dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discount Amount USD"),
-          dsum(net - col("l_quantity") * col("p_retailprice") * lit(0.6), 6).as("Gross Margin USD"),
-          (countDistinct(col("l_orderkey")) / count(lit(1))).as("Order Mix %"),
-          (dsum(col("l_extendedprice") * col("l_discount"), 6) / dsum(col("l_extendedprice"))).as("Sales Mix USD %"),
-          dsum(net, 6).as("Net Sales USD"),
-          countDistinct(col("l_orderkey")).as("Order Count"),
-          dsum(col("l_quantity") * col("p_retailprice") * lit(0.31), 6).as("Target Food Cost USD"))
-      val out = Pipeline.compile(SpecLoader.fromResource("offers"), agg,
+      val out = Pipeline.compile(SpecLoader.fromResource("offers"), offersAgg(s, dir),
         refreshedAt = Some(to_timestamp(lit(Refresh))))
       serialized(out, Seq("discount_amount_usd", "gross_margin_usd", "order_mix_pct",
         "sales_mix_usd_pct", "net_sales_usd", "target_food_cost_usd"))
@@ -183,19 +196,23 @@ object PipelineQueries {
     * the widest-cardinality, narrowest-measure pipeline. Item identity
     * from the part dimension (broadcast).
     */
+  private[graft] def inventoryAgg(s: org.apache.spark.sql.SparkSession, dir: String,
+      pre: DataFrame => DataFrame = identity): DataFrame = {
+    val li = pre(Tables.lineitem(s, dir))
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        col("l_suppkey").cast("string").as("StoreNumber"),
+        to_date(col("l_shipdate")).as("CalendarDate"),
+        col("l_partkey").cast("string").as("ItemNumber"),
+        col("p_name").as("ItemDescription"))
+      .agg(dsum(col("l_quantity")).as("Qty On Hand"))
+  }
+
   val e13 = QueryDef(
     "e13_inventory_e2e",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
-      val agg = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .groupBy(
-          col("l_suppkey").cast("string").as("StoreNumber"),
-          to_date(col("l_shipdate")).as("CalendarDate"),
-          col("l_partkey").cast("string").as("ItemNumber"),
-          col("p_name").as("ItemDescription"))
-        .agg(dsum(col("l_quantity")).as("Qty On Hand"))
-      val out = Pipeline.compile(SpecLoader.fromResource("inventory"), agg,
+      val out = Pipeline.compile(SpecLoader.fromResource("inventory"), inventoryAgg(s, dir),
         refreshedAt = Some(to_timestamp(lit(Refresh))))
       serialized(out, Seq("qty_on_hand"))
     },
@@ -224,29 +241,33 @@ object PipelineQueries {
     * regular/overtime hours split at 8h, conditional pay sums. Runs over
     * the events table (user = employee).
     */
+  private[graft] def clockInOutAgg(s: org.apache.spark.sql.SparkSession, dir: String,
+      pre: DataFrame => DataFrame = identity): DataFrame = {
+    val ev = pre(Tables.events(s, dir))
+    val spanH = (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+      .cast("double") / lit(3600000000.0)
+    ev.groupBy(
+        (col("user_id") % 10).cast("string").as("StoreNumber"),
+        to_date(col("ts")).as("CalendarDate"),
+        concat(lit("U"), col("user_id").cast("string")).as("EmployeeName"),
+        col("user_id").cast("string").as("SystemUserID"))
+      .agg(
+        min(col("ts")).as("Actual Clock In Ts"),
+        max(col("ts")).as("Actual Clock Out Ts"),
+        least(spanH, lit(8.0)).as("m_reg_hours_worked_sum"),
+        greatest(spanH - lit(8.0), lit(0.0)).as("m_ovt_hours_worked_sum"),
+        spanH.as("m_total_hours_worked_sum"),
+        dsum(col("value")).as("m_total_pay_usd_sum"),
+        dsum(when(col("event_type") === "click", col("value")).otherwise(lit(0.0)))
+          .as("m_reg_pay_usd_sum"),
+        dsum(when(col("event_type") === "view", col("value")).otherwise(lit(0.0)))
+          .as("m_ovt_pay_usd_sum"))
+  }
+
   val e14 = QueryDef(
     "e14_clockinout_e2e",
     (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val spanH = (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-        .cast("double") / lit(3600000000.0)
-      val agg = ev.groupBy(
-          (col("user_id") % 10).cast("string").as("StoreNumber"),
-          to_date(col("ts")).as("CalendarDate"),
-          concat(lit("U"), col("user_id").cast("string")).as("EmployeeName"),
-          col("user_id").cast("string").as("SystemUserID"))
-        .agg(
-          min(col("ts")).as("Actual Clock In Ts"),
-          max(col("ts")).as("Actual Clock Out Ts"),
-          least(spanH, lit(8.0)).as("m_reg_hours_worked_sum"),
-          greatest(spanH - lit(8.0), lit(0.0)).as("m_ovt_hours_worked_sum"),
-          spanH.as("m_total_hours_worked_sum"),
-          dsum(col("value")).as("m_total_pay_usd_sum"),
-          dsum(when(col("event_type") === "click", col("value")).otherwise(lit(0.0)))
-            .as("m_reg_pay_usd_sum"),
-          dsum(when(col("event_type") === "view", col("value")).otherwise(lit(0.0)))
-            .as("m_ovt_pay_usd_sum"))
-      val out = Pipeline.compile(SpecLoader.fromResource("clock_in_out"), agg,
+      val out = Pipeline.compile(SpecLoader.fromResource("clock_in_out"), clockInOutAgg(s, dir),
         refreshedAt = Some(to_timestamp(lit(Refresh))))
       serialized(out, Seq("m_reg_hours_worked_sum", "m_ovt_hours_worked_sum",
         "m_total_hours_worked_sum", "m_total_pay_usd_sum",

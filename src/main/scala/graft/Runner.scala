@@ -4,10 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** CLI entry point (SURVEY.md §2.E1 — the engine's `olap_sync.main`):
   * run one named query or all of them against a scale-factor directory,
-  * optionally writing results as parquet.
+  * optionally writing results as parquet — or orchestrate a config-driven
+  * pipeline sync end-to-end (slicer → native agg → mapping → keyed MERGE
+  * → notification), the reference CLI's contract
+  * (`/root/reference/modules/olap_sync.py:192-248`).
   *
   *   runMain graft.Runner --query q01_pricing_summary --sf /root/testdata/sf0.01
   *   runMain graft.Runner --query all --sf ... --out /tmp/results
+  *   runMain graft.Runner --pipeline daily_sales --length 2wk --sf ...
+  *   runMain graft.Runner --pipeline all --fy 1995 --fp 3 --sf ...
   */
 object Runner {
   def main(args: Array[String]): Unit = {
@@ -27,6 +32,24 @@ object Runner {
       .appName(s"graft-$which")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (opts.contains("pipeline")) {
+      import graft.ops.Orchestrator
+      val p = opts("pipeline")
+      val slice = Orchestrator.sliceFor(
+        opts.getOrElse("length", "2wk"), opts.get("fy").map(_.toInt), opts.get("fp").map(_.toInt))
+      val results =
+        if (p == "all") Orchestrator.runAll(spark, sfDir, slice)
+        else Seq(Orchestrator.run(spark, sfDir, p, slice))
+      results.foreach { r =>
+        println(f"[sync] ${r.pipeline}%-14s ${r.rows}%8d rows  ${r.created}%7d created " +
+          f"${r.updated}%7d updated  ${r.elapsedSec}%6.1f s  slicer=${r.slicer}" +
+          r.error.map(e => s"  FAILED: $e").getOrElse(""))
+      }
+      spark.stop()
+      if (results.exists(_.error.isDefined)) sys.exit(1)
+      return
+    }
 
     val targets =
       if (which == "all") Queries.all

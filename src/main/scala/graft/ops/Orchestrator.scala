@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cube.FiscalCalendar
+import graft.etl.{Pipeline, SpecLoader}
+import graft.sinks.TableManager
+
+/** E1 depth — the one-command pipeline orchestration of the reference's
+  * CLI (`/root/reference/modules/olap_sync.py:192-468`): pick the slicer
+  * from `--length`/`--fy`/`--fp` exactly as `run_pipeline_by_name` does,
+  * render the MDX slicer string (parity artifact, logged), run the
+  * pipeline's native aggregation with the slicer window pushed BELOW the
+  * aggregate (filter-then-aggregate — the engine's form of "the cube only
+  * aggregates the sliced cells"), compile the shipped mapping YAML, MERGE
+  * into the managed keyed table, and notify.
+  *
+  * `--length 1wk|2wk` maps to the reference's MyView IDs (81 = 7 days,
+  * 82 = 14 days, `modules/mdx_queries.py:14-18`): a rolling window
+  * anchored at the fact's max date (broadcast one-row anchor, q04's
+  * shape). `--fy/--fp` map to the 13-4 calendar for offers/sales_channel
+  * and the Calendar hierarchy otherwise (`olap_sync.py:263-283`).
+  */
+object Orchestrator {
+
+  sealed trait Slice
+  /** MyView rolling window (81 = 7 d, 82 = 14 d). */
+  final case class Rolling(days: Int) extends Slice
+  /** Fiscal-year slicer, optional 13-4 period (1-13). */
+  final case class Fiscal(fy: Int, fp: Option[Int]) extends Slice
+
+  /** The five config-driven pipelines, same registry as the reference's
+    * `pipelines/pipelines.yaml`.
+    */
+  val pipelines: Seq[String] =
+    Seq("daily_sales", "sales_channel", "offers", "inventory", "clock_in_out")
+
+  /** Pipelines on the 13-4 retail calendar (`olap_sync.py:265-267`). */
+  private val thirteenFour = Set("offers", "sales_channel")
+
+  /** `--length/--fy/--fp` → slice, with the reference's validation
+    * (`--fp` requires `--fy`, 1-13).
+    */
+  def sliceFor(length: String, fy: Option[Int], fp: Option[Int]): Slice =
+    (fy, fp) match {
+      case (None, Some(_)) => sys.error("--fp requires --fy")
+      case (Some(y), p) =>
+        p.foreach(v => require(v >= 1 && v <= 13, "--fp must be between 1 and 13"))
+        Fiscal(y, p)
+      case (None, None) => length match {
+        case "1wk" => Rolling(7)
+        case "2wk" => Rolling(14)
+        case other => sys.error(s"Unknown length '$other'")
+      }
+    }
+
+  /** The MDX slicer string the reference would ship to the cube for this
+    * (pipeline, slice) — byte-shape parity with `olap_sync.py:246-295`.
+    * The engine logs it and evaluates the same window natively.
+    */
+  def mdxSlicer(pipeline: String, slice: Slice): String = slice match {
+    case Fiscal(y, Some(p)) if thirteenFour(pipeline) =>
+      s"[13-4 Calendar].[d_Year].[d_Year].&[$y],[13-4 Calendar].[d_Period].[d_Period].&[$p]"
+    case Fiscal(y, None) if thirteenFour(pipeline) =>
+      s"[13-4 Calendar].[d_Year].[d_Year].&[$y]"
+    case Fiscal(y, _) =>
+      s"[Calendar].[Calendar Hierarchy].[Fiscal_Year].&[$y]"
+    case Rolling(days) =>
+      val myViewId = if (days <= 7) 81 else 82
+      if (pipeline == "offers")
+        s"([MyView].[My View].[My View].&[$myViewId],[13-4 Calendar].[Alternate Calendar Hierarchy].[All])"
+      else s"[MyView].[My View].[My View].&[$myViewId]"
+  }
+
+  /** Apply the slice BELOW the aggregate: rolling windows anchor on the
+    * fact's max date via a broadcast one-row cross join (no collect, the
+    * q04 shape); fiscal slices filter on the calendar expressions, which
+    * prune partitions when the fact is calendar-partitioned.
+    */
+  def applySlice(df: DataFrame, dateCol: Column, pipeline: String, slice: Slice): DataFrame =
+    slice match {
+      case Rolling(days) =>
+        val anchor = df.agg(max(to_date(dateCol)).as("__graft_anchor"))
+        df.crossJoin(broadcast(anchor))
+          .filter(datediff(col("__graft_anchor"), to_date(dateCol)) < days)
+          .drop("__graft_anchor")
+      case Fiscal(y, p) =>
+        val d = to_date(dateCol)
+        val base =
+          if (thirteenFour(pipeline)) df.filter(FiscalCalendar.fiscalYearAnchored(d) === y)
+          else df.filter(FiscalCalendar.fiscalYear(d) === y)
+        p.fold(base)(fp => base.filter(FiscalCalendar.fiscalPeriodAnchored(d) === fp))
+    }
+
+  /** The pipeline's source aggregation with the slice pushed below it,
+    * compiled through its shipped mapping YAML. daily_sales binds the
+    * 47 oracle-verified q11 measures positionally to the mapping's 47
+    * captions (the real cube measures aren't derivable from TPC-H — the
+    * aggregate set is the engine's, the mapping surface the reference's).
+    */
+  def source(spark: SparkSession, sfDir: String, pipeline: String, slice: Slice): DataFrame = {
+    import graft.{CubeQueries, PipelineQueries, Tables}
+    val pre: DataFrame => DataFrame = df =>
+      applySlice(df, if (pipeline == "clock_in_out") col("ts") else col("l_shipdate"),
+        pipeline, slice)
+    val spec = SpecLoader.fromResource(pipeline)
+    val agg = pipeline match {
+      case "sales_channel" => PipelineQueries.salesChannelAgg(spark, sfDir, pre)
+      case "offers" => PipelineQueries.offersAgg(spark, sfDir, pre)
+      case "inventory" => PipelineQueries.inventoryAgg(spark, sfDir, pre)
+      case "clock_in_out" => PipelineQueries.clockInOutAgg(spark, sfDir, pre)
+      case "daily_sales" =>
+        val measures = CubeQueries.dailySalesMeasures
+        require(spec.measures.size == measures.size,
+          s"daily_sales mapping expects ${spec.measures.size} measures, engine has ${measures.size}")
+        pre(Tables.lineitem(spark, sfDir))
+          .groupBy(col("l_suppkey").cast("string").as("StoreNumber"),
+            to_date(col("l_shipdate")).as("CalendarDate"))
+          .agg(measures.head._2.as(spec.measures.head.src),
+            measures.tail.zip(spec.measures.tail).map { case ((_, c, _), m) => c.as(m.src) }: _*)
+      case other => sys.error(
+        s"unknown pipeline '$other'. Available: ${pipelines.mkString(", ")}")
+    }
+    Pipeline.compile(spec, agg, refreshedAt = Some(current_timestamp()))
+  }
+
+  final case class RunResult(
+      pipeline: String, slicer: String, rows: Long,
+      created: Long, updated: Long, elapsedSec: Double, error: Option[String])
+
+  /** Run one pipeline end-to-end: source → mapping → keyed MERGE →
+    * notification. Mirrors `run_pipeline_by_name` + the notify tail
+    * (`olap_sync.py:401-437`): created/updated counted like the sink's
+    * per-row outcomes (201 vs 204), the notification never fails the
+    * run, and a failed run still notifies with the error.
+    */
+  def run(spark: SparkSession, sfDir: String, pipeline: String, slice: Slice,
+      notifier: Option[Notifier.Config] = None,
+      tableFor: String => String = p => s"graft_sync_$p"): RunResult = {
+    val t0 = System.nanoTime()
+    val slicer = mdxSlicer(pipeline, slice)
+    val table = tableFor(pipeline)
+    val result =
+      try {
+        val out = source(spark, sfDir, pipeline, slice)
+        if (out.isEmpty) sys.error("No data returned from source")
+        TableManager.ensureKeyedTable(spark, table, out.schema, "business_key")
+        // created vs updated = the sink's 201-vs-204 accounting, as a
+        // column-pruned anti-join against the pre-merge key set
+        val existing = spark.table(table).select("business_key")
+        val rows = out.count()
+        val created = out.join(existing, Seq("business_key"), "left_anti").count()
+        TableManager.mergeInto(spark, table, out, "business_key")
+        RunResult(pipeline, slicer, rows, created, rows - created,
+          (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Exception =>
+          RunResult(pipeline, slicer, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    notifier.foreach { cfg =>
+      val (subject, body) = Notifier.format(Notifier.RunSummary(
+        s"$pipeline [$slicer]", result.created, result.updated,
+        if (result.error.isDefined) 1 else 0, result.elapsedSec, result.error))
+      Notifier.send(cfg, subject, body) // never fails the run
+    }
+    result
+  }
+
+  /** `--query all` — every pipeline through the same entry point. */
+  def runAll(spark: SparkSession, sfDir: String, slice: Slice,
+      notifier: Option[Notifier.Config] = None,
+      tableFor: String => String = p => s"graft_sync_$p"): Seq[RunResult] =
+    pipelines.map(run(spark, sfDir, _, slice, notifier, tableFor))
+}

@@ -97,4 +97,109 @@ class OpsSpec extends SparkSpec {
       assert(events.peek().error.isEmpty)
     } finally spark.listenerManager.unregister(l)
   }
+
+  // ---- E1 depth: one-command pipeline orchestration ----
+
+  test("slicer selection mirrors the reference CLI exactly (E1)") {
+    import graft.ops.Orchestrator._
+    assert(sliceFor("1wk", None, None) == Rolling(7))
+    assert(sliceFor("2wk", None, None) == Rolling(14))
+    assert(sliceFor("2wk", Some(2023), Some(3)) == Fiscal(2023, Some(3)))
+    intercept[RuntimeException](sliceFor("2wk", None, Some(3))) // --fp requires --fy
+    intercept[IllegalArgumentException](sliceFor("2wk", Some(2023), Some(14)))
+    // olap_sync.py:263-295 slicer strings, byte-shape parity
+    assert(mdxSlicer("sales_channel", Fiscal(2023, Some(3))) ==
+      "[13-4 Calendar].[d_Year].[d_Year].&[2023],[13-4 Calendar].[d_Period].[d_Period].&[3]")
+    assert(mdxSlicer("offers", Fiscal(2023, None)) ==
+      "[13-4 Calendar].[d_Year].[d_Year].&[2023]")
+    assert(mdxSlicer("daily_sales", Fiscal(2023, Some(3))) ==
+      "[Calendar].[Calendar Hierarchy].[Fiscal_Year].&[2023]")
+    assert(mdxSlicer("daily_sales", Rolling(7)) == "[MyView].[My View].[My View].&[81]")
+    assert(mdxSlicer("offers", Rolling(14)) ==
+      "([MyView].[My View].[My View].&[82],[13-4 Calendar].[Alternate Calendar Hierarchy].[All])")
+  }
+
+  test("orchestrator runs all five pipelines e2e: agg -> mapping -> MERGE -> notify (E1)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.ops.{Notifier, Orchestrator}
+    def tableFor(p: String) = s"graft_sync_spec_$p"
+    Orchestrator.pipelines.foreach { p =>
+      TableManager.drop(spark, tableFor(p))
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), tableFor(p))
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    val subjects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sendMail", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      subjects.add(raw""""subject":"([^"]*)"""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("?"))
+      ex.sendResponseHeaders(202, -1); ex.close()
+    })
+    server.start()
+    try {
+      val cfg = Notifier.Config(
+        enabled = true,
+        endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/sendMail",
+        recipients = Seq("ops@example.test"),
+        tokens = new graft.sinks.TokenProvider {
+          def token(): String = "t"; def refresh(): String = "t"
+        })
+      val results = Orchestrator.runAll(spark, sfDir,
+        Orchestrator.Rolling(14), Some(cfg), tableFor)
+      assert(results.map(_.pipeline) == Orchestrator.pipelines)
+      results.foreach { r =>
+        assert(r.error.isEmpty, s"${r.pipeline}: ${r.error}")
+        assert(r.rows > 0 && r.created == r.rows, r)
+        assert(spark.table(tableFor(r.pipeline)).count() == r.rows)
+      }
+      // every run notified, with the OK subject shape
+      val sent = subjects.toArray(Array.empty[String]).toSeq
+      assert(sent.size == 5 && sent.forall(_.startsWith("[OK] ")), sent)
+      // re-running the same window is a pure update (idempotent upsert)
+      val again = Orchestrator.run(spark, sfDir, "inventory",
+        Orchestrator.Rolling(14), Some(cfg), tableFor)
+      assert(again.error.isEmpty && again.created == 0 && again.updated == again.rows)
+      // a 1wk window is a subset of the 2wk table — still only updates
+      val wk1 = Orchestrator.run(spark, sfDir, "inventory",
+        Orchestrator.Rolling(7), None, tableFor)
+      assert(wk1.error.isEmpty && wk1.created == 0 && wk1.rows < again.rows)
+    } finally {
+      server.stop(0)
+      Orchestrator.pipelines.foreach(p => TableManager.drop(spark, tableFor(p)))
+    }
+  }
+
+  test("orchestrator failure path still notifies with the error (E1)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.ops.{Notifier, Orchestrator}
+    val subjects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sendMail", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      subjects.add(raw""""subject":"([^"]*)"""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("?"))
+      ex.sendResponseHeaders(202, -1); ex.close()
+    })
+    server.start()
+    try {
+      val cfg = Notifier.Config(
+        enabled = true,
+        endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/sendMail",
+        recipients = Seq("ops@example.test"),
+        tokens = new graft.sinks.TokenProvider {
+          def token(): String = "t"; def refresh(): String = "t"
+        })
+      val r = Orchestrator.run(spark, "/no/such/dir", "inventory",
+        Orchestrator.Rolling(14), Some(cfg))
+      assert(r.error.isDefined)
+      val sent = subjects.toArray(Array.empty[String]).toSeq
+      assert(sent.size == 1 && sent.head.startsWith("[FAILED] "), sent)
+    } finally server.stop(0)
+  }
 }
