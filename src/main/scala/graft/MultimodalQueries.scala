@@ -3,72 +3,87 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** Multimodal-column queries (SURVEY.md §2.H). Payloads are synthesized
-  * from document text (cast to UTF-8 bytes) since the test corpus has no
-  * real media; the decode step is the documented deterministic stub.
+/** Multimodal-column queries (SURVEY.md §2.H). The corpus has no real
+  * media, so each doc_id gets a REAL encoded payload from a closed-form
+  * fixture recipe (driver-side, bounded — the documented fixture pattern
+  * of e07/e15): a playable 16-bit PCM WAV and a valid PNG with true
+  * CRCs. The decode then runs DISTRIBUTED as native byte-slicing
+  * expressions (`Multimodal.wavPcm` / `pngIhdr`), and the oracle replays
+  * the recipe's arithmetic — so a decoder that misreads any header field
+  * or sample byte hash-mismatches.
   */
 object MultimodalQueries {
 
-  /** Binary payload + metadata + stub feature extraction: the full
-    * multimodal plumbing end-to-end — attach payload, stamp typed
-    * metadata (size, checksum), extract features, prune payload.
+  /** WAV PCM decode: RIFF/fmt/data little-endian header fields + exact
+    * integer sum of squared samples + RMS, from real WAV bytes. The
+    * metadata plumbing (size/checksum stamp, payload pruned after
+    * decode) rides along.
     */
   val m01 = QueryDef(
     "m01_binary_features",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val withBin = Multimodal.withPayload(docs, col("text"), "image", "fake")
-      Multimodal.extractFeatures(withBin.drop("text"))
-        .select(col("doc_id"),
-          col("media_meta.n_bytes").as("n_bytes"),
-          col("media_meta.checksum").as("checksum"),
-          col("f0"), col("f1"), col("f2"), col("f3"))
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .as[Long].collect().sorted.toIndexedSeq // bounded fixture build
+      val payloads = s.createDataFrame(ids.map(id => (id, Multimodal.wavFixture(id))))
+        .toDF("doc_id", "payload")
+      val decoded = Multimodal.wavPcm(
+        Multimodal.withPayload(payloads, col("payload"), "audio", "wav"), col("payload"))
+      decoded.select(
+        col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("sample_rate"), col("n_channels"), col("bits_per_sample"),
+        col("n_samples"), col("sum_sq"), col("rms"), col("duration_ms"))
     },
     Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(100 + doc_id % 50 AS INTEGER) AS n FROM documents),
+      s AS (
+        SELECT doc_id, n,
+          list_transform(range(0, n),
+            i -> (doc_id * 31 + i * 7) % 65536 - 32768) AS xs
+        FROM d)
       SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        sha256(text) AS checksum,
-        ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967295.0 AS f0,
-        ('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967295.0 AS f1,
-        ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967295.0 AS f2,
-        ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967295.0 AS f3
-      FROM documents
+        CAST(44 + n * 2 AS BIGINT) AS n_bytes,
+        8000 AS sample_rate,
+        1 AS n_channels,
+        16 AS bits_per_sample,
+        n AS n_samples,
+        CAST(list_aggregate(list_transform(xs, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
+        sqrt(CAST(list_aggregate(list_transform(xs, x -> x * x), 'sum') AS DOUBLE) / n) AS rms,
+        n * 1000.0 / 8000 AS duration_ms
+      FROM s
     """.stripMargin.trim))
 
-  /** Frame sampling: every 4th 16-byte block of the payload (as hex)
-    * hashed and combined — the video-frame-sample plumbing shape: a
-    * bounded per-row sample of an opaque payload, no shuffle, payload
-    * pruned after. The "frame decode" on each sampled block is the
-    * documented md5 stub.
+  /** PNG IHDR decode + CRC-32 integrity: big-endian dimensions, bit
+    * depth, color type, the real crc32-vs-stored check (every 10th
+    * fixture is corrupted and must flag false), and the following IDAT
+    * chunk's deterministic stored-block length.
     */
   val m02 = QueryDef(
     "m02_frame_sample",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val hexp = lower(hex(col("text").cast("binary")))
-      val nBlocks = ceil(length(hexp) / 32.0).cast("int")
-      val sampled = transform(
-        sequence(lit(0), nBlocks - 1, lit(4)),
-        i => md5(substring(hexp, i * 32 + 1, lit(32))))
-      docs.select(
-        col("doc_id"),
-        nBlocks.as("n_blocks"),
-        size(sampled).as("n_sampled"),
-        md5(concat_ws("", sampled)).as("sample_fingerprint"))
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .as[Long].collect().sorted.toIndexedSeq
+      val payloads = s.createDataFrame(ids.map(id => (id, Multimodal.pngFixture(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.pngIhdr(payloads, col("payload"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("bit_depth"), col("color_type"), col("ihdr_crc_ok"),
+          col("next_chunk_len"), col("next_chunk_type"))
     },
     Some("""
       SELECT doc_id,
-        CAST(n_blocks AS INTEGER) AS n_blocks,
-        CAST(len(hashes) AS INTEGER) AS n_sampled,
-        md5(list_aggregate(hashes, 'string_agg', '')) AS sample_fingerprint
-      FROM (
-        SELECT doc_id, n_blocks,
-          list_transform(range(0, n_blocks, 4),
-            i -> md5(substring(hexp, CAST(i * 32 + 1 AS INTEGER), 32))) AS hashes
-        FROM (
-          SELECT doc_id, lower(hex(encode(text))) AS hexp,
-            CAST(ceil(length(hex(encode(text))) / 32.0) AS INTEGER) AS n_blocks
-          FROM documents))
+        CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        CAST(1 + (doc_id * 7) % 12 AS INTEGER) AS height,
+        8 AS bit_depth,
+        2 AS color_type,
+        doc_id % 10 <> 0 AS ihdr_crc_ok,
+        CAST((1 + (doc_id * 7) % 12) * (1 + (1 + doc_id % 16) * 3) + 11 AS INTEGER)
+          AS next_chunk_len,
+        'IDAT' AS next_chunk_type
+      FROM documents
     """.stripMargin.trim))
 
   def all: Seq[QueryDef] = Seq(m01, m02)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Real pure-JVM media decode: WAV PCM fields + exact sample energy, PNG
+  * IHDR fields + CRC-32 integrity — verified against javax.imageio-free
+  * hand-computed expectations on real encoded bytes.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wavPcm decodes header fields and exact sample energy from real bytes") {
+    val id = 7L
+    val df = spark.createDataFrame(Seq((id, Multimodal.wavFixture(id)))).toDF("doc_id", "payload")
+    val row = Multimodal.wavPcm(df, col("payload"))
+      .select("__wav_ok", "sample_rate", "n_channels", "bits_per_sample",
+        "n_samples", "sum_sq").head()
+    assert(row.getBoolean(0), "RIFF/WAVE/fmt/data magic must validate")
+    assert(row.getInt(1) == 8000 && row.getInt(2) == 1 && row.getInt(3) == 16)
+    val n = (100 + id % 50).toInt
+    assert(row.getInt(4) == n)
+    val expected = (0 until n).map { i =>
+      val s = (id * 31 + i * 7) % 65536 - 32768; s * s
+    }.sum
+    assert(row.getLong(5) == expected, "decoded samples must match the encoded PCM exactly")
+  }
+
+  test("wavPcm rejects a non-WAV payload via the magic check") {
+    val df = Seq((1L, "not a wav at all, just text bytes".getBytes)).toDF("doc_id", "payload")
+    assert(!Multimodal.wavPcm(df, col("payload")).select("__wav_ok").head().getBoolean(0))
+  }
+
+  test("pngIhdr decodes dimensions and verifies the real CRC-32") {
+    val good = 13L // 13 % 10 != 0 → intact
+    val bad = 20L  // corrupted fixture
+    val df = spark.createDataFrame(
+      Seq((good, Multimodal.pngFixture(good)), (bad, Multimodal.pngFixture(bad))))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.pngIhdr(df, col("payload"))
+      .select("doc_id", "__png_ok", "width", "height", "bit_depth",
+        "color_type", "ihdr_crc_ok", "next_chunk_type")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(good).getBoolean(1) && out(bad).getBoolean(1)) // both real PNGs
+    assert(out(good).getInt(2) == (1 + good % 16).toInt)
+    assert(out(good).getInt(3) == (1 + good * 7 % 12).toInt)
+    assert(out(good).getInt(4) == 8 && out(good).getInt(5) == 2)
+    assert(out(good).getBoolean(6), "intact IHDR must pass the CRC check")
+    assert(!out(bad).getBoolean(6), "flipped CRC byte must be flagged")
+    assert(out(good).getString(7) == "IDAT")
+  }
+
+  test("png fixture is a structurally valid zlib/PNG (adler + stored block)") {
+    // independently decompress the IDAT zlib stream with java.util.zip —
+    // proves the fixture is a real PNG body, not just CRC-consistent bytes
+    val png = Multimodal.pngFixture(3L)
+    val idatLen = java.nio.ByteBuffer.wrap(png.slice(33, 37)).getInt
+    val idat = png.slice(41, 41 + idatLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val out = new Array[Byte](1 << 16)
+    val m = inf.inflate(out)
+    inf.end()
+    val w = (1 + 3 % 16); val h = (1 + 3 * 7 % 12)
+    assert(m == h * (1 + w * 3), "inflated scanlines must match height*(1+3*width)")
+  }
+}
