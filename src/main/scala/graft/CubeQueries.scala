@@ -586,6 +586,92 @@ object CubeQueries {
       GROUP BY CUBE (l_returnflag, l_linestatus)
     """.stripMargin.trim))
 
+  /** G7 depth — COMP-store TY/LY: the reference's headline measures are
+    * `LY Comp Net Sales USD` etc. (`pipelines/pipelines.yaml:21-24`),
+    * where "comp" means comparable-store-filtered, not merely calendar-
+    * aligned: a store only contributes to LY comparatives at week W once
+    * it has been open ≥ 53 anchored weeks (so TY and LY both fall inside
+    * its operating history). Store open date = its first sale; weekly
+    * store grain aggregated once (persisted — same single-fact-scan
+    * discipline as q05/e11), LY joined per store at (fy-1, same week),
+    * the comp predicate applied to the LY side only, then rolled up to
+    * week grain. A store opened mid-year is thereby excluded from LY
+    * comparatives for its first 53 weeks while still counting in TY.
+    */
+  val q15 = QueryDef(
+    "q15_comp_store_tyly",
+    (s, dir) => {
+      val d = to_date(col("l_shipdate"))
+      val weekly = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("store"),
+          FiscalCalendar.fiscalYearAnchored(d).as("fiscal_year"),
+          FiscalCalendar.fiscalWeekAnchored(d).as("fiscal_week"))
+        .agg(dsum(col("l_extendedprice"), 2).as("rev"), min(d).as("min_d"))
+        .persist()
+      val first = weekly.groupBy("store").agg(min(col("min_d")).as("first_d"))
+      val ly = weekly.select(col("store"),
+        (col("fiscal_year") + 1).as("fiscal_year"),
+        col("fiscal_week"), col("rev").as("ly_rev"))
+      val weekStart = date_add(FiscalCalendar.anchorStart(col("fiscal_year")),
+        (col("fiscal_week") - 1) * 7)
+      weekly.join(ly, Seq("store", "fiscal_year", "fiscal_week"), "left")
+        .join(broadcast(first), Seq("store"))
+        .withColumn("comp", datediff(weekStart, col("first_d")) >= 371)
+        .groupBy("fiscal_year", "fiscal_week")
+        .agg(
+          // dsum again at the outer grain: rev is a double, and a plain
+          // sum(double) is accumulation-order-dependent — the decimal
+          // re-cast is exact (rev is a 2-dec value that round-trips)
+          dsum(col("rev")).as("ty_net_sales"),
+          dsum(when(col("comp"), col("ly_rev"))).as("ly_comp_net_sales"),
+          count(when(col("comp") && col("ly_rev").isNotNull, lit(1))).as("n_comp_ly_stores"))
+    },
+    Some(s"""
+      WITH d0 AS (
+        SELECT l_suppkey AS store, CAST(l_shipdate AS DATE) AS d, l_extendedprice
+        FROM lineitem),
+      ys AS (
+        SELECT DISTINCT year(d) AS yy FROM d0
+        UNION SELECT DISTINCT year(d) + 1 FROM d0
+        UNION SELECT DISTINCT year(d) - 1 FROM d0),
+      starts AS (
+        -- Sunday nearest Feb 1 (DuckDB dayofweek: Sunday = 0)
+        SELECT yy,
+          CASE WHEN dayofweek(make_date(yy, 2, 1)) <= 3
+            THEN make_date(yy, 2, 1) - CAST(dayofweek(make_date(yy, 2, 1)) AS INTEGER)
+            ELSE make_date(yy, 2, 1) - CAST(dayofweek(make_date(yy, 2, 1)) AS INTEGER) + 7
+          END AS ystart
+        FROM ys),
+      f AS (
+        SELECT d0.store, d0.d, d0.l_extendedprice,
+          CASE WHEN d0.d < s1.ystart THEN year(d0.d) - 1 ELSE year(d0.d) END AS fy
+        FROM d0 JOIN starts s1 ON s1.yy = year(d0.d)),
+      w AS (
+        SELECT f.store, CAST(f.fy AS INTEGER) AS fiscal_year,
+          CAST(FLOOR(date_diff('day', s2.ystart, f.d) / 7.0) AS INTEGER) + 1 AS fiscal_week,
+          f.l_extendedprice, f.d
+        FROM f JOIN starts s2 ON s2.yy = f.fy),
+      weekly AS (
+        SELECT store, fiscal_year, CAST(fiscal_week AS INTEGER) AS fiscal_week,
+          ${O.dsum("l_extendedprice")} AS rev, MIN(d) AS min_d
+        FROM w GROUP BY 1, 2, 3),
+      first AS (SELECT store, MIN(min_d) AS first_d FROM weekly GROUP BY 1),
+      j AS (
+        SELECT ty.fiscal_year, ty.fiscal_week, ty.rev, ly.rev AS ly_rev,
+          date_diff('day', fr.first_d,
+            s3.ystart + (ty.fiscal_week - 1) * 7) >= 371 AS comp
+        FROM weekly ty
+        LEFT JOIN weekly ly ON ly.store = ty.store
+          AND ly.fiscal_year = ty.fiscal_year - 1 AND ly.fiscal_week = ty.fiscal_week
+        JOIN first fr ON fr.store = ty.store
+        JOIN starts s3 ON s3.yy = ty.fiscal_year)
+      SELECT fiscal_year, fiscal_week,
+        ${O.dsum("rev")} AS ty_net_sales,
+        ${O.dsum("CASE WHEN comp THEN ly_rev END")} AS ly_comp_net_sales,
+        COUNT(CASE WHEN comp AND ly_rev IS NOT NULL THEN 1 END) AS n_comp_ly_stores
+      FROM j GROUP BY 1, 2
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
 }

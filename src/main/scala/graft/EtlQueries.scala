@@ -263,5 +263,75 @@ object EtlQueries {
       FROM g
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06)
+  /** B9 — default-value fill through a mapping `default:` field
+    * (`/root/reference/modules/pipeline_runner.py:168-195`: a null after
+    * coercion takes the spec's default, itself coerced). Nulls are
+    * injected on both a dimension (string default) and a measure
+    * (decimal default) so the fill path is exercised for both branches.
+    */
+  val e20 = QueryDef(
+    "e20_default_fill",
+    (s, dir) => {
+      val raw = Tables.part(s, dir).select(
+        col("p_partkey").cast("string").as("PartId"),
+        when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_brand")).as("Brand"),
+        when(col("p_size") % 5 === 0, lit(null)).otherwise(col("p_retailprice")).as("Price"))
+      val spec = PipelineSpec(
+        name = "default_fill",
+        fields = Seq(
+          FieldSpec("PartId", "part_id", "string"),
+          FieldSpec("Brand", "brand", "string", Some("UNKNOWN"))),
+        measures = Seq(FieldSpec("Price", "price", "decimal", Some("0"))),
+        requiredDims = Seq("part_id"),
+        keyComponents = Seq("part_id"),
+        datasource = Some("default_fill"))
+      Pipeline.compile(spec, raw,
+        refreshedAt = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+        .withColumn("price", col("price").cast("double"))
+    },
+    Some("""
+      SELECT CAST(p_partkey AS VARCHAR) AS part_id,
+        COALESCE(CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_brand END, 'UNKNOWN') AS brand,
+        CAST(COALESCE(
+          CAST(CAST(CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_retailprice END AS VARCHAR)
+            AS DECIMAL(18,2)), 0) AS DOUBLE) AS price,
+        regexp_replace(CAST(p_partkey AS VARCHAR), '[ -]', '_', 'g') AS business_key,
+        'default_fill' AS datasource,
+        TIMESTAMP '2026-01-01 00:00:00' AS lastrefreshed
+      FROM part
+    """.stripMargin.trim))
+
+  /** B12 — null-strip before sink, pinned at the serialized wire level:
+    * null fields are OMITTED from the JSON body (a PATCH with an
+    * explicit null would clear the column — the reference strips them,
+    * `modules/dataverse.py:76`). Spark's `to_json` drops null struct
+    * fields by default; the oracle rebuilds the exact wire string with
+    * null-skipping concat, so a serializer that emitted `"k":null`
+    * would hash-mismatch.
+    */
+  val e21 = QueryDef(
+    "e21_null_strip_wire",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.select(
+        col("c_custkey").as("id"),
+        to_json(struct(
+          col("c_custkey").as("id"),
+          when(col("c_mktsegment") === "BUILDING", lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("c_name")).as("name"))).as("wire_json"))
+    },
+    Some("""
+      SELECT c_custkey AS id,
+        '{' || concat_ws(',',
+          '"id":' || CAST(c_custkey AS VARCHAR),
+          CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+            ELSE '"segment":"' || c_mktsegment || '"' END,
+          CASE WHEN c_custkey % 3 = 0 THEN NULL
+            ELSE '"name":"' || c_name || '"' END) || '}' AS wire_json
+      FROM customer
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e20, e21)
 }
