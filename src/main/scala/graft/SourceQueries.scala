@@ -373,5 +373,75 @@ object SourceQueries {
         AS t(pipeline, section, src, dst, typ)
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16, e17, e18, e19)
+  /** D6 depth — the crash-atomic versioned merge sink
+    * ([[graft.sinks.VersionedTable]]): the e16 lifecycle (seed two FY
+    * partitions, partition-scoped re-merge of FY1997) with a SIMULATED
+    * CRASH in between — a poisoned merge (qty = -1 everywhere) dies
+    * after its data commit is fully written but before the manifest
+    * publish. The final read must show zero trace of the crashed write:
+    * if the poisoned values or a partial overwrite leaked, the oracle
+    * (which replays only the two successful merges) hash-mismatches.
+    */
+  val e22 = QueryDef(
+    "e22_versioned_table_merge",
+    (s, dir) => {
+      import graft.functions.StableAgg._
+      import graft.sinks.VersionedTable
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_e22_versioned")
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val li = Tables.lineitem(s, dir)
+      def slice(y: Int) = li.filter(
+        col("l_shipdate") >= to_timestamp(lit(f"$y-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit(f"${y + 1}-01-01")))
+      def aggOf(base: org.apache.spark.sql.DataFrame, y: Int) = base
+        .groupBy(col("l_suppkey").cast("string").as("store"))
+        .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_lines"))
+        .select(concat_ws("_", col("store"), lit(y.toString)).as("business_key"),
+          col("store"), lit(y).as("fy"), col("qty"), col("n_lines"))
+      val initial = aggOf(slice(1996), 1996).unionByName(aggOf(slice(1997), 1997))
+      VersionedTable.merge(s, root.toString, initial, "business_key", Seq("fy"))
+      // crash mid-commit: data written, publish never happens
+      try VersionedTable.merge(s, root.toString,
+        aggOf(slice(1997), 1997).withColumn("qty", lit(-1.0)),
+        "business_key", Seq("fy"),
+        onBeforePublish = () => sys.error("simulated crash before publish"))
+      catch { case _: RuntimeException => () }
+      VersionedTable.merge(s, root.toString,
+        aggOf(slice(1997).filter(col("l_linestatus") === "F"), 1997), "business_key", Seq("fy"))
+      VersionedTable.read(s, root.toString)
+        .select(col("business_key"), col("store"), col("fy").cast("int").as("fy"),
+          col("qty"), col("n_lines"))
+    },
+    Some(s"""
+      WITH y96 AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          ${O.dsum("l_quantity")} AS qty, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1),
+      full97 AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          ${O.dsum("l_quantity")} AS qty, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1),
+      f97 AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS store,
+          ${O.dsum("l_quantity")} AS qty, COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_linestatus = 'F'
+        GROUP BY 1)
+      SELECT store || '_1996' AS business_key, store, CAST(1996 AS INTEGER) AS fy,
+        qty, n_lines
+      FROM y96
+      UNION ALL
+      SELECT o.store || '_1997' AS business_key, o.store, CAST(1997 AS INTEGER) AS fy,
+        COALESCE(f.qty, o.qty) AS qty, COALESCE(f.n_lines, o.n_lines) AS n_lines
+      FROM full97 o LEFT JOIN f97 f ON f.store = o.store
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16, e17, e18, e19, e22)
 }
