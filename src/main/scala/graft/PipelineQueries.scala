@@ -135,20 +135,31 @@ object PipelineQueries {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
     val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
     val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    joined.groupBy(
-        col("l_suppkey").cast("string").as("StoreNumber"),
-        to_date(col("l_shipdate")).as("CalendarDate"),
-        col("p_brand").as("OfferCode"),
-        col("p_type").as("OfferPOSDescription"))
-      .agg(
-        count(lit(1)).as("Redeemed Count"),
-        dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discount Amount USD"),
-        dsum(net - col("l_quantity") * col("p_retailprice") * lit(0.6), 6).as("Gross Margin USD"),
-        (countDistinct(col("l_orderkey")) / count(lit(1))).as("Order Mix %"),
-        (dsum(col("l_extendedprice") * col("l_discount"), 6) / dsum(col("l_extendedprice"))).as("Sales Mix USD %"),
-        dsum(net, 6).as("Net Sales USD"),
-        countDistinct(col("l_orderkey")).as("Order Count"),
-        dsum(col("l_quantity") * col("p_retailprice") * lit(0.31), 6).as("Target Food Cost USD"))
+    def groups(df: DataFrame) = df.groupBy(
+      col("l_suppkey").cast("string").as("StoreNumber"),
+      to_date(col("l_shipdate")).as("CalendarDate"),
+      col("p_brand").as("OfferCode"),
+      col("p_type").as("OfferPOSDescription"))
+    // the q11 lesson applied: keep the exact distinct OUT of the wide
+    // aggregate — inside it, Spark's two-phase distinct drags every
+    // additive partial through a (groups × orderkey) pre-aggregate
+    // (an extra fact-sized shuffle of 7 accumulators). A separate
+    // narrow distinct joined back at group grain halves the query.
+    val additive = groups(joined).agg(
+      count(lit(1)).as("Redeemed Count"),
+      dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discount Amount USD"),
+      dsum(net - col("l_quantity") * col("p_retailprice") * lit(0.6), 6).as("Gross Margin USD"),
+      (dsum(col("l_extendedprice") * col("l_discount"), 6) / dsum(col("l_extendedprice"))).as("Sales Mix USD %"),
+      dsum(net, 6).as("Net Sales USD"),
+      dsum(col("l_quantity") * col("p_retailprice") * lit(0.31), 6).as("Target Food Cost USD"))
+    val distincts = groups(
+        li.select(col("l_suppkey"), col("l_shipdate"), col("l_partkey"), col("l_orderkey"))
+          .join(broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_type"))),
+            col("l_partkey") === col("p_partkey")))
+      .agg(countDistinct(col("l_orderkey")).as("Order Count"))
+    additive
+      .join(distincts, Seq("StoreNumber", "CalendarDate", "OfferCode", "OfferPOSDescription"))
+      .withColumn("Order Mix %", col("Order Count") / col("Redeemed Count"))
   }
 
   val e12 = QueryDef(

@@ -1,40 +1,35 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler / scratch debugger (not part of the driver
-  * contract).
+/** Dev-only single-query profiler (not part of the driver contract):
+  * `runMain graft.Probe <sfDir> <query> [query ...]` — times each named
+  * query twice with the Bench's noop-sink + cold-cache discipline and
+  * prints per-run seconds, so one slow query can be iterated without a
+  * full Bench pass.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val name = "graft_probe_part"
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:"), name)
-    org.apache.commons.io.FileUtils.deleteQuietly(loc)
-    val schema = Seq.empty[(String, Double, Int)]
-      .toDF("business_key", "net_sales", "fy").schema
-    graft.sinks.TableManager.ensureKeyedTable(spark, name, schema, "business_key",
-      buckets = 2, partitionCols = Seq("fy"))
-    println("[probe] table cols: " + spark.table(name).columns.mkString(","))
-    println("[probe] catalog cols: " + spark.catalog.listColumns(name).collect()
-      .map(c => s"${c.name}(part=${c.isPartition})").mkString(","))
-    val updates = Seq(("S1_2024", 1.0, 2024)).toDF("business_key", "net_sales", "fy")
-    val target = spark.table(name)
-    val merged = graft.sinks.MergeWriter.merge(target, updates, Seq("business_key"))
-    println("[probe] merged cols: " + merged.columns.mkString(","))
-    val staging = "/tmp/probe_staging"
-    merged.write.mode("overwrite").parquet(staging)
-    println("[probe] staging cols: " + spark.read.parquet(staging).columns.mkString(","))
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    names.foreach { n =>
+      val q = Queries.byName.getOrElse(n, sys.error(s"unknown query $n"))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.query(spark, sfDir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $n%-28s ${times.map(t => f"$t%6.2f").mkString("  ")} s")
+    }
     spark.stop()
   }
 }
