@@ -211,5 +211,48 @@ object TextQueries {
       GROUP BY 1, 2
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06)
+  /** Repetition signals — the Gopher/RefinedWeb-style duplicate-content
+    * heuristics corpus filters apply per document: duplicate-word ratio,
+    * duplicate-2-gram ratio, and most-frequent-word fraction. All narrow
+    * per-row array arithmetic; the token array is materialized ONCE
+    * before any lambda touches it (HOF-hygiene rule), and the
+    * per-distinct-word count is bounded by document length, never
+    * corpus size.
+    */
+  val t07 = QueryDef(
+    "t07_repetition_signals",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+      val withGrams = d.withColumn("grams", shinglesOf(col("toks"), 2))
+      withGrams.select(
+        col("doc_id"),
+        size(col("toks")).as("n_words"),
+        size(array_distinct(col("toks"))).as("n_distinct_words"),
+        ((size(col("toks")) - size(array_distinct(col("toks")))) / size(col("toks")))
+          .as("dup_word_ratio"),
+        ((size(col("grams")) - size(array_distinct(col("grams")))) / size(col("grams")))
+          .as("dup_2gram_ratio"),
+        (array_max(transform(array_distinct(col("toks")),
+          w => size(filter(col("toks"), t => t === w)))) / size(col("toks")))
+          .as("top_word_fraction"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_words,
+        CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_words,
+        (len(toks) - len(list_distinct(toks))) * 1.0 / len(toks) AS dup_word_ratio,
+        (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams) AS dup_2gram_ratio,
+        list_max(list_transform(list_distinct(toks),
+          w -> len(list_filter(toks, t -> t = w)))) * 1.0 / len(toks) AS top_word_fraction
+      FROM (
+        SELECT doc_id, toks,
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM (
+          SELECT doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+          FROM documents))
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }
