@@ -4,11 +4,32 @@ import org.apache.spark.sql.SparkSession
 /** Bench main — one JSON line with per-query seconds. Integrity rules:
   * failures are RECORDED (query time -1.0 + an `errors` map), never
   * swallowed as fake timings; each query runs twice and the min is
-  * published, so one GC/RPC stall can't corrupt the round's artifact;
-  * the session timezone is pinned UTC like Runner/Verify so timing runs
-  * execute the same plans the correctness gate verified.
+  * published, so one GC/RPC stall can't corrupt the round's artifact —
+  * and when the first two runs disagree by more than 2x (sustained
+  * external contention, not a one-off stall) a third run is taken and
+  * the min of three published, with the query listed under `unstable`;
+  * machine load (/proc/loadavg) and available memory are recorded
+  * before and after the run so a contended-machine artifact is
+  * self-evident instead of silently wrong; the session timezone is
+  * pinned UTC like Runner/Verify so timing runs execute the same plans
+  * the correctness gate verified.
   */
 object Bench {
+  /** (1-min loadavg, MemAvailable in MiB) — linux /proc, best-effort. */
+  private def machineLoad(): (Double, Long) = {
+    def readFile(p: String): String =
+      try {
+        val src = scala.io.Source.fromFile(p)
+        try src.mkString finally src.close()
+      } catch { case _: Throwable => "" }
+    val load = readFile("/proc/loadavg").split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
+    val memMib = readFile("/proc/meminfo").linesIterator
+      .find(_.startsWith("MemAvailable:"))
+      .flatMap(l => scala.util.Try(l.split("\\s+")(1).toLong / 1024).toOption)
+      .getOrElse(-1L)
+    (load, memMib)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,9 +62,20 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    val (loadBefore, memBefore) = machineLoad()
+    val unstable = scala.collection.mutable.ArrayBuffer[String]()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = once(fn) match {
         case Right(t1) => once(fn) match {
+          case Right(t2) if math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
+              math.max(t1, t2) > 1.0 =>
+            // >2x spread between back-to-back runs of the same plan means
+            // something external stole the machine — a third run decides
+            unstable += name
+            once(fn) match {
+              case Right(t3) => Right(math.min(math.min(t1, t2), t3))
+              case Left(err) => Left(err)
+            }
           case Right(t2) => Right(math.min(t1, t2))
           case Left(err) => Left(err) // flaky second run is still a failure
         }
@@ -51,6 +83,7 @@ object Bench {
       }
       name -> r
     }
+    val (loadAfter, memAfter) = machineLoad()
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -65,7 +98,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = runs.collect { case (_, Right(t)) => t }.sum
     val nFailed = runs.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val unstableJson = unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
+    val loadJson =
+      s""""load":{"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"mem_avail_mib_before":$memBefore,"mem_avail_mib_after":$memAfter}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,9 +38,16 @@ object Runner {
       val p = opts("pipeline")
       val slice = Orchestrator.sliceFor(
         opts.getOrElse("length", "2wk"), opts.get("fy").map(_.toInt), opts.get("fp").map(_.toInt))
+      // crash-atomic versioned sink by default; --sink managed opts into
+      // the catalog table (stock spark.table readers, non-atomic commit)
+      val sink: Orchestrator.Sink = opts.getOrElse("sink", "versioned") match {
+        case "versioned" => Orchestrator.VersionedSink()
+        case "managed" => Orchestrator.ManagedSink()
+        case other => sys.error(s"unknown --sink '$other' (versioned|managed)")
+      }
       val results =
-        if (p == "all") Orchestrator.runAll(spark, sfDir, slice)
-        else Seq(Orchestrator.run(spark, sfDir, p, slice))
+        if (p == "all") Orchestrator.runAll(spark, sfDir, slice, sink = sink)
+        else Seq(Orchestrator.run(spark, sfDir, p, slice, sink = sink))
       results.foreach { r =>
         println(f"[sync] ${r.pipeline}%-14s ${r.rows}%8d rows  ${r.created}%7d created " +
           f"${r.updated}%7d updated  ${r.elapsedSec}%6.1f s  slicer=${r.slicer}" +

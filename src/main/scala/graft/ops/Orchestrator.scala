@@ -1,10 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import graft.cube.FiscalCalendar
 import graft.etl.{Pipeline, SpecLoader}
-import graft.sinks.TableManager
+import graft.sinks.{TableManager, VersionedTable}
 
 /** E1 depth — the one-command pipeline orchestration of the reference's
   * CLI (`/root/reference/modules/olap_sync.py:192-468`): pick the slicer
@@ -128,31 +129,87 @@ object Orchestrator {
       pipeline: String, slicer: String, rows: Long,
       created: Long, updated: Long, elapsedSec: Double, error: Option[String])
 
+  /** Where an orchestrated sync lands. Two implementations, one contract:
+    * expose the pre-merge key set (for the created/updated accounting)
+    * and MERGE by business key.
+    */
+  sealed trait Sink {
+    /** Column-pruned pre-merge `business_key` set; empty on first run. */
+    def existingKeys(spark: SparkSession, pipeline: String, schema: StructType): DataFrame
+    def merge(spark: SparkSession, pipeline: String, out: DataFrame): Unit
+  }
+
+  /** Catalog-managed keyed table (`TableManager`) — stock `spark.table`
+    * readers, but the INSERT OVERWRITE commit is not crash-atomic.
+    */
+  final case class ManagedSink(tableFor: String => String = p => s"graft_sync_$p")
+      extends Sink {
+    def existingKeys(spark: SparkSession, pipeline: String, schema: StructType): DataFrame = {
+      TableManager.ensureKeyedTable(spark, tableFor(pipeline), schema, "business_key")
+      spark.table(tableFor(pipeline)).select("business_key")
+    }
+    def merge(spark: SparkSession, pipeline: String, out: DataFrame): Unit =
+      TableManager.mergeInto(spark, tableFor(pipeline), out, "business_key")
+  }
+
+  /** Crash-atomic versioned table ([[VersionedTable]]) — the DEFAULT for
+    * the production sync: the reference's sink is per-row atomic (PATCH by
+    * alternate key, `modules/dataverse.py:88`), so the engine's daily path
+    * must not be able to leave a half-overwritten table. A relative root
+    * resolves under the session warehouse dir. `onBeforePublish` is the
+    * crash-test seam threaded through to `VersionedTable.merge`.
+    */
+  final case class VersionedSink(rootFor: String => String = p => s"graft_versioned_$p",
+      onBeforePublish: () => Unit = () => ()) extends Sink {
+    def rootOf(spark: SparkSession, pipeline: String): String = {
+      val r = new org.apache.hadoop.fs.Path(rootFor(pipeline))
+      if (r.isAbsolute) r.toString
+      else new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), r).toString
+    }
+    def existingKeys(spark: SparkSession, pipeline: String, schema: StructType): DataFrame = {
+      val root = rootOf(spark, pipeline)
+      if (VersionedTable.version(spark, root) == 0)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          StructType(Seq(schema("business_key"))))
+      else VersionedTable.read(spark, root).select("business_key")
+    }
+    def merge(spark: SparkSession, pipeline: String, out: DataFrame): Unit =
+      VersionedTable.merge(spark, rootOf(spark, pipeline), out, "business_key",
+        onBeforePublish = onBeforePublish)
+  }
+
   /** Run one pipeline end-to-end: source → mapping → keyed MERGE →
     * notification. Mirrors `run_pipeline_by_name` + the notify tail
     * (`olap_sync.py:401-437`): created/updated counted like the sink's
     * per-row outcomes (201 vs 204), the notification never fails the
     * run, and a failed run still notifies with the error.
+    *
+    * The aggregate is persisted across the run's four actions (isEmpty,
+    * count, created anti-join, MERGE) — unpersisted, each action would
+    * re-scan the fact and re-run the 5-dim aggregation, 4 fact scans per
+    * daily sync at 100 TB. `OpsSpec` pins the single scan by filesystem
+    * bytes read.
     */
   def run(spark: SparkSession, sfDir: String, pipeline: String, slice: Slice,
       notifier: Option[Notifier.Config] = None,
-      tableFor: String => String = p => s"graft_sync_$p"): RunResult = {
+      sink: Sink = VersionedSink()): RunResult = {
     val t0 = System.nanoTime()
     val slicer = mdxSlicer(pipeline, slice)
-    val table = tableFor(pipeline)
     val result =
       try {
-        val out = source(spark, sfDir, pipeline, slice)
-        if (out.isEmpty) sys.error("No data returned from source")
-        TableManager.ensureKeyedTable(spark, table, out.schema, "business_key")
-        // created vs updated = the sink's 201-vs-204 accounting, as a
-        // column-pruned anti-join against the pre-merge key set
-        val existing = spark.table(table).select("business_key")
-        val rows = out.count()
-        val created = out.join(existing, Seq("business_key"), "left_anti").count()
-        TableManager.mergeInto(spark, table, out, "business_key")
-        RunResult(pipeline, slicer, rows, created, rows - created,
-          (System.nanoTime() - t0) / 1e9, None)
+        val out = source(spark, sfDir, pipeline, slice).persist()
+        try {
+          if (out.isEmpty) sys.error("No data returned from source")
+          // created vs updated = the sink's 201-vs-204 accounting, as a
+          // column-pruned anti-join against the pre-merge key set
+          val existing = sink.existingKeys(spark, pipeline, out.schema)
+          val rows = out.count()
+          val created = out.join(existing, Seq("business_key"), "left_anti").count()
+          sink.merge(spark, pipeline, out)
+          RunResult(pipeline, slicer, rows, created, rows - created,
+            (System.nanoTime() - t0) / 1e9, None)
+        } finally out.unpersist()
       } catch {
         case e: Exception =>
           RunResult(pipeline, slicer, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
@@ -170,6 +227,6 @@ object Orchestrator {
   /** `--query all` — every pipeline through the same entry point. */
   def runAll(spark: SparkSession, sfDir: String, slice: Slice,
       notifier: Option[Notifier.Config] = None,
-      tableFor: String => String = p => s"graft_sync_$p"): Seq[RunResult] =
-    pipelines.map(run(spark, sfDir, _, slice, notifier, tableFor))
+      sink: Sink = VersionedSink()): Seq[RunResult] =
+    pipelines.map(run(spark, sfDir, _, slice, notifier, sink))
 }

@@ -141,6 +141,12 @@ object VersionedTable {
     perCommit.reduce(_.unionByName(_))
   }
 
+  /** Newest published version at `rootDir` (0 = nothing published yet). */
+  def version(spark: SparkSession, rootDir: String): Int = {
+    val root = new Path(rootDir)
+    currentVersion(fsOf(spark, root), root)
+  }
+
   /** Read the table at its newest published version. */
   def read(spark: SparkSession, rootDir: String): DataFrame = {
     val root = new Path(rootDir)

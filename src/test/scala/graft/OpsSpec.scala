@@ -149,7 +149,7 @@ class OpsSpec extends SparkSpec {
           def token(): String = "t"; def refresh(): String = "t"
         })
       val results = Orchestrator.runAll(spark, sfDir,
-        Orchestrator.Rolling(14), Some(cfg), tableFor)
+        Orchestrator.Rolling(14), Some(cfg), Orchestrator.ManagedSink(tableFor))
       assert(results.map(_.pipeline) == Orchestrator.pipelines)
       results.foreach { r =>
         assert(r.error.isEmpty, s"${r.pipeline}: ${r.error}")
@@ -161,11 +161,11 @@ class OpsSpec extends SparkSpec {
       assert(sent.size == 5 && sent.forall(_.startsWith("[OK] ")), sent)
       // re-running the same window is a pure update (idempotent upsert)
       val again = Orchestrator.run(spark, sfDir, "inventory",
-        Orchestrator.Rolling(14), Some(cfg), tableFor)
+        Orchestrator.Rolling(14), Some(cfg), Orchestrator.ManagedSink(tableFor))
       assert(again.error.isEmpty && again.created == 0 && again.updated == again.rows)
       // a 1wk window is a subset of the 2wk table — still only updates
       val wk1 = Orchestrator.run(spark, sfDir, "inventory",
-        Orchestrator.Rolling(7), None, tableFor)
+        Orchestrator.Rolling(7), None, Orchestrator.ManagedSink(tableFor))
       assert(wk1.error.isEmpty && wk1.created == 0 && wk1.rows < again.rows)
     } finally {
       server.stop(0)
