@@ -91,17 +91,26 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
+    // The whole line must fit in the driver's bounded output-tail capture
+    // (~2 KB) or the leading keys — including the headline metric — get
+    // truncated away and the artifact is unparseable. Hence: millisecond
+    // precision (sub-ms is noise at these run times anyway), load as a
+    // compact [loadavg_before, loadavg_after, mem_avail_mib_before,
+    // mem_avail_mib_after] array, error text capped.
+    def sec(t: Double): String = f"$t%.3f"
     val qs = runs.map { case (k, r) =>
-      s"\"${esc(k)}\":" + r.fold(_ => "-1.0", t => t.toString)
+      s"\"${esc(k)}\":" + r.fold(_ => "-1", sec)
     }.mkString("{", ",", "}")
-    val errs = runs.collect { case (k, Left(err)) => s"\"${esc(k)}\":\"${esc(err)}\"" }
-      .mkString("{", ",", "}")
+    val errs = runs.collect { case (k, Left(err)) =>
+      s"\"${esc(k)}\":\"${esc(err.take(60))}\""
+    }.mkString("{", ",", "}")
     val total = runs.collect { case (_, Right(t)) => t }.sum
     val nFailed = runs.count(_._2.isLeft)
     val unstableJson = unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
-    val loadJson =
-      s""""load":{"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"mem_avail_mib_before":$memBefore,"mem_avail_mib_after":$memAfter}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson,"sf":"$sfDir"}""")
+    val loadJson = s""""load":[$loadBefore,$loadAfter,$memBefore,$memAfter]"""
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson,"sf":$sfNum}""")
     spark.stop()
   }
 }
