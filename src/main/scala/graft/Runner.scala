@@ -45,6 +45,21 @@ object Runner {
         case "managed" => Orchestrator.ManagedSink()
         case other => sys.error(s"unknown --sink '$other' (versioned|managed)")
       }
+      val selected = if (p == "all") Orchestrator.pipelines else Seq(p)
+      sink match {
+        case vs: Orchestrator.VersionedSink =>
+          // the default moved from catalog tables to versioned roots: a
+          // graft_sync_* table left by an earlier managed-sink run will NOT
+          // see these updates any more — say so instead of silently forking
+          selected.foreach { pl =>
+            if (spark.catalog.tableExists(s"graft_sync_$pl"))
+              println(s"[sync] WARNING: legacy managed table graft_sync_$pl exists and " +
+                s"will not be updated; this sync writes ${vs.rootOf(spark, pl)} " +
+                "(read it with VersionedTable.read, or pass --sink managed)")
+            else println(s"[sync] $pl -> ${vs.rootOf(spark, pl)}")
+          }
+        case _ => ()
+      }
       val results =
         if (p == "all") Orchestrator.runAll(spark, sfDir, slice, sink = sink)
         else Seq(Orchestrator.run(spark, sfDir, p, slice, sink = sink))

@@ -158,6 +158,15 @@ object Orchestrator {
     * must not be able to leave a half-overwritten table. A relative root
     * resolves under the session warehouse dir. `onBeforePublish` is the
     * crash-test seam threaded through to `VersionedTable.merge`.
+    *
+    * The table is partitioned by `p_fy = year(calendar_date)` when the
+    * pipeline output carries the fact date — a daily sync then reads back
+    * and rewrites only the trailing year's partition instead of the whole
+    * table (the 100 TB rationale of [[VersionedTable]]'s partition-scoped
+    * merge). `calendar_date` is a `key_components` member in every shipped
+    * pipeline spec, so the partition value is functionally derived from
+    * the business key and the moved-key contract holds without
+    * `removeMovedKeys`.
     */
   final case class VersionedSink(rootFor: String => String = p => s"graft_versioned_$p",
       onBeforePublish: () => Unit = () => ()) extends Sink {
@@ -174,9 +183,14 @@ object Orchestrator {
           StructType(Seq(schema("business_key"))))
       else VersionedTable.read(spark, root).select("business_key")
     }
-    def merge(spark: SparkSession, pipeline: String, out: DataFrame): Unit =
-      VersionedTable.merge(spark, rootOf(spark, pipeline), out, "business_key",
-        onBeforePublish = onBeforePublish)
+    def merge(spark: SparkSession, pipeline: String, out: DataFrame): Unit = {
+      val (data, parts) =
+        if (out.columns.contains("calendar_date"))
+          (out.withColumn("p_fy", year(col("calendar_date"))), Seq("p_fy"))
+        else (out, Seq.empty[String])
+      VersionedTable.merge(spark, rootOf(spark, pipeline), data, "business_key",
+        partitionCols = parts, onBeforePublish = onBeforePublish)
+    }
   }
 
   /** Run one pipeline end-to-end: source → mapping → keyed MERGE →
@@ -185,11 +199,14 @@ object Orchestrator {
     * per-row outcomes (201 vs 204), the notification never fails the
     * run, and a failed run still notifies with the error.
     *
-    * The aggregate is persisted across the run's four actions (isEmpty,
-    * count, created anti-join, MERGE) — unpersisted, each action would
-    * re-scan the fact and re-run the 5-dim aggregation, 4 fact scans per
-    * daily sync at 100 TB. `OpsSpec` pins the single scan by filesystem
-    * bytes read.
+    * The aggregate is persisted across the run's three actions (count,
+    * created anti-join, MERGE) — unpersisted, each action would re-scan
+    * the fact and re-run the 5-dim aggregation, 3 fact scans per daily
+    * sync at 100 TB. The empty check is derived from `count()` rather
+    * than a separate `isEmpty`: a limit-1 action consumes its partition
+    * partially, which aborts cache-block materialization — the count
+    * both answers the check and fully materializes the cache. `OpsSpec`
+    * pins the single scan by filesystem bytes read.
     */
   def run(spark: SparkSession, sfDir: String, pipeline: String, slice: Slice,
       notifier: Option[Notifier.Config] = None,
@@ -200,11 +217,11 @@ object Orchestrator {
       try {
         val out = source(spark, sfDir, pipeline, slice).persist()
         try {
-          if (out.isEmpty) sys.error("No data returned from source")
+          val rows = out.count()
+          if (rows == 0) sys.error("No data returned from source")
           // created vs updated = the sink's 201-vs-204 accounting, as a
           // column-pruned anti-join against the pre-merge key set
           val existing = sink.existingKeys(spark, pipeline, out.schema)
-          val rows = out.count()
           val created = out.join(existing, Seq("business_key"), "left_anti").count()
           sink.merge(spark, pipeline, out)
           RunResult(pipeline, slicer, rows, created, rows - created,

@@ -173,6 +173,77 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("orchestrator VersionedSink default: create, idempotent re-run, crash-safe, partitioned (E1/D6)") {
+    import graft.ops.Orchestrator
+    import graft.sinks.VersionedTable
+    def rootFor(p: String) = s"graft_versioned_spec_$p"
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Orchestrator.pipelines.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, rootFor(p))))
+    val sink = Orchestrator.VersionedSink(rootFor)
+    // relative root resolves under the session warehouse dir
+    val root = sink.rootOf(spark, "inventory")
+    assert(new java.io.File(root.stripPrefix("file:")).getParentFile
+      .getCanonicalPath == wh.getCanonicalPath, root)
+    // first run: existingKeys is empty, so every row counts as created
+    val r1 = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, sink)
+    assert(r1.error.isEmpty, r1)
+    assert(r1.rows > 0 && r1.created == r1.rows, r1)
+    assert(VersionedTable.version(spark, root) == 1)
+    val t1 = VersionedTable.read(spark, root)
+    assert(t1.count() == r1.rows)
+    // the sink lays the table out by p_fy derived from the fact date
+    assert(t1.columns.contains("p_fy"), t1.columns.mkString(","))
+    // re-running the same window is a pure update
+    val r2 = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, sink)
+    assert(r2.error.isEmpty && r2.created == 0 && r2.updated == r2.rows, r2)
+    assert(VersionedTable.version(spark, root) == 2)
+    // crash between the data write and the manifest publish: the run
+    // reports the error and the previous version stays fully readable
+    val crashing = Orchestrator.VersionedSink(rootFor,
+      onBeforePublish = () => sys.error("crash before publish"))
+    val r3 = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, crashing)
+    assert(r3.error.isDefined, r3)
+    assert(VersionedTable.version(spark, root) == 2)
+    assert(VersionedTable.read(spark, root).count() == r1.rows)
+  }
+
+  test("orchestrator scans the fact once per sync: filesystem bytes pinned (E1)") {
+    import graft.ops.Orchestrator
+    import scala.jdk.CollectionConverters._
+    // actual file: scheme bytes read (task inputMetrics would also count
+    // cached-block reads, which is exactly what this pin must exclude);
+    // local mode runs all tasks in this JVM so the global FS statistics
+    // see every parquet read
+    def fsBytes(): Long =
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    def bytesReadDuring(body: => Unit): Long = {
+      val before = fsBytes(); body; fsBytes() - before
+    }
+    val slice = Orchestrator.Rolling(14)
+    val baseline = bytesReadDuring {
+      Orchestrator.source(spark, sfDir, "inventory", slice)
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(baseline > 0)
+    def rootFor(p: String) = s"graft_versioned_pin_$p"
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, rootFor("inventory")))
+    val full = bytesReadDuring {
+      val r = Orchestrator.run(spark, sfDir, "inventory", slice, None,
+        Orchestrator.VersionedSink(rootFor))
+      assert(r.error.isEmpty, r)
+    }
+    // the run's three actions (count, created anti-join, MERGE) share one
+    // persisted aggregate — unpersisted they would re-scan the fact ~3x.
+    // 1.6x headroom covers the commit protocol's footer/manifest reads.
+    assert(full < 1.6 * baseline, s"full=$full baseline=$baseline — fact re-scanned")
+    assert(full > baseline / 2, s"full=$full baseline=$baseline — scan not captured")
+  }
+
   test("orchestrator failure path still notifies with the error (E1)") {
     import java.net.InetSocketAddress
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
