@@ -443,5 +443,56 @@ object SourceQueries {
       FROM full97 o LEFT JOIN f97 f ON f.store = o.store
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16, e17, e18, e19, e22)
+  /** A1 at scale — the DataSource V2 XMLA connector end-to-end through
+    * the REAL `spark.read.format("xmla")` path: per-chunk SOAP POST from
+    * Spark tasks against an in-process endpoint ([[MockXmlaServer]]),
+    * executor-side mddataset decode, and an IN-list slicer filter that
+    * pushes into the scan and prunes chunk FY1998 before any HTTP call
+    * (`XmlaDsv2Spec` pins the POST count; here the pruning is part of
+    * the replayed semantics). Responses are derived from the supplier
+    * dim — chunked by `s_suppkey % 3` like the reference's per-FY
+    * extraction loop (`modules/olap_sync.py:111-151`) — so the oracle
+    * replays the decoded wire content bit-for-bit.
+    */
+  val e23 = QueryDef(
+    "e23_xmla_dsv2_scan",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("k"),
+          col("s_suppkey").cast("string").as("store"),
+          col("s_nationkey").cast("string").as("nation"),
+          length(col("s_name")).cast("string").as("namelen"))
+        .orderBy("k").collect()
+      val responses = sup.toSeq
+        .groupBy(r => s"FY${1996 + (r.getLong(0) % 3)}")
+        .map { case (slicer, rs) =>
+          slicer -> graft.sources.MockXmlaServer.mddataset(
+            "[Franchise].[Store Number Label]",
+            rs.map(r => (r.getString(1), Seq(r.getString(2), r.getString(3)))),
+            Seq("m_nation", "m_namelen"))
+        }
+      val base = graft.sources.MockXmlaServer.serve(responses)
+      s.read.format("xmla")
+        .option("server", base).option("catalog", "OARS")
+        .option("username", "u").option("password", "p")
+        .option("mdx",
+          "SELECT {[Measures].[m_nation],[Measures].[m_namelen]} ON COLUMNS, " +
+            "[Franchise].[Store Number Label].Members ON ROWS FROM [Cube] " +
+            "WHERE ([Calendar].[Fiscal_Year].&[{slicer}])")
+        .option("chunks", "FY1996,FY1997,FY1998")
+        .option("measures", "m_nation,m_namelen")
+        .option("dims", "\\[Franchise\\]\tstore_number")
+        .load()
+        .filter(col("slicer").isin("FY1996", "FY1997"))
+    },
+    Some("""
+      SELECT 'FY' || CAST(1996 + s_suppkey % 3 AS VARCHAR) AS slicer,
+        CAST(s_suppkey AS VARCHAR) AS store_number,
+        CAST(s_nationkey AS VARCHAR) AS m_nation,
+        CAST(length(s_name) AS VARCHAR) AS m_namelen
+      FROM supplier
+      WHERE s_suppkey % 3 IN (0, 1)
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e07, e08, e09, e10, e15, e16, e17, e18, e19, e22, e23)
 }

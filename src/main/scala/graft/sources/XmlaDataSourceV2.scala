@@ -58,7 +58,8 @@ object XmlaDataSourceV2 {
       server: String, catalog: String, username: String, password: String,
       mdxTemplate: String, chunks: Seq[String],
       dims: Seq[XmlaSource.DimMapping], measures: Seq[String],
-      slicerCol: String, timeoutMs: Int) {
+      slicerCol: String, timeoutMs: Int,
+      maxRetries: Int, retryBackoffMs: Long) {
     def schema: StructType = StructType(
       StructField(slicerCol, StringType) +:
         (dims.map(d => StructField(d.field, StringType)) ++
@@ -87,7 +88,9 @@ object XmlaDataSourceV2 {
         },
       measures = req("measures").split(',').toSeq.map(_.trim).filter(_.nonEmpty),
       slicerCol = o.getOrDefault("slicerCol", "slicer"),
-      timeoutMs = o.getOrDefault("timeoutMs", "300000").toInt)
+      timeoutMs = o.getOrDefault("timeoutMs", "300000").toInt,
+      maxRetries = o.getOrDefault("maxRetries", "4").toInt,
+      retryBackoffMs = o.getOrDefault("retryBackoffMs", "500").toLong)
   }
 }
 
@@ -169,10 +172,35 @@ class XmlaPartitionReader(
   private var it: Iterator[InternalRow] = _
   private var current: InternalRow = _
 
+  /** Bounded in-task retry with Retry-After honor (mirrors
+    * `DataverseBatchUploader`/`BatchSink`'s loop): at 39-chunk fan-out a
+    * transient 429/503 on one chunk is routine, and burning a whole Spark
+    * task attempt (re-POST + re-decode + scheduler round-trip) on it is
+    * the wrong granularity. Non-retryable statuses (4xx auth/syntax)
+    * still fail the task immediately.
+    */
+  private def executeWithRetry(mdx: String): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        return XmlaHttpClient.execute(conf.server, conf.catalog,
+          conf.username, conf.password, mdx, conf.timeoutMs)
+      } catch {
+        case e: XmlaHttpClient.HttpError
+            if (e.status == 429 || e.status >= 500) && attempt < conf.maxRetries =>
+          Thread.sleep(e.retryAfterMs.getOrElse(conf.retryBackoffMs * (1L << attempt)))
+          attempt += 1
+        case e: java.io.IOException if attempt < conf.maxRetries =>
+          Thread.sleep(conf.retryBackoffMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private def fetch(): Iterator[InternalRow] = {
     val mdx = conf.mdxTemplate.replace("{slicer}", slicer)
-    val xml = XmlaHttpClient.execute(conf.server, conf.catalog,
-      conf.username, conf.password, mdx, conf.timeoutMs)
+    val xml = executeWithRetry(mdx)
     val parsed = XmlaSource.parse(xml, conf.dims)
     val n = parsed.measures.size
     val cellAt: Map[Long, String] = parsed.cells.toMap

@@ -16,6 +16,13 @@ import java.nio.charset.StandardCharsets
   */
 object XmlaHttpClient {
 
+  /** Non-200 Execute response, with the throttling metadata a retrying
+    * caller needs (`Retry-After` in seconds, as Dataverse/SSAS send it).
+    */
+  final case class HttpError(status: Int, retryAfterMs: Option[Long], body: String)
+      extends RuntimeException(
+        s"XMLA query failed with HTTP $status: ${body.take(500)}")
+
   /** An MDX statement containing the literal `]]>` would terminate the
     * CDATA section early and corrupt the envelope (statement injection);
     * the standard fix is to split it across two CDATA sections.
@@ -82,9 +89,11 @@ object XmlaHttpClient {
       val text =
         if (in == null) ""
         else try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-      if (status != 200)
-        throw new RuntimeException(
-          s"XMLA query failed with HTTP $status: ${text.take(500)}")
+      if (status != 200) {
+        val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+          .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+        throw HttpError(status, retryAfterMs, text)
+      }
       text
     } finally conn.disconnect()
   }

@@ -108,6 +108,69 @@ class XmlaDsv2Spec extends SparkSpec {
     }
   }
 
+  test("transient 429/503 per chunk retries in-task: complete data, N+k POSTs") {
+    XmlaDsv2Spec.posts.clear()
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/xmla/default", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val slicer = SlicerRe.findFirstIn(body).getOrElse("?")
+      XmlaDsv2Spec.posts.add((slicer, Thread.currentThread().getName))
+      if (failedOnce.add(slicer)) {
+        // first POST per chunk is throttled; FY2024 carries Retry-After
+        val status = if (slicer == "FY2024") 429 else 503
+        if (slicer == "FY2024") ex.getResponseHeaders.add("Retry-After", "0")
+        ex.sendResponseHeaders(status, -1)
+      } else {
+        val bytes = mddatasetFor(slicer).getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.getResponseBody.close()
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val out = reader(base).option("retryBackoffMs", "10").load()
+        .select("slicer", "StoreNumber", "TY Net Sales USD")
+        .as[(String, String, String)].collect().toSet
+      // every chunk's data arrived despite each failing once
+      assert(out == Set(
+        ("FY2023", "S1", "3.10"), ("FY2023", "S2", "3.20"),
+        ("FY2024", "S1", "4.10"), ("FY2024", "S2", "4.20"),
+        ("FY2025", "S1", "5.10"), ("FY2025", "S2", "5.20")))
+      // exactly 2 POSTs per chunk: the failure + the in-task retry (a
+      // task-level retry would re-run the whole reader and over-POST)
+      val seen = XmlaDsv2Spec.posts.toArray(Array.empty[(String, String)]).toSeq
+      assert(seen.map(_._1).sorted ==
+        Seq("FY2023", "FY2023", "FY2024", "FY2024", "FY2025", "FY2025"), seen)
+    } finally server.stop(0)
+  }
+
+  test("non-retryable 4xx fails the task immediately (no retry storm)") {
+    XmlaDsv2Spec.posts.clear()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/xmla/default", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      XmlaDsv2Spec.posts.add((SlicerRe.findFirstIn(body).getOrElse("?"),
+        Thread.currentThread().getName))
+      ex.sendResponseHeaders(401, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val e = intercept[org.apache.spark.SparkException] {
+        reader(base).option("retryBackoffMs", "10")
+          .option("chunks", "FY2023").load().collect()
+      }
+      assert(e.getMessage.contains("HTTP 401") ||
+        String.valueOf(e.getCause).contains("HTTP 401"), e.getMessage)
+      // one POST per task attempt — the client never retried a 401
+      val perAttempt = XmlaDsv2Spec.posts.size
+      assert(perAttempt >= 1 && perAttempt <= 4, s"saw $perAttempt POSTs")
+    } finally server.stop(0)
+  }
+
   test("IN-list pushdown prunes to the named chunks; column pruning holds") {
     XmlaDsv2Spec.posts.clear()
     withServer { base =>
