@@ -156,6 +156,18 @@ object VersionedTable {
     readEntries(spark, root, readManifest(fs, root, v))
   }
 
+  /** Time travel: read a specific published version (pinned reader /
+    * reproducible backfill). Survives `vacuum` while the version is
+    * within the retention window.
+    */
+  def readAt(spark: SparkSession, rootDir: String, version: Int): DataFrame = {
+    val root = new Path(rootDir)
+    val fs = fsOf(spark, root)
+    require(fs.exists(new Path(root, f"manifest-v$version%08d.txt")),
+      s"version $version not available at $rootDir (vacuumed or never published)")
+    readEntries(spark, root, readManifest(fs, root, version))
+  }
+
   /** MERGE `updates` by `businessKey` — insert-or-replace, partition-
     * scoped, atomically published. `updates` must already be deduped by
     * key (`MergeWriter.latestPerKey`). `onBeforePublish` is a test seam:
@@ -225,22 +237,36 @@ object VersionedTable {
     publish(fs, root, v + 1, entries)
   }
 
-  /** Drop everything not reachable from the newest version: older
-    * manifests, fully dead commit dirs, and dead partition dirs inside
-    * live commits. Readers pinned to old versions lose them — run with
-    * the same retention discipline as any table format's VACUUM.
+  /** Drop everything not reachable from the `retainVersions` newest
+    * manifests: older manifests, fully dead commit dirs, and dead
+    * partition dirs inside live commits. A reader pinned (`readAt`) to
+    * any retained version survives; versions older than the window lose
+    * their manifests AND any data only they referenced — the retention
+    * discipline of any table format's VACUUM.
+    *
+    * This is also the manifest "checkpoint": each manifest is a COMPLETE
+    * snapshot (one line per live (commit, partition) — never a delta
+    * log), so there is nothing to compact into a checkpoint file; the
+    * only whole-table metadata that grows with commit count is the
+    * manifest *listing* and the dead commit dirs, and a scheduled
+    * `vacuum(retainVersions = k)` bounds both at O(k + live partitions)
+    * regardless of how many thousands of merges the table has seen.
     */
-  def vacuum(spark: SparkSession, rootDir: String): Unit = {
+  def vacuum(spark: SparkSession, rootDir: String, retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
     val root = new Path(rootDir)
     val fs = fsOf(spark, root)
     val v = currentVersion(fs, root)
     require(v > 0, s"no published version at $rootDir")
-    val live = readManifest(fs, root, v)
+    val oldest = math.max(1, v - retainVersions + 1)
+    val retained = (oldest to v).filter(ver =>
+      fs.exists(new Path(root, f"manifest-v$ver%08d.txt")))
+    val live = retained.flatMap(readManifest(fs, root, _)).distinct
     val liveByCommit = live.groupBy(_.commit)
-    // old manifests + stray temp manifests
+    // manifests below the window + stray temp manifests
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
-        case ManifestRe(ver) if ver.toInt < v => fs.delete(st.getPath, false)
+        case ManifestRe(ver) if ver.toInt < oldest => fs.delete(st.getPath, false)
         case n if n.startsWith("tmp-manifest-") => fs.delete(st.getPath, false)
         case _ => ()
       }

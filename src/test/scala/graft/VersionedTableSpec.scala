@@ -115,6 +115,54 @@ class VersionedTableSpec extends SparkSpec {
     assert(deadParts.forall(d => VersionedTable.read(spark, root).count() == 2))
   }
 
+  test("retention vacuum after 50 merges: pinned reader survives, metadata stays bounded") {
+    val root = tmp("graft-vt-retain")
+    // 50 daily-style merges: every merge touches fy=2025, key k cycles so
+    // older commits keep some live data and accumulate some dead data
+    (1 to 50).foreach { i =>
+      VersionedTable.merge(spark, root,
+        Seq((i % 7, "2025", s"v$i"), (100 + i, "2024", s"w$i"))
+          .toDF("k", "fy", "v"), "k", Seq("fy"))
+    }
+    val v = VersionedTable.version(spark, root)
+    assert(v == 50)
+    val newest = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    val prev = VersionedTable.readAt(spark, root, v - 1)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    // v-1 lacks exactly the last merge's writes
+    assert(newest(150) == "w50" && !prev.contains(150))
+
+    VersionedTable.vacuum(spark, root, retainVersions = 3)
+    // manifest listing is bounded by the window, not the 50 commits
+    val files = new java.io.File(root).listFiles().map(_.getName)
+    assert(files.count(_.startsWith("manifest-v")) == 3, files.mkString(","))
+    // a reader pinned one version back still reads through the vacuum
+    val prevAfter = VersionedTable.readAt(spark, root, v - 1)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(prevAfter == prev)
+    assert(VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap == newest)
+    // below the window: manifest gone, readAt refuses loudly
+    intercept[IllegalArgumentException](VersionedTable.readAt(spark, root, v - 3))
+    // commit dirs referenced only by vacuumed versions are gone: the
+    // fy=2025 partition is rewritten every merge, so at most the 3
+    // retained versions (+ the long-lived fy=2024 commits, one per merge,
+    // all still live in the retained manifests) remain
+    val commits = new java.io.File(s"$root/commits").listFiles().toSeq
+    val live2025 = commits.count(c =>
+      Option(c.listFiles()).toSeq.flatten.exists(_.getName.startsWith("fy=2025")))
+    assert(live2025 <= 3, s"dead fy=2025 rewrites not vacuumed: $live2025")
+
+    // steady state: merge + vacuum(1) keeps exactly one manifest
+    VersionedTable.merge(spark, root,
+      Seq((999, "2025", "z")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    VersionedTable.vacuum(spark, root, retainVersions = 1)
+    val files2 = new java.io.File(root).listFiles().map(_.getName)
+    assert(files2.count(_.startsWith("manifest-v")) == 1)
+    assert(VersionedTable.read(spark, root).filter(col("k") === 999).count() == 1)
+  }
+
   test("upsertStreamVersioned: atomic micro-batch merge, idempotent state") {
     val base = Files.createTempDirectory("graft-vt-stream")
     val root = base.resolve("table").toString
