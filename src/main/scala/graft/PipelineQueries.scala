@@ -135,30 +135,40 @@ object PipelineQueries {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
     val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
     val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    def groups(df: DataFrame) = df.groupBy(
-      col("l_suppkey").cast("string").as("StoreNumber"),
-      to_date(col("l_shipdate")).as("CalendarDate"),
-      col("p_brand").as("OfferCode"),
-      col("p_type").as("OfferPOSDescription"))
-    // the q11 lesson applied: keep the exact distinct OUT of the wide
-    // aggregate — inside it, Spark's two-phase distinct drags every
-    // additive partial through a (groups × orderkey) pre-aggregate
-    // (an extra fact-sized shuffle of 7 accumulators). A separate
-    // narrow distinct joined back at group grain halves the query.
-    val additive = groups(joined).agg(
-      count(lit(1)).as("Redeemed Count"),
-      dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discount Amount USD"),
-      dsum(net - col("l_quantity") * col("p_retailprice") * lit(0.6), 6).as("Gross Margin USD"),
-      (dsum(col("l_extendedprice") * col("l_discount"), 6) / dsum(col("l_extendedprice"))).as("Sales Mix USD %"),
-      dsum(net, 6).as("Net Sales USD"),
-      dsum(col("l_quantity") * col("p_retailprice") * lit(0.31), 6).as("Target Food Cost USD"))
-    val distincts = groups(
-        li.select(col("l_suppkey"), col("l_shipdate"), col("l_partkey"), col("l_orderkey"))
-          .join(broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_type"))),
-            col("l_partkey") === col("p_partkey")))
-      .agg(countDistinct(col("l_orderkey")).as("Order Count"))
-    additive
-      .join(distincts, Seq("StoreNumber", "CalendarDate", "OfferCode", "OfferPOSDescription"))
+    // ONE fact pass: partial-aggregate at (dims, orderkey) grain keeping
+    // the decimal partials (no double cast yet), then re-aggregate at
+    // dims grain where count(*) IS the exact distinct-order count.
+    // Decimal sums re-sum exactly, so the two-level form is bit-identical
+    // to dsum in one level. Probed at sf0.1/local[32] against the
+    // previous two-scan form (wide additive agg + narrow countDistinct
+    // joined back at group grain): numbers in the commit message.
+    def p6(c: Column) = sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val partial = joined.groupBy(
+        col("l_suppkey").cast("string").as("StoreNumber"),
+        to_date(col("l_shipdate")).as("CalendarDate"),
+        col("p_brand").as("OfferCode"),
+        col("p_type").as("OfferPOSDescription"),
+        col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        p6(col("l_extendedprice") * col("l_discount")).as("disc_p"),
+        p6(net - col("l_quantity") * col("p_retailprice") * lit(0.6)).as("margin_p"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .as("ext_p"),
+        p6(net).as("net_p"),
+        p6(col("l_quantity") * col("p_retailprice") * lit(0.31)).as("food_p"))
+    partial
+      .groupBy(col("StoreNumber"), col("CalendarDate"),
+        col("OfferCode"), col("OfferPOSDescription"))
+      .agg(
+        sum(col("cnt")).as("Redeemed Count"),
+        sum(col("disc_p")).cast("double").as("Discount Amount USD"),
+        sum(col("margin_p")).cast("double").as("Gross Margin USD"),
+        (sum(col("disc_p")).cast("double") / sum(col("ext_p")).cast("double"))
+          .as("Sales Mix USD %"),
+        sum(col("net_p")).cast("double").as("Net Sales USD"),
+        sum(col("food_p")).cast("double").as("Target Food Cost USD"),
+        count(lit(1)).as("Order Count"))
       .withColumn("Order Mix %", col("Order Count") / col("Redeemed Count"))
   }
 

@@ -37,8 +37,16 @@ object MockXmlaServer {
       }
       ex.getResponseBody.close(); ex.close()
     })
-    s.start()
-    sys.addShutdownHook(s.stop(0))
+    // daemon threads throughout: the server must never keep the Verify/
+    // Bench JVM alive after main returns (HttpServer's dispatcher thread
+    // inherits daemon status from the thread that calls start())
+    s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "mock-xmla-handler"); t.setDaemon(true); t
+    })
+    val starter = new Thread(() => s.start(), "mock-xmla-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     s
   }
 
