@@ -47,7 +47,7 @@ object PipelineQueries {
     * first, aggregate the pruned fact).
     */
   private[graft] def salesChannelAgg(s: org.apache.spark.sql.SparkSession, dir: String,
-      pre: DataFrame => DataFrame = identity): DataFrame = {
+      pre: DataFrame => DataFrame = identity, salts: Int = 0): DataFrame = {
     val li = pre(Tables.lineitem(s, dir))
     val dayPart = (col("l_linenumber") % 3).cast("int")
     val dims: Seq[(String, Column)] = Seq(
@@ -65,11 +65,34 @@ object PipelineQueries {
     // spills rather than OOMs at scale; Bench/Verify clearCache() after
     // each query so timings stay honest and caches never leak across
     // queries. PlanSpec pins that both join inputs read the cache.
-    val ty = li.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+    //
+    // `salts > 1` opts into SkewAgg's salted two-phase shape for
+    // real-world skew (the reference's 45 stores with one flagship:
+    // a hot (store, date) key funnels into one reducer). The salt is
+    // `hash(l_orderkey) % salts` — salting BY the distinct column keeps
+    // `countDistinct` exact (each orderkey lands in exactly one salt
+    // bucket, so per-bucket distinct counts add), while the decimal
+    // partials re-sum exactly; `ReferencePipelinesSpec` pins the salted
+    // plan bit-identical to the unsalted one. Off by default: at the
+    // bench's uniform TPC-H keys the extra shuffle buys nothing.
+    val tyUnsalted = li.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
       .agg(dsum(col("l_extendedprice")).as("TY Net Sales USD"),
         countDistinct(col("l_orderkey")).as("TY Orders"),
         dsum(col("l_extendedprice") * col("l_discount"), 6).as("Discounts USD"))
-      .persist()
+    def tySalted = {
+      import org.apache.spark.sql.types.DecimalType
+      li.groupBy(dims.map { case (n, c) => c.as(n) } :+
+          pmod(hash(col("l_orderkey")), lit(salts)).as("__salt"): _*)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(28, 2))).as("net_p"),
+          countDistinct(col("l_orderkey")).as("ord_p"),
+          sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(28, 6)))
+            .as("disc_p"))
+        .groupBy(dims.map { case (n, _) => col(n) }: _*)
+        .agg(sum(col("net_p")).cast("double").as("TY Net Sales USD"),
+          sum(col("ord_p")).as("TY Orders"),
+          sum(col("disc_p")).cast("double").as("Discounts USD"))
+    }
+    val ty = (if (salts > 1) tySalted else tyUnsalted).persist()
     val ly = ty.select(
       col("StoreNumber"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
       col("SourceActor"), col("SourceChannel"), col("DayPart"),

@@ -84,6 +84,29 @@ class ReferencePipelinesSpec extends SparkSpec {
     assert(rows(2).getAs[String]("business_key") == "All_1")
   }
 
+  test("salted sales_channel aggregate: bit-identical to unsalted, salt visible in plan") {
+    import graft.PipelineQueries
+    val unsalted = PipelineQueries.salesChannelAgg(spark, sfDir)
+    val salted = PipelineQueries.salesChannelAgg(spark, sfDir, salts = 8)
+    try {
+      // the salt must appear only in the partial aggregate level: two
+      // grouping levels, the first keyed by dims + __salt (the physical
+      // plan string elides the cached relation's deep subtree, so pin on
+      // the analyzed plan)
+      val p = salted.queryExecution.analyzed.toString
+      assert(p.contains("__salt"), "salted plan lost its salt column")
+      assert(!salted.columns.contains("__salt"), "salt leaked into the output schema")
+      // exactness pin: countDistinct salted BY l_orderkey and decimal
+      // partials re-summed must reproduce the unsalted result bit-for-bit
+      def key(r: org.apache.spark.sql.Row) =
+        (0 until 5).map(r.get(_).toString).mkString("|")
+      val a = unsalted.collect().map(r => key(r) -> r.toSeq.drop(5)).toMap
+      val b = salted.collect().map(r => key(r) -> r.toSeq.drop(5)).toMap
+      assert(a.size == b.size && a.keys.forall(k => a(k) == b(k)),
+        s"salted diverged: ${a.keys.find(k => a(k) != b(k)).map(k => (k, a(k), b(k)))}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("daily_sales 47-measure spec compiles to a single narrow projection") {
     val spec = load("daily_sales")
     // raw frame with all 49 source columns, one row
