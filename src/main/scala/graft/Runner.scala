@@ -33,6 +33,37 @@ object Runner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (opts.contains("maintain")) {
+      // table maintenance for the versioned sinks: OPTIMIZE-style
+      // small-file compaction + retention vacuum — the scheduled
+      // housekeeping job any log-structured table needs at scale
+      // (cron vocabulary: `truenas/cron-jobs.txt` runs daily syncs; a
+      // weekly `--maintain all --retain 7` bounds files AND metadata)
+      import graft.ops.Orchestrator
+      import graft.sinks.VersionedTable
+      val p = opts("maintain")
+      val retain = opts.getOrElse("retain", "7").toInt
+      val vs = Orchestrator.VersionedSink()
+      val selected = if (p == "all") Orchestrator.pipelines else Seq(p)
+      selected.foreach { pl =>
+        val root = vs.rootOf(spark, pl)
+        if (VersionedTable.version(spark, root) == 0)
+          println(f"[maintain] $pl%-14s no published version at $root — skipped")
+        else {
+          // cluster by business key while bin-packing: each compacted
+          // file covers a disjoint key range, so keyed point reads and
+          // the merge read-back skip files on parquet min/max stats
+          val compacted = VersionedTable.compact(spark, root,
+            sortCols = Seq("business_key"))
+          VersionedTable.vacuum(spark, root, retainVersions = retain)
+          println(f"[maintain] $pl%-14s compacted $compacted%2d partitions, " +
+            f"retained $retain newest versions  ($root)")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (opts.contains("pipeline")) {
       import graft.ops.Orchestrator
       val p = opts("pipeline")

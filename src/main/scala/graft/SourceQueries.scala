@@ -410,6 +410,10 @@ object SourceQueries {
       catch { case _: RuntimeException => () }
       VersionedTable.merge(s, root.toString,
         aggOf(slice(1997).filter(col("l_linestatus") === "F"), 1997), "business_key", Seq("fy"))
+      // OPTIMIZE-style small-file compaction is pure reorganization: the
+      // read below goes through the compacted layout and must still
+      // hash-match the oracle's logical replay bit-for-bit
+      VersionedTable.compact(s, root.toString)
       VersionedTable.read(s, root.toString)
         .select(col("business_key"), col("store"), col("fy").cast("int").as("fy"),
           col("qty"), col("n_lines"))

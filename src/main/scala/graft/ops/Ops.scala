@@ -46,4 +46,71 @@ object Ops {
     spark.listenerManager.register(l)
     l
   }
+
+  /** E6 depth — executed-plan SQLMetrics rolled up by metric name across
+    * every physical node, including the adaptively re-planned subtree
+    * (AQE) and cached-relation plans. This is the per-query answer to
+    * "what did this sync actually DO": files/bytes scanned (did pruning
+    * work?), shuffle records/bytes (did a plan change introduce a wider
+    * shuffle?), spill (are partitions sized to memory?) — the numbers an
+    * operator watches at 100 TB, where a silent 'scanned 100× more than
+    * yesterday' is an incident, not a curiosity.
+    */
+  final case class QueryReport(name: String, durationNs: Long,
+      metrics: Map[String, Long], error: Option[String]) {
+    def apply(metric: String): Long = metrics.getOrElse(metric, 0L)
+    def scanFiles: Long = apply("numFiles")
+    def scanBytes: Long = apply("filesSize")
+    def shuffleRecords: Long = apply("shuffleRecordsWritten")
+    def shuffleBytes: Long = apply("shuffleBytesWritten")
+    def spillBytes: Long = apply("spillSize")
+  }
+
+  private def planMetrics(qe: QueryExecution): Map[String, Long] = {
+    import org.apache.spark.sql.execution.{CommandResultExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // several executed-plan nodes keep their real subtree as a FIELD, not
+    // a child (AQE's plan + its materialized query stages, commands,
+    // cached relations) — without these cases a write action reports an
+    // empty metric map
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)
+        case c: CommandResultExec => walk(c.commandPhysicalPlan)
+        case _ => Nil
+      }))
+    walk(qe.executedPlan)
+      .flatMap(_.metrics.toSeq.map { case (k, m) => k -> m.value })
+      .groupMapReduce(_._1)(_._2)(_ + _)
+  }
+
+  /** Run `body` with a metrics listener attached and return one
+    * [[QueryReport]] per action it executed, in completion order.
+    * Listener events are delivered asynchronously on the listener bus,
+    * so this polls until `expect` reports arrive (or `timeoutMs`) —
+    * callers state how many actions they ran.
+    */
+  def capture[A](spark: SparkSession, expect: Int, timeoutMs: Long = 30000)
+      (body: => A): (A, Seq[QueryReport]) = {
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[QueryReport]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        reports.add(QueryReport(funcName, durationNs, planMetrics(qe), None))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        reports.add(QueryReport(funcName, 0L, planMetrics(qe),
+          Some(s"${exception.getClass.getSimpleName}: ${exception.getMessage}")))
+    }
+    spark.listenerManager.register(l)
+    try {
+      val a = body
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (reports.size < expect && System.nanoTime() < deadline) Thread.sleep(20)
+      require(reports.size >= expect,
+        s"metrics capture timed out: ${reports.size}/$expect reports after ${timeoutMs} ms")
+      (a, reports.toArray(Array.empty[QueryReport]).toSeq)
+    } finally spark.listenerManager.unregister(l)
+  }
 }

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Atomic, versioned parquet table — the transactional commit protocol the
   * plain `INSERT OVERWRITE` merge path (`TableManager.mergeInto`) lacks.
@@ -138,7 +138,11 @@ object VersionedTable {
       else spark.read.option("basePath", base.toString)
         .parquet(es.map(e => new Path(base, e.relPath).toString): _*)
     }
-    perCommit.reduce(_.unionByName(_))
+    // allowMissingColumns: after a schema-evolving merge (mergeSchema),
+    // untouched partitions still carry the old column set — the evolved
+    // read fills the new columns with null there, parquet-mergeSchema
+    // semantics
+    perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Newest published version at `rootDir` (0 = nothing published yet). */
@@ -173,10 +177,20 @@ object VersionedTable {
     * key (`MergeWriter.latestPerKey`). `onBeforePublish` is a test seam:
     * crash-consistency tests throw from it to simulate dying between the
     * data write and the manifest publish.
+    *
+    * '''Schema evolution''' (`mergeSchema = true`): columns present only
+    * in `updates` are ADDED to the table — rewritten partitions carry
+    * them physically, untouched partitions read them back as null
+    * (parquet-mergeSchema semantics via the evolved union in reads); a
+    * target column missing from `updates` is kept, null on replaced rows
+    * (replace is whole-row). With the default `mergeSchema = false`,
+    * extra update columns are dropped and the update must cover every
+    * target column — the strict contract a fixed pipeline spec wants.
     */
   def merge(spark: SparkSession, rootDir: String, updates: DataFrame,
       businessKey: String, partitionCols: Seq[String] = Nil,
       removeMovedKeys: Boolean = false,
+      mergeSchema: Boolean = false,
       onBeforePublish: () => Unit = () => ()): Unit = {
     val root = new Path(rootDir)
     val fs = fsOf(spark, root)
@@ -229,12 +243,102 @@ object VersionedTable {
         val target0 = readEntries(spark, root, touched)
         val target = partitionCols.foldLeft(target0)((df, c) =>
           df.withColumn(c, col(c).cast(updates.schema(c).dataType)))
-        MergeWriter.merge(target, updates.select(target.columns.toIndexedSeq.map(col): _*),
-          Seq(businessKey))
+        if (!mergeSchema)
+          // strict: the select fails loudly if updates lack a target column
+          MergeWriter.merge(target,
+            updates.select(target.columns.toIndexedSeq.map(col): _*), Seq(businessKey))
+        else {
+          val cols: Seq[String] = target.columns.toIndexedSeq ++
+            updates.columns.filterNot(target.columns.contains(_))
+          def align(df: DataFrame, other: DataFrame): DataFrame =
+            cols.foldLeft(df)((acc, c) =>
+              if (acc.columns.contains(c)) acc
+              else acc.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+          MergeWriter.merge(align(target, updates),
+            align(updates, target).select(cols.map(col): _*), Seq(businessKey))
+        }
       }
     val entries = keep ++ writeCommit(merged)
     onBeforePublish()
     publish(fs, root, v + 1, entries)
+  }
+
+  /** Compact small-file partitions — the read-amplification bound of the
+    * log-structured design (Delta's OPTIMIZE / Iceberg's
+    * rewrite_data_files, reduced to the same rename-atomic protocol
+    * `merge` uses). A merge writes each touched partition through the
+    * shuffle, so a partition carries up to `spark.sql.shuffle.partitions`
+    * files per rewrite — for a daily-sync or streaming-micro-batch table
+    * that is hundreds of tiny files per hot partition, and every reader
+    * pays a file-open + footer-parse per file. `compact` rewrites each
+    * partition whose live file count exceeds its bin-packed target
+    * (`ceil(bytes / targetFileBytes)`, min 1) into a fresh commit and
+    * publishes the swap as one new version; right-sized partitions are
+    * carried forward by reference, untouched.
+    *
+    * The rewrite is a raw per-partition parquet read (no Hive
+    * partition-value inference) written back under the IDENTICAL
+    * `relPath` — partition dir names are preserved byte-for-byte, so
+    * `merge`'s string-matched partition routing and the moved-key
+    * contract are unaffected by a compaction running between two merges.
+    * Pure reorganization: the live row set is bit-identical before and
+    * after (e22 reads through a compaction; `VersionedTableSpec` asserts
+    * set equality + bounded file counts). Crash-safe like `merge`: dying
+    * before the publish leaves the previous version fully readable and
+    * the orphan commit dir is swept by the next `vacuum`. Readers pinned
+    * to older versions keep working until vacuumed.
+    *
+    * `sortCols` additionally range-partitions and sorts the rewritten
+    * rows (clustering-on-compact, the practical core of OPTIMIZE
+    * ZORDER): each output file then covers a disjoint key range, so
+    * parquet min/max stats let a key-predicate read skip every other
+    * file instead of scanning the whole partition.
+    *
+    * Returns the number of partitions rewritten (0 = nothing to do, no
+    * new version published).
+    */
+  def compact(spark: SparkSession, rootDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Int = {
+    val root = new Path(rootDir)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(fs, root)
+    require(v > 0, s"no published version at $rootDir")
+    val current = readManifest(fs, root, v)
+    def sub(base: Path, rel: String): Path =
+      if (rel.isEmpty) base else new Path(base, rel)
+    // (partition, live dirs, bin-packed file target) for oversized ones;
+    // a partition's live entries may in principle span commits, so the
+    // plan keys on relPath and unions the dirs
+    val plans = current.groupBy(_.relPath).toSeq.sortBy(_._1).flatMap {
+      case (relPath, es) =>
+        val dirs = es.map(e => sub(new Path(root, e.commit), relPath)).distinct
+        val dataFiles = dirs.flatMap(d => fs.listStatus(d).toSeq).filter(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        val bytes = dataFiles.map(_.getLen).sum
+        val nTarget = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (dataFiles.size > nTarget) Some((relPath, dirs, nTarget)) else None
+    }
+    if (plans.isEmpty) return 0
+    val commitRel = s"commits/c-${java.util.UUID.randomUUID()}"
+    val commitAbs = new Path(root, commitRel)
+    plans.foreach { case (relPath, dirs, nTarget) =>
+      // raw parquet read of the partition's data files: partition values
+      // stay encoded in the dir name only, exactly as written
+      val data = spark.read.parquet(dirs.map(_.toString): _*)
+      val packed =
+        if (sortCols.isEmpty) data.repartition(nTarget)
+        else data.repartitionByRange(nTarget, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      packed.write.mode("errorifexists")
+        .parquet(sub(commitAbs, relPath).toString)
+    }
+    val compacted = plans.map(_._1).toSet
+    val keep = current.filterNot(e => compacted.contains(e.relPath))
+    val entries = keep ++ plans.map(p => Entry(commitRel, p._1))
+    publish(fs, root, v + 1, entries)
+    plans.size
   }
 
   /** Drop everything not reachable from the `retainVersions` newest

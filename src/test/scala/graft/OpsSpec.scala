@@ -98,6 +98,39 @@ class OpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("plan-metrics capture: scan files/bytes, shuffle, failure report (E6)") {
+    // a groupBy over the parquet fact: the report must show the real scan
+    // (files + bytes) and the aggregation's shuffle write
+    val ((), reports) = Ops.capture(spark, expect = 1) {
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    val r = reports.head
+    assert(r.error.isEmpty, r)
+    assert(r.durationNs > 0)
+    assert(r.scanFiles >= 1, r.metrics)
+    assert(r.scanBytes > 0, r.metrics)
+    assert(r.shuffleRecords > 0, r.metrics)
+    assert(r.shuffleBytes > 0, r.metrics)
+    // a filter pushed to the scan shows up as fewer bytes than the full
+    // fact only via pruning; here pin the cheap invariant instead: a
+    // narrow projection scans no more than the wide one
+    val ((), narrow) = Ops.capture(spark, expect = 1) {
+      Tables.lineitem(spark, sfDir).select(col("l_returnflag"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(narrow.head.scanBytes <= r.scanBytes, "column pruning regressed")
+    // failure path: a runtime error still yields a report with the error
+    val (_, failed) = Ops.capture(spark, expect = 1) {
+      intercept[Exception] {
+        spark.range(1).selectExpr("raise_error('boom')").collect()
+      }
+    }
+    assert(failed.head.error.exists(_.contains("boom")) ||
+      failed.head.error.nonEmpty, failed.head)
+  }
+
   // ---- E1 depth: one-command pipeline orchestration ----
 
   test("slicer selection mirrors the reference CLI exactly (E1)") {

@@ -163,6 +163,123 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).filter(col("k") === 999).count() == 1)
   }
 
+  test("compact bin-packs small-file partitions: same rows, one file, preserved dir names") {
+    val root = tmp("graft-vt-compact")
+    // 5 daily-style merges, each growing the hot fy=2025 partition: every
+    // rewrite goes through the 4-way shuffle, so the partition's live
+    // data ends up as many sub-target-size files (read amplification);
+    // the cold fy=2024 partition stays one row = one file
+    (1 to 5).foreach { i =>
+      val hot = (1 to 10).map(j => (i * 100 + j, "2025", s"v$i-$j"))
+      VersionedTable.merge(spark, root,
+        (hot :+ ((1000, "2024", s"cold$i"))).toDF("k", "fy", "v"), "k", Seq("fy"))
+    }
+    val before = VersionedTable.read(spark, root)
+      .select("k", "fy", "v").as[(Int, String, String)].collect().toSet
+    val vBefore = VersionedTable.version(spark, root)
+    def liveFilesOf(part: String): Seq[java.io.File] = {
+      val manifest = f"$root/manifest-v${VersionedTable.version(spark, root)}%08d.txt"
+      scala.io.Source.fromFile(manifest).getLines()
+        .filter(_.endsWith(part)).map(_.split('\t')).flatMap { case Array(c, r) =>
+          new java.io.File(s"$root/$c/$r").listFiles().toSeq
+            .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        }.toSeq
+    }
+    assert(liveFilesOf("fy=2025").size > 1, "precondition: hot partition has small files")
+
+    val n = VersionedTable.compact(spark, root)
+    assert(n == 1, s"exactly the hot partition needed compaction, got $n")
+    assert(VersionedTable.version(spark, root) == vBefore + 1)
+    // pure reorganization: live row set is identical
+    val after = VersionedTable.read(spark, root)
+      .select("k", "fy", "v").as[(Int, String, String)].collect().toSet
+    assert(after == before)
+    // bin-packed to the target (tiny data → exactly one file), dir name
+    // preserved byte-for-byte for merge's string-matched routing
+    assert(liveFilesOf("fy=2025").size == 1)
+    // a reader pinned to the pre-compaction version still works
+    assert(VersionedTable.readAt(spark, root, vBefore)
+      .select("k", "fy", "v").as[(Int, String, String)].collect().toSet == before)
+    // a second compact is a no-op (nothing oversized, no version bump)
+    assert(VersionedTable.compact(spark, root) == 0)
+    assert(VersionedTable.version(spark, root) == vBefore + 1)
+    // merges keep routing into the compacted partition correctly
+    VersionedTable.merge(spark, root,
+      Seq((101, "2025", "v1-post")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    val healed = VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(healed(101) == "v1-post" && healed(1000) == "cold5" && healed.size == before.size)
+    // vacuum sweeps the pre-compaction small-file commits
+    VersionedTable.vacuum(spark, root, retainVersions = 1)
+    assert(VersionedTable.read(spark, root)
+      .select("k", "v").as[(Int, String)].collect().toMap == healed)
+  }
+
+  test("compact with sortCols clusters files into disjoint key ranges (min/max skipping)") {
+    val root = tmp("graft-vt-sorted")
+    // one partition, keys interleaved across the 4-way shuffle: without
+    // clustering every file spans nearly the full key range and a key
+    // predicate can never skip a file on parquet min/max stats
+    VersionedTable.merge(spark, root,
+      (1 to 400).map(k => (k, "2025", s"v$k")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    def liveFiles(): Seq[java.io.File] = {
+      val manifest = f"$root/manifest-v${VersionedTable.version(spark, root)}%08d.txt"
+      scala.io.Source.fromFile(manifest).getLines().map(_.split('\t')).flatMap {
+        case Array(c, r) => new java.io.File(s"$root/$c/$r").listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      }.toSeq
+    }
+    val preBytes = liveFiles().map(_.length).sum
+    // pick the target so the bin-packing lands on ~3 clustered files
+    val n = VersionedTable.compact(spark, root,
+      targetFileBytes = math.max(1L, (preBytes + 2) / 3), sortCols = Seq("k"))
+    assert(n == 1)
+    val files = liveFiles()
+    assert(files.size >= 2, "need >=2 files to demonstrate range disjointness")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath).agg(min(col("k")), max(col("k")))
+        .as[(Int, Int)].collect().head
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file key ranges overlap: $ranges")
+      case _ => ()
+    }
+    // clustering is still pure reorganization
+    assert(VersionedTable.read(spark, root).count() == 400)
+  }
+
+  test("mergeSchema evolution: new column lands, untouched partitions read it as null") {
+    val root = tmp("graft-vt-evolve")
+    VersionedTable.merge(spark, root,
+      Seq((1, "2024", "a"), (2, "2025", "b")).toDF("k", "fy", "v"), "k", Seq("fy"))
+    // the pipeline grows a column; the merge touches only fy=2025
+    VersionedTable.merge(spark, root,
+      Seq((2, "2025", "b2", 9.5), (3, "2025", "c", 1.5)).toDF("k", "fy", "v", "score"),
+      "k", Seq("fy"), mergeSchema = true)
+    val out = VersionedTable.read(spark, root)
+      .select("k", "v", "score").as[(Int, String, Option[Double])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // rewritten rows carry the new column; the untouched fy=2024
+    // partition reads it as null (parquet-mergeSchema semantics)
+    assert(out == Map(1 -> (("a", None)), 2 -> (("b2", Some(9.5))), 3 -> (("c", Some(1.5)))))
+    // strict default: without mergeSchema an extra column is dropped and
+    // the existing surface is unchanged
+    VersionedTable.merge(spark, root,
+      Seq((1, "2024", "a2", 7.7)).toDF("k", "fy", "v", "extra"), "k", Seq("fy"))
+    val cols = VersionedTable.read(spark, root).columns.toSet
+    assert(cols == Set("k", "fy", "v", "score"), cols)
+    // an update missing an evolved column replaces the row with null
+    // there (replace is whole-row), and the schema stays evolved
+    VersionedTable.merge(spark, root,
+      Seq((3, "2025", "c2")).toDF("k", "fy", "v"), "k", Seq("fy"), mergeSchema = true)
+    val out2 = VersionedTable.read(spark, root)
+      .select("k", "v", "score").as[(Int, String, Option[Double])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out2(3) == (("c2", None)) && out2(2) == (("b2", Some(9.5))), out2)
+  }
+
   test("upsertStreamVersioned: atomic micro-batch merge, idempotent state") {
     val base = Files.createTempDirectory("graft-vt-stream")
     val root = base.resolve("table").toString
