@@ -57,9 +57,16 @@ object Pipeline {
       if (spec.dropAllOn.isEmpty) raw
       else raw.filter(!spec.dropAllOn.map(c => col(c) <=> "All").reduce(_ || _))
 
+    // the compiler knows each source column's static type: when the
+    // extract is already typed (engine aggregates), the defensive
+    // string-parse kernel compiles down to a plain cast (provable
+    // identity — see Coercions.coerceTyped), keeping the fused codegen
+    // function small; stringly extracts (CSV/XMLA text) keep the full
+    // kernel
+    val srcTypes = noAll.schema.fields.map(f => f.name -> f.dataType).toMap
     val projected = noAll.select(
       (spec.fields ++ spec.measures).map { f =>
-        val coerced = Coercions.coerce(col(f.src), f.typ)
+        val coerced = Coercions.coerceTyped(col(f.src), f.typ, srcTypes.get(f.src))
         val withDefault = f.default match {
           case Some(d) => coalesce(coerced, Coercions.coerce(lit(d), f.typ))
           case None => coerced

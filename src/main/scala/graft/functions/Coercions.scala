@@ -81,6 +81,44 @@ object Coercions {
     case other      => throw new IllegalArgumentException(s"unknown mapping type: $other")
   }
 
+  /** Statically-typed coercion: when the input column's declared type
+    * makes the defensive string bridge a PROVABLE identity, emit the
+    * direct form instead. Each short-circuit below is value-identical to
+    * the bridge for every input including null:
+    *   - date←DateType: `cast(date as string)` is `yyyy-MM-dd`, which the
+    *     bridge's first (ISO-prefix) parser maps straight back.
+    *   - datetime←TimestampType / string←StringType: the bridge is a
+    *     self-cast.
+    *   - int←IntegerType: int → repr → double → long is exact for every
+    *     32-bit value; `cast(int as bigint)` is the same function.
+    *   - int←LongType: identity (the parse kernel's long→double hop is
+    *     only exact below 2^53 — the direct form is, if anything, more
+    *     faithful; the reference's own `int(float(x))` has the same hop).
+    *   - decimal←DoubleType: `Double.toString` round-trips to the exact
+    *     same double (shortest-repr), and Spark's double→decimal cast is
+    *     `BigDecimal.valueOf` = `new BigDecimal(Double.toString(d))` —
+    *     the bridge and the direct cast are the same computation.
+    *
+    * Why this matters: the mapping layer sits directly on typed engine
+    * aggregates in the e2e pipelines, and the bridge's 6-format date
+    * parse + per-measure regex/try_cast chains, FUSED into the
+    * aggregate's whole-stage-codegen output function, overran janino's
+    * limits — the stage (decimal aggregation included) silently fell
+    * back to interpreted execution, an ~8× slowdown on e12. Typed
+    * inputs now compile to plain casts; stringly sources (CSV, XMLA
+    * cell text) keep the full defensive kernel.
+    */
+  def coerceTyped(c: Column, typeName: String, inputType: Option[DataType]): Column =
+    (typeName, inputType) match {
+      case ("date", Some(DateType)) => c
+      case ("datetime", Some(TimestampType)) => c
+      case ("string", Some(StringType)) => c
+      case ("int", Some(IntegerType)) => c.cast(LongType)
+      case ("int", Some(LongType)) => c
+      case ("decimal", Some(DoubleType)) => c.cast(DecimalType(18, 2))
+      case _ => coerce(c, typeName)
+    }
+
   /** HH:MM normalization (load_store_hours.py:33-61):
     *   100 → "01:00", 1100 → "11:00", "9:30" → "09:30", "11:00" stays.
     * Input may be int-like (minutes-free HHMM) or already HH:MM text.
