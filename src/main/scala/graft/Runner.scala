@@ -40,25 +40,15 @@ object Runner {
       // (cron vocabulary: `truenas/cron-jobs.txt` runs daily syncs; a
       // weekly `--maintain all --retain 7` bounds files AND metadata)
       import graft.ops.Orchestrator
-      import graft.sinks.VersionedTable
       val p = opts("maintain")
       val retain = opts.getOrElse("retain", "7").toInt
-      val vs = Orchestrator.VersionedSink()
       val selected = if (p == "all") Orchestrator.pipelines else Seq(p)
       selected.foreach { pl =>
-        val root = vs.rootOf(spark, pl)
-        if (VersionedTable.version(spark, root) == 0)
-          println(f"[maintain] $pl%-14s no published version at $root — skipped")
-        else {
-          // cluster by business key while bin-packing: each compacted
-          // file covers a disjoint key range, so keyed point reads and
-          // the merge read-back skip files on parquet min/max stats
-          val compacted = VersionedTable.compact(spark, root,
-            sortCols = Seq("business_key"))
-          VersionedTable.vacuum(spark, root, retainVersions = retain)
-          println(f"[maintain] $pl%-14s compacted $compacted%2d partitions, " +
-            f"retained $retain newest versions  ($root)")
-        }
+        val r = Orchestrator.maintain(spark, pl, retain)
+        if (r.skipped)
+          println(f"[maintain] $pl%-14s no published version at ${r.root} — skipped")
+        else println(f"[maintain] $pl%-14s compacted ${r.compactedPartitions}%2d " +
+          f"partitions, retained $retain newest versions  (${r.root})")
       }
       spark.stop()
       return

@@ -246,4 +246,29 @@ object Orchestrator {
       notifier: Option[Notifier.Config] = None,
       sink: Sink = VersionedSink()): Seq[RunResult] =
     pipelines.map(run(spark, sfDir, _, slice, notifier, sink))
+
+  final case class MaintainResult(pipeline: String, root: String,
+      compactedPartitions: Int, retainedVersions: Int, skipped: Boolean)
+
+  /** Scheduled housekeeping for a pipeline's versioned root (`--maintain`):
+    * OPTIMIZE-style small-file compaction clustered by business key (each
+    * compacted file covers a disjoint key range, so keyed point reads and
+    * the merge read-back skip files on parquet min/max stats), then a
+    * retention vacuum bounding both dead data and manifest metadata. A
+    * pipeline with no published version is skipped, not failed — the
+    * weekly maintenance job shouldn't abort because one pipeline hasn't
+    * had its first sync.
+    */
+  def maintain(spark: SparkSession, pipeline: String, retainVersions: Int = 7,
+      sink: VersionedSink = VersionedSink()): MaintainResult = {
+    val root = sink.rootOf(spark, pipeline)
+    if (VersionedTable.version(spark, root) == 0)
+      MaintainResult(pipeline, root, 0, retainVersions, skipped = true)
+    else {
+      val compacted = VersionedTable.compact(spark, root,
+        sortCols = Seq("business_key"))
+      VersionedTable.vacuum(spark, root, retainVersions = retainVersions)
+      MaintainResult(pipeline, root, compacted, retainVersions, skipped = false)
+    }
+  }
 }

@@ -242,6 +242,37 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == r1.rows)
   }
 
+  test("orchestrator maintenance: sync, compact clustered by key, vacuum, still readable (E1/D6)") {
+    import graft.ops.Orchestrator
+    import graft.sinks.VersionedTable
+    def rootFor(p: String) = s"graft_versioned_maint_$p"
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, rootFor("inventory")))
+    val sink = Orchestrator.VersionedSink(rootFor)
+    // nothing synced yet: maintenance must skip, not fail
+    val r0 = Orchestrator.maintain(spark, "inventory", sink = sink)
+    assert(r0.skipped)
+    // two syncs fragment the table; maintenance compacts + vacuums it
+    val s1 = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, sink)
+    assert(s1.error.isEmpty, s1)
+    val s2 = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, sink)
+    assert(s2.error.isEmpty, s2)
+    val before = VersionedTable.read(spark, sink.rootOf(spark, "inventory"))
+      .select("business_key").as[String].collect().toSet
+    val r = Orchestrator.maintain(spark, "inventory", retainVersions = 1, sink = sink)
+    assert(!r.skipped && r.compactedPartitions >= 1, r)
+    // compaction + vacuum preserved the table exactly; one manifest left
+    val root = sink.rootOf(spark, "inventory").stripPrefix("file:")
+    assert(new java.io.File(root).listFiles().count(_.getName.startsWith("manifest-v")) == 1)
+    val after = VersionedTable.read(spark, sink.rootOf(spark, "inventory"))
+      .select("business_key").as[String].collect().toSet
+    assert(after == before)
+    // a third sync still merges cleanly on the compacted layout
+    val s3 = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(7), None, sink)
+    assert(s3.error.isEmpty && s3.created == 0, s3)
+  }
+
   test("orchestrator scans the fact once per sync: filesystem bytes pinned (E1)") {
     import graft.ops.Orchestrator
     import scala.jdk.CollectionConverters._
