@@ -137,6 +137,33 @@ object EventStream {
 
   // ---- sessionization via explicit state (st02's incremental form) ----
 
+  /** Stream-stream interval join — st04's view→purchase attribution as a
+    * true two-stream join: each purchase pairs with the same user's
+    * views from the preceding `width`. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can size
+    * the join state: a buffered view is dropped once the purchase-side
+    * watermark passes `view_ts + width`, and state stays O(window), not
+    * O(history) — the property that makes a stream-stream join viable at
+    * 100 TB/day ingest. Append-mode results are emitted as soon as both
+    * sides' matches are final.
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+      width: String = "10 minutes", lateness: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    val v = views
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", lateness)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("p_ts") &&
+          col("view_ts") >= col("p_ts") - expr(s"INTERVAL $width"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("p_ts"), col("view_ts"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, value: Double)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, session_value: Double)

@@ -99,6 +99,41 @@ class StreamingSpec extends SparkSpec {
     assert(oldFiles == oldFilesAfter, "untouched partitions were rewritten")
   }
 
+  test("stream-stream interval join equals the batch attribution pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    val events = Tables.events(spark, sfDir)
+    events.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(dir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ck").toString
+    val stream = EventStream.read(spark, dir.toString, maxFilesPerTrigger = Some(2))
+    val q = EventStream.attributionJoin(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view"))
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("ssj_test")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    // batch truth: every (purchase, view) pair within the 10-minute
+    // window — the stream must emit exactly this set (inner interval
+    // join, AvailableNow drains everything and finalizes the watermark)
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val batch = p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("p_ts") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 10 minutes"))
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("session state transition matches batch gap semantics") {
     val us = 1000000L
     val evs = Seq(
