@@ -65,6 +65,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed keyed table: merge join shuffles only the updates side (D6)") {
+    import graft.sinks.{MergeWriter, TableManager}
+    val name = "graft_bucket_pin"
+    TableManager.drop(spark, name)
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), name)
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    val seed = (1 to 5000).map(i => (s"K$i", i.toDouble)).toDF("business_key", "v")
+    TableManager.ensureKeyedTable(spark, name, seed.schema, "business_key", buckets = 4)
+    TableManager.mergeInto(spark, name, seed, "business_key")
+    val updates = (1 to 500).map(i => (s"K${i * 7}", -i.toDouble)).toDF("business_key", "v")
+    // force the sort-merge path (broadcast would hide the distribution
+    // question entirely — at 100 TB the updates side can be large too)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = MergeWriter.merge(spark.table(name), updates, Seq("business_key"))
+      merged.write.mode("overwrite").format("noop").save()
+      val p = merged.queryExecution.executedPlan.toString
+      // the table side reads its 4 buckets as the join distribution: the
+      // one shuffle in the anti-join belongs to the updates side only —
+      // at 100 TB the years-deep table never re-shuffles for a merge
+      assert(p.contains("SelectedBucketsCount: 4 out of 4"), p.linesIterator.take(40).mkString("\n"))
+      val antiJoinShuffles = raw"Exchange hashpartitioning\(business_key".r.findAllIn(p).size
+      assert(antiJoinShuffles == 1,
+        s"expected exactly one key shuffle (updates side), got $antiJoinShuffles:\n" +
+          p.linesIterator.take(40).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      TableManager.drop(spark, name)
+    }
+  }
+
   test("e11/q05: TY/LY self-join reads the persisted aggregate — fact scanned once") {
     Seq("e11_sales_channel_e2e", "q05_ty_ly_weekly").foreach { n =>
       val df = Queries.byName(n).query(spark, sfDir)
