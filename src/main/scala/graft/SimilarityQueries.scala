@@ -144,5 +144,28 @@ object SimilarityQueries {
       WHERE rn <= 5
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(s01, s02)
+  /** The persisted IVF index (build-once / probe-many,
+    * [[graft.similarity.IvfIndex]]): build into a scratch root, then
+    * answer the same top-5 through the on-disk index — cell-partitioned
+    * vectors, broadcast centroids, probed-cell partition pruning. The
+    * oracle is s02's SQL verbatim: the index path must reproduce the
+    * in-memory IVF plan bit-for-bit (same decimal dot/norm kernels), so
+    * a hash mismatch here means the persisted layout changed semantics.
+    */
+  val s03 = QueryDef(
+    "s03_ivf_index_topk",
+    (s, dir) => {
+      import graft.similarity.IvfIndex
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        "graft_s03_ivf_index")
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val emb = Tables.embeddings(s, dir)
+      IvfIndex.build(emb, "vec_id", "embedding", "label", root.toString)
+      IvfIndex.topK(s, root.toString,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, probes = 2)
+    },
+    s02.oracle)
+
+  def all: Seq[QueryDef] = Seq(s01, s02, s03)
 }
