@@ -59,21 +59,9 @@ object Similarity {
     * replayable bit-for-bit in any engine with md5 — the property that
     * lets a DuckDB oracle reproduce the exact candidate set.
     */
-  private def planeWeight(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(p.toString + "_"), i.cast("string"))), 1, 15), 16, 10)
+  private def planeWeight(p: Column, i: Column): Column =
+    (conv(substring(md5(concat(p.cast("string"), lit("_"), i.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 2000001L - 1000000L).cast("double")
-
-  /** Signed projection of a vector onto hyperplane `p`, accumulated as
-    * exact decimals (order-independent → the sign bit is deterministic
-    * across engines, partitionings, and AQE re-plans). The weight is an
-    * integer ≤ 2^21 and the values are float-precision, so every product
-    * is exact in double before the decimal cast.
-    */
-  private def planeProj(vec: Column, p: Int): Column =
-    aggregate(
-      transform(vec, (x, i) => (planeWeight(p, i) * x.cast("double")).cast(Dec)),
-      dzero,
-      (acc, x) => (acc + x).cast(Dec))
 
   /** Banded sign-bit LSH near-dup pairs — the embedding near-dup
     * operator at scale (SURVEY.md §2.H). Candidate generation is a
@@ -101,21 +89,41 @@ object Similarity {
       threshold: Double, planes: Int = 32, bandBits: Int = 8,
       bucketCap: Int = 1000): DataFrame = {
     require(planes % bandBits == 0, "planes must divide into whole bands")
-    val nBands = planes / bandBits
-    val par = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val v = emb.repartition(par)
+    val spark = emb.sparkSession
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = emb.repartition(par)
       .select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
-      .withColumn("ns", normSq(col("emb")))
-    // band hash = the band's sign bits packed little-endian; each
-    // projection aggregate appears exactly once in the expression tree
-    // (no shared array column → no projection-collapse re-evaluation)
-    val bandHashes = (0 until nBands).map { b =>
-      (0 until bandBits).map { j =>
-        when(planeProj(col("emb"), b * bandBits + j) >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    val sig = v.select(col("vec_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+    // Signatures via explode + broadcast weight table + codegen'd decimal
+    // hash aggregation — NOT per-plane array-HOF folds. Higher-order
+    // functions are CodegenFallback (interpreted): measured 8× slower
+    // once other queries in the JVM pollute the shared interpreted-eval
+    // JIT profiles (69 s vs 8 s for the same plan), and never
+    // whole-stage-compiled even alone. The exploded form computes the
+    // SAME decimal(28,12) products and exact order-independent sums —
+    // sign bits, buckets, and published cosines are bit-identical, so
+    // the DuckDB oracle is unaffected.
+    val ex = base.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "val0")))
+      .withColumn("val", col("val0").cast("double"))
+    val ns = ex.groupBy(col("vec_id"))
+      .agg(sum((col("val") * col("val")).cast(Dec)).cast("double").as("ns"))
+    val v = base.join(ns, "vec_id")
+    // (plane, pos) → md5 weight: a planes×dim control-plane table, each
+    // weight evaluated once and broadcast (vs once per vector element)
+    val dims = base.agg(max(size(col("emb")))).head().getInt(0)
+    val weights = spark.range(planes.toLong * dims).select(
+        floor(col("id") / dims).cast("int").as("plane"),
+        pmod(col("id"), lit(dims)).cast("int").as("pos"))
+      .withColumn("w", planeWeight(col("plane"), col("pos")))
+    val proj = ex.join(broadcast(weights), "pos")
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum((col("w") * col("val")).cast(Dec)).as("proj"))
+    // band hash = the band's sign bits packed little-endian
+    val sig = proj.select(col("vec_id"),
+        floor(col("plane") / bandBits).cast("int").as("band"),
+        when(col("proj") >= 0, expr(s"shiftleft(1, plane % $bandBits)"))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit")).cast("int").as("band_hash"))
     val ok = sig.groupBy("band", "band_hash").count()
       .filter(col("count") <= bucketCap).select("band", "band_hash")
     val sigOk = sig.join(ok, Seq("band", "band_hash"))
