@@ -59,11 +59,17 @@ object Scheduler {
 
   /** The reference's schedule, bound to the orchestrator: daily 02:00
     * incremental 2-week sync of every pipeline; Sunday 03:00 full
-    * (fiscal-year) sync (`cron-jobs.txt:12,15`).
+    * (fiscal-year) sync (`cron-jobs.txt:12,15`); plus the engine's own
+    * monthly table maintenance (1st 00:00 — `Orchestrator.maintain`:
+    * business-key-clustered compaction + retention vacuum per versioned
+    * root), which a log-structured sink needs where the reference's
+    * remote Dataverse tables did not.
     */
-  def referenceJobs(runIncremental: () => Unit, runFull: () => Unit): Seq[Job] = Seq(
+  def referenceJobs(runIncremental: () => Unit, runFull: () => Unit,
+      runMaintenance: () => Unit = () => ()): Seq[Job] = Seq(
     Job("daily_olap_sync", parse("0 2 * * *"), runIncremental),
-    Job("weekly_full_sync", parse("0 3 * * 0"), runFull))
+    Job("weekly_full_sync", parse("0 3 * * 0"), runFull),
+    Job("monthly_maintenance", parse("0 0 1 * *"), runMaintenance))
 
   /** Minimal loop driver: fires each job at its next cron instant,
     * re-arms, repeats until `stop()`. Clock and sleeper are injectable

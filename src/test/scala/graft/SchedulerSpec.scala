@@ -22,6 +22,22 @@ class SchedulerSpec extends AnyFunSuite {
     assert(monthly.next(t("2026-08-12T01:00:00Z"), utc) == t("2026-09-01T00:00:00Z"))
   }
 
+  test("monthly maintenance job fires on the 1st between the daily syncs") {
+    val fired = scala.collection.mutable.ArrayBuffer[String]()
+    var clock = t("2026-08-31T12:00:00Z") // Monday, day before month end
+    val jobs = Scheduler.referenceJobs(
+      runIncremental = () => fired += "inc",
+      runFull = () => fired += "full",
+      runMaintenance = () => fired += "maint")
+    val loop = new Scheduler.Loop(jobs, utc,
+      now = () => clock,
+      sleep = ms => clock = clock.plusMillis(ms))
+    loop.run(maxFires = 3)
+    // Sep 1 00:00 maintenance, Sep 1 02:00 inc, Sep 2 02:00 inc
+    assert(fired.toSeq == Seq("maint", "inc", "inc"), fired)
+    assert(clock == t("2026-09-02T02:00:00Z"))
+  }
+
   test("loop fires jobs in cron order under virtual time; failures re-arm") {
     val fired = scala.collection.mutable.ArrayBuffer[String]()
     var clock = t("2026-08-15T23:00:00Z") // Saturday evening
