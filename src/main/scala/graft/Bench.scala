@@ -1,18 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
-/** Bench main — one JSON line with per-query seconds. Integrity rules:
-  * failures are RECORDED (query time -1.0 + an `errors` map), never
-  * swallowed as fake timings; each query runs twice and the min is
-  * published, so one GC/RPC stall can't corrupt the round's artifact —
-  * and when the first two runs disagree by more than 2x (sustained
-  * external contention, not a one-off stall) a third run is taken and
-  * the min of three published, with the query listed under `unstable`;
-  * machine load (/proc/loadavg) and available memory are recorded
-  * before and after the run so a contended-machine artifact is
-  * self-evident instead of silently wrong; the session timezone is
-  * pinned UTC like Runner/Verify so timing runs execute the same plans
-  * the correctness gate verified.
+/** Bench main — one JSON line on STDOUT with per-query seconds. Integrity
+  * rules:
+  *
+  *  - failures are RECORDED (query time -1.0 + an `errors` map), never
+  *    swallowed as fake timings; each query runs twice and the min is
+  *    published, so one GC/RPC stall can't corrupt the round's artifact —
+  *    and when the first two runs disagree by more than 2x (sustained
+  *    external contention, not a one-off stall) a third run is taken and
+  *    the min of three published, with the query listed under `unstable`;
+  *  - every run is wrapped in a WATCHDOG (default 120 s — ~10x the
+  *    judge-probed worst case of 11.4 s at sf0.1): on expiry the query's
+  *    Spark job group is cancelled, `-1` + `timeout` land in the errors
+  *    map, and the suite moves on. One hung query can no longer convert
+  *    the whole artifact into an rc=124 tomb (the round-6 failure mode);
+  *  - a PER-QUERY PROGRESS LINE goes to stderr after each query — name,
+  *    published seconds, raw run times, cumulative wall clock, and the
+  *    executed-plan scan/shuffle/spill bytes from the session's
+  *    QueryExecutionListener — so a killed run still attributes exactly
+  *    where time (and plan shape) went. Stdout stays a single JSON line
+  *    under the driver's ~2 KB output-tail cap;
+  *  - a GLOBAL soft deadline (default 1500 s) drops to single runs, and a
+  *    hard deadline (default 2100 s) records the remainder as
+  *    `skipped:deadline` — the artifact always parses, whatever the
+  *    machine does;
+  *  - machine load (/proc/loadavg) and available memory are recorded
+  *    before and after, and if the machine is visibly contended at start
+  *    (another build's sbt/JVM) the bench waits — bounded at 90 s — for
+  *    load to fall before timing anything;
+  *  - the session timezone is pinned UTC like Runner/Verify so timing
+  *    runs execute the same plans the correctness gate verified.
   */
 object Bench {
   /** (1-min loadavg, MemAvailable in MiB) — linux /proc, best-effort. */
@@ -30,9 +50,30 @@ object Bench {
       .getOrElse(-1L)
     (load, memMib)
   }
+
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(default)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val watchdogSec = envInt("SPARK_GRAFT_WATCHDOG_SEC", 120)
+    val softDeadlineSec = envInt("SPARK_GRAFT_SOFT_DEADLINE_SEC", 1500)
+    val hardDeadlineSec = envInt("SPARK_GRAFT_HARD_DEADLINE_SEC", 2100)
+
+    // If another JVM owns the machine right now (concurrent sbt — the
+    // round-4/round-6 artifact killer), timing anything is garbage-in.
+    // Wait, bounded, for 1-min load to drop below the core count; record
+    // how long we waited so the artifact shows it.
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val waitStart = System.nanoTime()
+    var waitedSec = 0.0
+    while (machineLoad()._1 > nCpu * 0.75 && waitedSec < 90.0) {
+      System.err.println(f"[bench] machine contended (load=${machineLoad()._1}%.1f, cpus=$nCpu) — waiting")
+      Thread.sleep(5000)
+      waitedSec = (System.nanoTime() - waitStart) / 1e9
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,43 +85,103 @@ object Bench {
     // the first timed query doesn't pay JVM/session init
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // Plan-metric accumulator: executed-plan SQLMetrics summed across
+    // every action since the last reset. Listener delivery is async
+    // (listener bus), so reads after a query are best-effort — advisory
+    // stderr only, never part of the stdout artifact.
+    val metricSums = new java.util.concurrent.atomic.AtomicReference(Map.empty[String, Long])
+    val actionCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.listenerManager.register(new QueryExecutionListener {
+      private def add(qe: QueryExecution): Unit = {
+        val m = ops.Ops.planMetrics(qe)
+        metricSums.updateAndGet(cur => (cur.keySet ++ m.keySet).iterator
+          .map(k => k -> (cur.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap)
+        actionCount.incrementAndGet(); ()
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = add(qe)
+    })
+
     // noop sink: full evaluation of every output column (count() would
-    // let Catalyst prune unreferenced aggregates and understate work)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // let Catalyst prune unreferenced aggregates and understate work).
+    // Each run executes on its own daemon thread inside a named job
+    // group with interrupt-on-cancel; the main thread enforces the
+    // watchdog and cancels the group on expiry.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        Right((System.nanoTime() - t0) / 1e9)
-      } catch {
+      val group = s"bench-$name"
+      val task = new java.util.concurrent.FutureTask[Either[String, Double]](() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          // queries that persist() intermediates (e11/q05 TY aggregate)
+          // must not hand a warm cache to their own second run or to
+          // later queries — every published timing is a cold-cache run
+          spark.catalog.clearCache()
+        }
+      })
+      val th = new Thread(task, s"bench-run-$name")
+      th.setDaemon(true)
+      th.start()
+      try task.get(watchdogSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          spark.catalog.clearCache()
+          Left(s"timeout>${watchdogSec}s")
         case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      } finally {
-        // queries that persist() intermediates (e11/q05 TY aggregate)
-        // must not hand a warm cache to their own second run or to later
-        // queries — every published timing is a cold-cache run
-        spark.catalog.clearCache()
       }
     }
+
     val (loadBefore, memBefore) = machineLoad()
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val unstable = scala.collection.mutable.ArrayBuffer[String]()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val r = once(fn) match {
-        case Right(t1) => once(fn) match {
-          case Right(t2) if math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
-              math.max(t1, t2) > 1.0 =>
-            // >2x spread between back-to-back runs of the same plan means
-            // something external stole the machine — a third run decides
-            unstable += name
-            once(fn) match {
-              case Right(t3) => Right(math.min(math.min(t1, t2), t3))
-              case Left(err) => Left(err)
-            }
-          case Right(t2) => Right(math.min(t1, t2))
-          case Left(err) => Left(err) // flaky second run is still a failure
-        }
-        case Left(err) => Left(err)
+      metricSums.set(Map.empty)
+      val rawTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      def timed(): Either[String, Double] = {
+        val r = once(name, fn)
+        r.foreach(rawTimes += _)
+        r
       }
+      val r =
+        if (elapsedSec > hardDeadlineSec) Left("skipped:deadline")
+        else if (elapsedSec > softDeadlineSec) timed() // degraded: single run
+        else timed() match {
+          case Right(t1) => timed() match {
+            case Right(t2) if math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
+                math.max(t1, t2) > 1.0 =>
+              // >2x spread between back-to-back runs of the same plan means
+              // something external stole the machine — a third run decides
+              unstable += name
+              timed() match {
+                case Right(t3) => Right(math.min(math.min(t1, t2), t3))
+                case Left(err) => Left(err)
+              }
+            case Right(t2) => Right(math.min(t1, t2))
+            case Left(err) => Left(err) // flaky second run is still a failure
+          }
+          case Left(err) => Left(err)
+        }
+      // listener-bus drain grace before reading the advisory metrics
+      Thread.sleep(150)
+      val m = metricSums.get()
+      def mib(k: String): Long = m.getOrElse(k, 0L) / (1024 * 1024)
+      val shown = r.fold(identity[String], t => f"$t%.3fs")
+      val raws = rawTimes.map(t => f"$t%.2f").mkString("/")
+      System.err.println(
+        f"[bench] $name%-28s $shown%-10s runs=[$raws] elapsed=${elapsedSec}%.0fs " +
+        f"scan=${mib("filesSize")}MiB shuffle=${mib("shuffleBytesWritten")}MiB " +
+        f"spill=${mib("spillSize")}MiB actions=${actionCount.get()}")
       name -> r
     }
     val (loadAfter, memAfter) = machineLoad()
@@ -96,21 +197,26 @@ object Bench {
     // truncated away and the artifact is unparseable. Hence: millisecond
     // precision (sub-ms is noise at these run times anyway), load as a
     // compact [loadavg_before, loadavg_after, mem_avail_mib_before,
-    // mem_avail_mib_after] array, error text capped.
+    // mem_avail_mib_after] array, error text capped, and at most 8
+    // spelled-out error entries (the rest is a count).
     def sec(t: Double): String = f"$t%.3f"
     val qs = runs.map { case (k, r) =>
       s"\"${esc(k)}\":" + r.fold(_ => "-1", sec)
     }.mkString("{", ",", "}")
-    val errs = runs.collect { case (k, Left(err)) =>
+    val allErrs = runs.collect { case (k, Left(err)) => k -> err }
+    val errs = (allErrs.take(8).map { case (k, err) =>
       s"\"${esc(k)}\":\"${esc(err.take(60))}\""
-    }.mkString("{", ",", "}")
+    } ++ (if (allErrs.size > 8) Seq(s"\"_more\":${allErrs.size - 8}") else Nil))
+      .mkString("{", ",", "}")
     val total = runs.collect { case (_, Right(t)) => t }.sum
     val nFailed = runs.count(_._2.isLeft)
     val unstableJson = unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
     val loadJson = s""""load":[$loadBefore,$loadAfter,$memBefore,$memAfter]"""
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson,"sf":$sfNum}""")
+    val waitJson = if (waitedSec > 0) f""","wait":${waitedSec}%.0f""" else ""
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson$waitJson,"sf":$sfNum}""")
+    System.out.flush()
     spark.stop()
   }
 }

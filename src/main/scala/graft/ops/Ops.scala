@@ -66,7 +66,7 @@ object Ops {
     def spillBytes: Long = apply("spillSize")
   }
 
-  private def planMetrics(qe: QueryExecution): Map[String, Long] = {
+  private[graft] def planMetrics(qe: QueryExecution): Map[String, Long] = {
     import org.apache.spark.sql.execution.{CommandResultExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
