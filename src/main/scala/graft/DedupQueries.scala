@@ -147,17 +147,27 @@ object DedupQueries {
       WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """.stripMargin.trim))
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 over 16-bit signatures). The
-    * Spark plan uses 4-bit pigeonhole banding (exact at this radius);
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures). The
+    * Spark plan uses 16-bit pigeonhole banding (exact at this radius);
     * the oracle brute-forces the n² scan — identical result proves the
-    * banding loses nothing.
+    * banding loses nothing. The oracle replays the exact bit recipe:
+    * the token hash as two nonnegative 32-bit md5-prefix halves (no
+    * signed-shift semantics anywhere), and bit 63 of the assembled
+    * signature as the BIGINT sign bit (Long.MinValue), matching Spark's
+    * two's-complement long.
     */
   val d04: QueryDef = {
-    val votes = (0 until 16)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+    val votes = (0 until 64)
+      .map { j =>
+        val (src, b) = if (j < 32) ("lo", j) else ("hi", j - 32)
+        s"SUM(CASE WHEN ($src >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+      }
       .mkString(",\n          ")
-    val assemble = (0 until 16)
-      .map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END")
+    val assemble = (0 until 64)
+      .map { j =>
+        val bit = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
+        s"CASE WHEN v$j > 0 THEN $bit ELSE 0 END"
+      }
       .mkString(" + ")
     QueryDef(
       "d04_simhash",
@@ -167,12 +177,14 @@ object DedupQueries {
           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
           FROM documents),
         th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS h FROM th),
+        hh AS (SELECT doc_id,
+          ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+          ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo FROM th),
         votes AS (
           SELECT doc_id,
           $votes
           FROM hh GROUP BY 1),
-        sims AS (SELECT doc_id, CAST($assemble AS INTEGER) AS simhash FROM votes)
+        sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           a.simhash AS simhash_a, b.simhash AS simhash_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -138,31 +138,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 16-bit SimHash per document (token-multiset majority vote per bit,
-    * token hashes from md5). One explode + one group-by — two narrow
-    * shuffles, no pairs yet.
+  /** 64-bit SimHash per document (token-multiset majority vote per bit,
+    * token hash = first 16 hex chars of md5 carried as two 32-bit
+    * halves — see [[graft.text.TextFunctions.hash32]]). One explode +
+    * one group-by with 64 conditional-sum partials (codegen'd, map-side
+    * combine) — two narrow shuffles, no pairs yet. The signature is a
+    * signed long whose bit 63 is the two's-complement sign bit, matching
+    * the oracle's BIGINT bit-for-bit.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", tokenHash16(col("tok")))
-    val votes = (0 until 16).map(j => sum(bitVote(col("h"), j)).as(s"v$j"))
+      .withColumn("__md5", md5(col("tok")))
+      .withColumn("hi", hash32(col("__md5"), 1))
+      .withColumn("lo", hash32(col("__md5"), 9))
+    val votes = (0 until 64).map(j => sum(bitVote64(col("hi"), col("lo"), j)).as(s"v$j"))
     toks.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        simhashFromVotes((0 until 16).map(j => col(s"v$j"))).as("simhash"))
+        simhashFromVotes64((0 until 64).map(j => col(s"v$j"))).as("simhash"))
   }
 
-  /** Near-dup pairs at Hamming distance ≤ maxHamming over the 16-bit
-    * SimHash, found via 4-bit band buckets. Pigeonhole: ≤3 flipped bits
+  /** Near-dup pairs at Hamming distance ≤ maxHamming over the 64-bit
+    * SimHash, found via 16-bit band buckets. Pigeonhole: ≤3 flipped bits
     * across 4 bands leave ≥1 band identical, so banding at maxHamming≤3
     * is EXACT (same result as the n² scan), not approximate.
+    *
+    * Bucket-space math (the reason this is 64-bit, not narrower): each
+    * band ranges over 2¹⁶ = 65,536 values, so the banded self-join's
+    * within-bucket pair space is ~n²/65,536 per band under a uniform
+    * hash — vs only 16 values per band for a 16-bit signature, whose
+    * n²/16 candidate blowup (and 65,536-value total signature space,
+    * saturated by any billion-document corpus) makes near-dup at
+    * Hamming ≤ 3 pure collision noise at scale.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees Hamming <= 3")
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15))): _*)).as(Seq("band", "band_val")))
+        shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("band", "band_val")))
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y,
       col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&

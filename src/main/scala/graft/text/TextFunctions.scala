@@ -54,19 +54,38 @@ object TextFunctions {
   def fingerprint60(c: Column): Column =
     conv(substring(fingerprint(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Per-token 16-bit hash for SimHash: first 4 hex chars of md5. */
-  def tokenHash16(tok: Column): Column =
-    conv(substring(md5(tok), 1, 4), 16, 10).cast(IntegerType)
+  /** One 32-bit half of the 64-bit SimHash token hash: 8 hex chars of an
+    * (already materialized) md5 column starting at `hexOffset` (1-based).
+    * The 64-bit hash is carried as TWO nonnegative 32-bit halves rather
+    * than one signed 64-bit value so every bit probe below is a
+    * shift-and-mask on a nonnegative int — portable to the DuckDB oracle
+    * without leaning on any engine's signed-shift semantics.
+    */
+  def hash32(md5Hex: Column, hexOffset: Int): Column =
+    conv(substring(md5Hex, hexOffset, 8), 16, 10).cast(LongType)
 
-  /** SimHash vote for bit j of a 16-bit token hash: +1 / −1. */
-  def bitVote(h16: Column, j: Int): Column =
-    when(shiftright(h16, j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+  /** SimHash vote for bit j (0–63) of the (hi, lo) 32-bit halves:
+    * +1 / −1. Bits 0–31 live in `lo`, 32–63 in `hi`.
+    */
+  def bitVote64(hi: Column, lo: Column, j: Int): Column = {
+    val (src, b) = if (j < 32) (lo, j) else (hi, j - 32)
+    when(shiftright(src, b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+  }
 
-  /** Assemble a 16-bit SimHash from the 16 per-bit vote sums. */
-  def simhashFromVotes(votes: Seq[Column]): Column =
+  /** Assemble a 64-bit SimHash (signed long, bit 63 = sign bit in two's
+    * complement — exactly a BIGINT on the oracle side) from the 64
+    * per-bit vote sums. The additions never overflow: bits 0–62 sum to
+    * at most 2⁶³−1, and the bit-63 term is Long.MinValue, added last.
+    */
+  def simhashFromVotes64(votes: Seq[Column]): Column = {
+    require(votes.size == 64, s"need 64 vote columns, got ${votes.size}")
     votes.zipWithIndex
-      .map { case (v, j) => when(v > 0, lit(1 << j)).otherwise(lit(0)) }
+      .map { case (v, j) =>
+        val bit = if (j == 63) lit(Long.MinValue) else lit(1L << j)
+        when(v > 0, bit).otherwise(lit(0L))
+      }
       .reduce(_ + _)
+  }
 
   /** Language-ID stopword sets (tiny n-gram-free heuristic: score each
     * language by stopword hits, pick the argmax). Deliberately small —
