@@ -13,12 +13,26 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --query all --sf ... --out /tmp/results
   *   runMain graft.Runner --pipeline daily_sales --length 2wk --sf ...
   *   runMain graft.Runner --pipeline all --fy 1995 --fp 3 --sf ...
+  *   runMain graft.Runner --full-refresh daily_sales --fy-from 1995 --fy-to 1997 \
+  *     --confirm-delete --confirm-fy [--dry-run] --sf ...
   */
 object Runner {
+  /** `--key value` pairs plus bare `--flag`s (recorded as "true"). */
+  private def parseOpts(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"unexpected argument: $k")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m(k.drop(2)) = args(i + 1); i += 2
+      } else { m(k.drop(2)) = "true"; i += 1 }
+    }
+    m.toMap
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val opts = parseOpts(args)
     val sfDir = opts.getOrElse("sf", "/root/testdata/sf0.001")
     val which = opts.getOrElse("query", "all")
     val out = opts.get("out")
@@ -51,6 +65,50 @@ object Runner {
           f"partitions, retained $retain newest versions  (${r.root})")
       }
       spark.stop()
+      return
+    }
+
+    if (opts.contains("full-refresh")) {
+      // destructive entry point with the reference's confirmation gates
+      // (`full_refresh_fy2023_2025.py:291-293`): refuses without
+      // --confirm-delete / --confirm-fy, supports --dry-run and
+      // --skip-delete. The delete+backfill is one atomic versioned
+      // overwrite (see Orchestrator.fullRefresh).
+      import graft.ops.Orchestrator
+      val p = opts("full-refresh")
+      val fyFrom = opts.getOrElse("fy-from", "2023").toInt
+      val fyTo = opts.getOrElse("fy-to", "2025").toInt
+      require(fyFrom <= fyTo, s"--fy-from $fyFrom must be <= --fy-to $fyTo")
+      val years = fyFrom to fyTo
+      val dryRun = opts.get("dry-run").contains("true")
+      val selected = if (p == "all") Orchestrator.pipelines else Seq(p)
+      val sink = Orchestrator.VersionedSink()
+      println("=" * 72)
+      println(s"FULL REFRESH FY$fyFrom-FY$fyTo")
+      println(s"Targets: ${selected.mkString(", ")}")
+      println(s"Dry run: $dryRun")
+      println("=" * 72)
+      val results = selected.map { pl =>
+        if (dryRun) {
+          println(s"[refresh] $pl (dry-run): would overwrite ${sink.rootOf(spark, pl)} " +
+            s"with FY slices ${years.map(y => Orchestrator.mdxSlicer(pl, Orchestrator.Fiscal(y, None))).mkString("; ")}")
+        }
+        Orchestrator.fullRefresh(spark, sfDir, pl, years,
+          confirmDelete = opts.get("confirm-delete").contains("true"),
+          confirmFy = opts.get("confirm-fy").contains("true"),
+          dryRun = dryRun,
+          skipDelete = opts.get("skip-delete").contains("true"),
+          sink = sink)
+      }
+      results.foreach { r =>
+        val byFy = r.fyYears.map(y => s"FY$y=${r.rowsByFy.getOrElse(y, 0L)}").mkString(" ")
+        println(f"[refresh] ${r.pipeline}%-14s ${r.rows}%8d rows  $byFy  " +
+          f"${r.elapsedSec}%6.1f s" +
+          (if (r.dryRun) "  (dry-run)" else "") +
+          r.error.map(e => s"  FAILED: $e").getOrElse(""))
+      }
+      spark.stop()
+      if (results.exists(_.error.isDefined)) sys.exit(1)
       return
     }
 

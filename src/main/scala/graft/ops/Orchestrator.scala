@@ -247,6 +247,86 @@ object Orchestrator {
       sink: Sink = VersionedSink()): Seq[RunResult] =
     pipelines.map(run(spark, sfDir, _, slice, notifier, sink))
 
+  final case class RefreshResult(
+      pipeline: String, fyYears: Seq[Int], rowsByFy: Map[Int, Long], rows: Long,
+      elapsedSec: Double, dryRun: Boolean, error: Option[String])
+
+  /** Full refresh (delete + per-fiscal-year backfill) with the
+    * reference's safety contract (`full_refresh_fy2023_2025.py:201-294`):
+    * REFUSES to run without the explicit `confirmDelete`
+    * acknowledgement (unless `skipDelete`) and without `confirmFy`;
+    * `dryRun` reports what would happen — per-FY slicers, target root —
+    * without touching the table; the backfill is sliced per fiscal year
+    * exactly as the reference chunks its FY2023–FY2025 loop "to avoid
+    * huge single queries" (`full_refresh_fy2023_2025.py:6`).
+    *
+    * The engine's execution upgrade over the reference: delete + reload
+    * is ONE [[VersionedTable.overwrite]] — a fresh commit plus an atomic
+    * manifest swap — so a crash at any point leaves the previous table
+    * version fully served, where the reference's delete-then-upsert can
+    * die half-empty. With `skipDelete` (reference semantics: table
+    * already emptied server-side, rows are re-upserted) the backfill
+    * MERGEs by business key instead, preserving rows outside the
+    * refreshed window. One fact scan: the per-FY frames are unioned with
+    * a literal FY tag, persisted, counted per FY and written from the
+    * same cached relation.
+    */
+  def fullRefresh(spark: SparkSession, sfDir: String, pipeline: String,
+      fyYears: Seq[Int], confirmDelete: Boolean, confirmFy: Boolean,
+      dryRun: Boolean = false, skipDelete: Boolean = false,
+      notifier: Option[Notifier.Config] = None,
+      sink: VersionedSink = VersionedSink()): RefreshResult = {
+    if (!skipDelete && !confirmDelete)
+      sys.error("Refusing to run: pass --confirm-delete to delete all records " +
+        "(or use --skip-delete).")
+    if (!confirmFy)
+      sys.error("Refusing to run: pass --confirm-fy to run FY backfill.")
+    require(fyYears.nonEmpty, "full refresh needs at least one fiscal year")
+    val t0 = System.nanoTime()
+    val result =
+      if (dryRun)
+        RefreshResult(pipeline, fyYears, Map.empty, 0,
+          (System.nanoTime() - t0) / 1e9, dryRun = true, None)
+      else try {
+        val perFy = fyYears.map(y =>
+          source(spark, sfDir, pipeline, Fiscal(y, None)).withColumn("__fy", lit(y)))
+        val out = perFy.reduce(_.unionByName(_)).persist()
+        try {
+          val rowsByFy = out.groupBy("__fy").count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val rows = rowsByFy.values.sum
+          if (rows == 0) sys.error("No data returned from source for any fiscal year")
+          val data0 = out.drop("__fy")
+          val (data, parts) =
+            if (data0.columns.contains("calendar_date"))
+              (data0.withColumn("p_fy", year(col("calendar_date"))), Seq("p_fy"))
+            else (data0, Seq.empty[String])
+          if (skipDelete)
+            VersionedTable.merge(spark, sink.rootOf(spark, pipeline), data,
+              "business_key", partitionCols = parts,
+              onBeforePublish = sink.onBeforePublish)
+          else
+            VersionedTable.overwrite(spark, sink.rootOf(spark, pipeline), data,
+              partitionCols = parts, onBeforePublish = sink.onBeforePublish)
+          RefreshResult(pipeline, fyYears, rowsByFy, rows,
+            (System.nanoTime() - t0) / 1e9, dryRun = false, None)
+        } finally out.unpersist()
+      } catch {
+        case e: Exception =>
+          RefreshResult(pipeline, fyYears, Map.empty, 0,
+            (System.nanoTime() - t0) / 1e9, dryRun = false,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    notifier.foreach { cfg =>
+      val (subject, body) = Notifier.format(Notifier.RunSummary(
+        s"full-refresh $pipeline [FY ${fyYears.mkString(",")}]",
+        result.rows, 0, if (result.error.isDefined) 1 else 0,
+        result.elapsedSec, result.error))
+      Notifier.send(cfg, subject, body) // never fails the run
+    }
+    result
+  }
+
   final case class MaintainResult(pipeline: String, root: String,
       compactedPartitions: Int, retainedVersions: Int, skipped: Boolean)
 

@@ -172,6 +172,31 @@ object VersionedTable {
     readEntries(spark, root, readManifest(fs, root, version))
   }
 
+  /** Versioned truncate-and-load: publish a new version whose manifest
+    * is EXACTLY `data` — the crash-atomic form of the reference's
+    * full-refresh delete + backfill (`full_refresh_fy2023_2025.py:58-98`
+    * deletes every row, then re-upserts; a crash mid-way leaves the
+    * served table partially empty). Here the new dataset is written to a
+    * fresh commit dir and the swap is one manifest rename: a crash
+    * before the publish leaves the previous version fully readable, and
+    * readers pinned to older versions keep working until `vacuum`.
+    */
+  def overwrite(spark: SparkSession, rootDir: String, data: DataFrame,
+      partitionCols: Seq[String] = Nil,
+      onBeforePublish: () => Unit = () => ()): Unit = {
+    val root = new Path(rootDir)
+    val fs = fsOf(spark, root)
+    val v = currentVersion(fs, root)
+    val commitRel = s"commits/c-${java.util.UUID.randomUUID()}"
+    val commitAbs = new Path(root, commitRel)
+    val w = data.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(commitAbs.toString)
+    val entries = listEntries(fs, commitAbs, commitRel, partitionCols.size)
+    onBeforePublish()
+    publish(fs, root, v + 1, entries)
+  }
+
   /** MERGE `updates` by `businessKey` — insert-or-replace, partition-
     * scoped, atomically published. `updates` must already be deduped by
     * key (`MergeWriter.latestPerKey`). `onBeforePublish` is a test seam:

@@ -308,6 +308,75 @@ class OpsSpec extends SparkSpec {
     assert(full > baseline / 2, s"full=$full baseline=$baseline — scan not captured")
   }
 
+  test("full refresh: confirm gates, atomic FY backfill replaces stale rows, idempotent (E1/D5)") {
+    import graft.ops.Orchestrator
+    import graft.sinks.VersionedTable
+    def rootFor(p: String) = s"graft_versioned_refresh_$p"
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, rootFor("inventory")))
+    val sink = Orchestrator.VersionedSink(rootFor)
+    val root = sink.rootOf(spark, "inventory")
+    // the reference's two-flag refusal contract (full_refresh_...py:291-293)
+    val noDelete = intercept[RuntimeException](Orchestrator.fullRefresh(
+      spark, sfDir, "inventory", Seq(1995), confirmDelete = false, confirmFy = true, sink = sink))
+    assert(noDelete.getMessage.contains("--confirm-delete"), noDelete.getMessage)
+    val noFy = intercept[RuntimeException](Orchestrator.fullRefresh(
+      spark, sfDir, "inventory", Seq(1995), confirmDelete = true, confirmFy = false, sink = sink))
+    assert(noFy.getMessage.contains("--confirm-fy"), noFy.getMessage)
+    // dry-run: confirms still required, nothing written
+    val dry = Orchestrator.fullRefresh(spark, sfDir, "inventory", Seq(1995, 1996),
+      confirmDelete = true, confirmFy = true, dryRun = true, sink = sink)
+    assert(dry.dryRun && dry.error.isEmpty && dry.rows == 0, dry)
+    assert(VersionedTable.version(spark, root) == 0)
+    // seed the table with a recent rolling sync — these rows are OUTSIDE
+    // the FY1995-1996 refresh window and must be deleted by the refresh
+    val seed = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, sink)
+    assert(seed.error.isEmpty && seed.rows > 0, seed)
+    val seededKeys = VersionedTable.read(spark, root)
+      .select("business_key").as[String].collect().toSet
+    // full refresh: one atomic overwrite, per-FY accounting
+    val r1 = Orchestrator.fullRefresh(spark, sfDir, "inventory", Seq(1995, 1996),
+      confirmDelete = true, confirmFy = true, sink = sink)
+    assert(r1.error.isEmpty, r1)
+    assert(r1.rowsByFy.keySet == Set(1995, 1996) && r1.rowsByFy.values.forall(_ > 0), r1)
+    assert(r1.rows == r1.rowsByFy.values.sum)
+    val afterKeys = VersionedTable.read(spark, root)
+      .select("business_key").as[String].collect().toSet
+    assert(afterKeys.size == r1.rows)
+    assert(afterKeys.intersect(seededKeys).isEmpty, "stale out-of-window rows survived the refresh")
+    // rerun is idempotent: same row set, new version
+    val v1 = VersionedTable.version(spark, root)
+    val r2 = Orchestrator.fullRefresh(spark, sfDir, "inventory", Seq(1995, 1996),
+      confirmDelete = true, confirmFy = true, sink = sink)
+    assert(r2.error.isEmpty && r2.rows == r1.rows, r2)
+    assert(VersionedTable.version(spark, root) == v1 + 1)
+    assert(VersionedTable.read(spark, root)
+      .select("business_key").as[String].collect().toSet == afterKeys)
+    // --skip-delete (table emptied / preserved server-side): backfill
+    // MERGEs by key, keeping rows outside the refreshed window
+    val reseed = Orchestrator.run(spark, sfDir, "inventory", Orchestrator.Rolling(14), None, sink)
+    assert(reseed.error.isEmpty, reseed)
+    val r3 = Orchestrator.fullRefresh(spark, sfDir, "inventory", Seq(1995, 1996),
+      confirmDelete = false, confirmFy = true, skipDelete = true, sink = sink)
+    assert(r3.error.isEmpty, r3)
+    val mergedKeys = VersionedTable.read(spark, root)
+      .select("business_key").as[String].collect().toSet
+    assert(mergedKeys == afterKeys ++ seededKeys,
+      s"skip-delete merge lost rows: ${(afterKeys ++ seededKeys).size} expected, ${mergedKeys.size} got")
+    // crash between data write and manifest publish: previous version
+    // stays fully served — the atomicity the reference's delete+upsert lacks
+    val crashing = Orchestrator.VersionedSink(rootFor,
+      onBeforePublish = () => sys.error("crash before publish"))
+    val vBefore = VersionedTable.version(spark, root)
+    val r4 = Orchestrator.fullRefresh(spark, sfDir, "inventory", Seq(1995),
+      confirmDelete = true, confirmFy = true, sink = crashing)
+    assert(r4.error.isDefined, r4)
+    assert(VersionedTable.version(spark, root) == vBefore)
+    assert(VersionedTable.read(spark, root)
+      .select("business_key").as[String].collect().toSet == mergedKeys)
+  }
+
   test("orchestrator failure path still notifies with the error (E1)") {
     import java.net.InetSocketAddress
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
