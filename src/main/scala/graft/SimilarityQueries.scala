@@ -145,27 +145,122 @@ object SimilarityQueries {
     """.stripMargin.trim))
 
   /** The persisted IVF index (build-once / probe-many,
-    * [[graft.similarity.IvfIndex]]): build into a scratch root, then
-    * answer the same top-5 through the on-disk index — cell-partitioned
-    * vectors, broadcast centroids, probed-cell partition pruning. The
-    * oracle is s02's SQL verbatim: the index path must reproduce the
-    * in-memory IVF plan bit-for-bit (same decimal dot/norm kernels), so
-    * a hash mismatch here means the persisted layout changed semantics.
+    * [[graft.similarity.IvfIndex]]) over IN-ENGINE TRAINED cells: the
+    * sampled-Lloyd's coarse quantizer (`IvfIndex.train` — md5-mod
+    * sample, salted-md5 seed ranking, 2 Lloyd iterations, decimal-exact
+    * means) assigns every vector a cell, the index is built into a
+    * scratch root, and the same top-5 is answered through the on-disk
+    * layout — cell-partitioned vectors, broadcast centroids,
+    * probed-cell partition pruning.
+    *
+    * The oracle replays the ENTIRE path in SQL — sample filter, seed
+    * ranking, both unrolled Lloyd iterations, the full-corpus
+    * assignment, the recomputed full-member centroids, probe ranking
+    * and scoring — with the same decimal(28,12) kernels, so the trained
+    * quantizer itself (not just the probe mechanics) is hash-verified
+    * bit-for-bit.
     */
-  val s03 = QueryDef(
-    "s03_ivf_index_topk",
-    (s, dir) => {
-      import graft.similarity.IvfIndex
-      val root = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
-        "graft_s03_ivf_index")
-      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-      val emb = Tables.embeddings(s, dir)
-      IvfIndex.build(emb, "vec_id", "embedding", "label", root.toString)
-      IvfIndex.topK(s, root.toString,
-        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, probes = 2)
-    },
-    s02.oracle)
+  val s03: QueryDef = {
+    val nlist = 8; val iters = 2; val sampleMod = 2
+    // one Lloyd iteration in SQL: centroid norms -> per-(vector, cell)
+    // dots -> argmin((cns - 2 dot), cell) -> decimal-exact new means
+    def lloydIter(k: Int): String = s"""
+      n${k - 1} AS (
+        SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM c${k - 1} GROUP BY 1),
+      d$k AS (
+        SELECT e.vec_id, c.cell, ${O.dsum("e.val * c.cval", 12)} AS dot
+        FROM smp e JOIN c${k - 1} c ON c.pos = e.pos GROUP BY 1, 2),
+      a$k AS (
+        SELECT vec_id, cell FROM (
+          SELECT d.vec_id, d.cell,
+            ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY n.cns - 2 * d.dot, d.cell) AS rn
+          FROM d$k d JOIN n${k - 1} n USING (cell)) WHERE rn = 1),
+      c$k AS (
+        SELECT a.cell, e.pos, ${O.dsum("e.val", 12)} / COUNT(e.val) AS cval
+        FROM smp e JOIN a$k a ON a.vec_id = e.vec_id GROUP BY 1, 2),"""
+    QueryDef(
+      "s03_ivf_index_topk",
+      (s, dir) => {
+        import graft.similarity.IvfIndex
+        val root = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+          "graft_s03_ivf_index")
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        val emb = Tables.embeddings(s, dir)
+        IvfIndex.buildTrained(emb, "vec_id", "embedding", root.toString,
+          nlist = nlist, iters = iters, sampleMod = sampleMod)
+        IvfIndex.topK(s, root.toString,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, probes = 2)
+      },
+      Some(s"""
+        WITH ex0 AS (
+          SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
+          FROM embeddings),
+        ex AS (
+          SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+          FROM ex0),
+        smp AS (
+          SELECT * FROM ex
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % $sampleMod = 0),
+        seeds AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id,
+              ROW_NUMBER() OVER (ORDER BY md5('seed' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+            FROM (SELECT DISTINCT vec_id FROM smp)) WHERE cell < $nlist),
+        c0 AS (
+          SELECT s.cell, e.pos, e.val AS cval
+          FROM smp e JOIN seeds s ON s.vec_id = e.vec_id),
+        ${(1 to iters).map(lloydIter).mkString("\n")}
+        nf AS (
+          SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM c$iters GROUP BY 1),
+        df AS (
+          SELECT e.vec_id, c.cell, ${O.dsum("e.val * c.cval", 12)} AS dot
+          FROM ex e JOIN c$iters c ON c.pos = e.pos GROUP BY 1, 2),
+        af AS (
+          SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+              ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY n.cns - 2 * d.dot, d.cell) AS rn
+            FROM df d JOIN nf n USING (cell)) WHERE rn = 1),
+        cent AS (
+          SELECT a.cell, e.pos, ${O.dsum("e.val", 12)} / COUNT(e.val) AS cval
+          FROM ex e JOIN af a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+        centn AS (
+          SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM cent GROUP BY 1),
+        vn AS (
+          SELECT vec_id, ${O.dsum("val * val", 12)} AS vns FROM ex GROUP BY 1),
+        qc AS (
+          SELECT q.vec_id AS q_id, c.cell, ${O.dsum("q.val * c.cval", 12)} AS dot
+          FROM ex q JOIN cent c ON q.pos = c.pos
+          WHERE q.vec_id < 8
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT q_id, cell FROM (
+            SELECT q_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY dot / (sqrt(vns) * sqrt(cns)) DESC, cell) AS rn
+            FROM qc
+            JOIN vn ON vn.vec_id = q_id
+            JOIN centn USING (cell))
+          WHERE rn <= 2),
+        cand AS (
+          SELECT p.q_id, a.vec_id AS n_id
+          FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id != p.q_id),
+        dots AS (
+          SELECT c.q_id, c.n_id, ${O.dsum("qe.val * ne.val", 12)} AS dot
+          FROM cand c
+          JOIN ex qe ON qe.vec_id = c.q_id
+          JOIN ex ne ON ne.vec_id = c.n_id AND ne.pos = qe.pos
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q_id, n_id, dot / (sqrt(a.vns) * sqrt(b.vns)) AS cosine
+          FROM dots JOIN vn a ON a.vec_id = q_id JOIN vn b ON b.vec_id = n_id)
+        SELECT q_id, n_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+          FROM scored)
+        WHERE rn <= 5
+      """.stripMargin.trim))
+  }
 
   def all: Seq[QueryDef] = Seq(s01, s02, s03)
 }

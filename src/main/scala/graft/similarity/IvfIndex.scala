@@ -29,9 +29,15 @@ import graft.functions.StableAgg._
   * are bit-identical to the in-memory s02 plan (`IvfIndexSpec` pins
   * equality) and order-independent across partitionings.
   *
-  * The cell assignment is caller-provided (here: the corpus `label`; in
-  * general a k-means assignment computed upstream) — the index layout and
-  * probe mechanics are the same either way.
+  * The cell assignment either comes from the caller (a pre-existing
+  * corpus attribute like `label`) or — the production path at scale —
+  * from [[train]], the in-engine sampled-Lloyd's coarse quantizer:
+  * deterministic hash-seeded init, a fixed number of Lloyd iterations
+  * over a hash-sampled subset, exact decimal dot/mean arithmetic
+  * throughout, then one full-corpus assignment pass. Every step is
+  * deterministic for any partitioning (no RNG, no accumulation-order
+  * dependence), so a rebuild reproduces the identical index and the
+  * DuckDB oracle replays the trained cells bit-for-bit (s03).
   */
 object IvfIndex {
 
@@ -61,7 +67,8 @@ object IvfIndex {
     * previous one are pruned. Returns the published version.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
-      root: String): Int = {
+      root: String, retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
     val spark = corpus.sparkSession
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,12 +88,98 @@ object IvfIndex {
         s => s.getField("cval")).as("cent"))
       .withColumn("cns", Similarity.normSq(col("cent")))
     centArr.write.parquet(s"$tmp/centroids")
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(versionDir(root, next))))
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(versionDir(root, next)))) {
+      fs.delete(tmp, true) // lost the publish race — don't leak the build
       sys.error(s"concurrent index build: version $next already published at $root")
-    // retain newest + previous (in-flight readers); prune older
-    (1 until next - 1).foreach(old =>
+    }
+    // keep `retainVersions` newest builds for pinned/in-flight readers
+    // (consistent with VersionedTable.vacuum's retention contract)
+    (1 to next - retainVersions).foreach(old =>
       fs.delete(new org.apache.hadoop.fs.Path(versionDir(root, old)), true))
     next
+  }
+
+  /** Deterministic sampled-Lloyd's coarse quantizer — the in-engine
+    * k-means that replaces a caller-provided cell column. Returns the
+    * full corpus assignment `(vec_id, cell)` with `cell` in
+    * `[0, nlist)`.
+    *
+    * Design for 100 TB: training never touches the full corpus — Lloyd
+    * iterations run over a deterministic md5-mod sample (`sampleMod` = keep
+    * every vector whose hashed id ≡ 0 mod m), centroids stay
+    * control-plane-small (nlist × dims, always broadcast), and the full
+    * corpus is read exactly once, for the final assignment pass.
+    *
+    * Determinism (why not classic k-means||): every choice that is
+    * random in textbook k-means is an md5 order here — the sample is an
+    * id-hash filter and the `nlist` seeds are the sample ids ranked by a
+    * salted md5 (a deterministic stand-in for k-means||'s oversampled
+    * random init; with hashed ids the seeds are uniform over the sample,
+    * which is the property the init needs). Means are decimal-exact
+    * ([[graft.functions.StableAgg.dsum]]), so no result depends on
+    * partitioning or accumulation order: a rebuild bit-reproduces the
+    * index, and the s03 oracle replays training, assignment and probe in
+    * SQL.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      iters: Int = 2, sampleMod: Int = 1): DataFrame = {
+    require(nlist >= 1, "nlist must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val ex = corpus.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "val0")))
+      .withColumn("val", col("val0").cast("double")).drop("val0")
+    val smp =
+      if (sampleMod == 1) ex
+      else ex.filter(
+        conv(substring(md5(concat(lit("ivf"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % sampleMod === 0)
+    // nlist seeds by salted-md5 rank: limit first, then number the tiny
+    // survivor set (the window sorts nlist rows, not the corpus)
+    val seedW = Window.orderBy(col("__h"), col("vec_id"))
+    val seeds = smp.select("vec_id").distinct()
+      .withColumn("__h", md5(concat(lit("seed"), col("vec_id").cast("string"))))
+      .orderBy(col("__h"), col("vec_id")).limit(nlist)
+      .withColumn("cell", (row_number().over(seedW) - 1).cast("int"))
+      .select("vec_id", "cell")
+    var cent = smp.join(broadcast(seeds), "vec_id")
+      .select(col("cell"), col("pos"), col("val").as("cval"))
+    for (_ <- 1 to iters) {
+      val asg = assign(smp, cent)
+      cent = smp.join(asg, "vec_id")
+        .groupBy("cell", "pos")
+        .agg((dsum(col("val"), 12) / count(col("val"))).as("cval"))
+    }
+    assign(ex, cent)
+  }
+
+  /** Nearest-centroid assignment by squared L2: argmin over cells of
+    * ‖c‖² − 2·v·c (the ‖v‖² term is constant per vector, so it can't
+    * change the argmin). Decimal-exact dot products, tie broken on cell
+    * id — deterministic for any partitioning and replayable in SQL.
+    */
+  private def assign(ex: DataFrame, cent: DataFrame): DataFrame = {
+    val cns = cent.groupBy("cell").agg(dsum(col("cval") * col("cval"), 12).as("cns"))
+    val dots = ex.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cell")
+      .agg(dsum(col("val") * col("cval"), 12).as("dot"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy((col("cns") - lit(2) * col("dot")).asc, col("cell"))
+    dots.join(broadcast(cns), "cell")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** [[train]] + [[build]]: quantize the corpus in-engine, then build
+    * the persisted index over the trained cells.
+    */
+  def buildTrained(corpus: DataFrame, idCol: String, vecCol: String, root: String,
+      nlist: Int, iters: Int = 2, sampleMod: Int = 1,
+      retainVersions: Int = 2): Int = {
+    val cells = train(corpus, idCol, vecCol, nlist, iters, sampleMod)
+      .withColumnRenamed("vec_id", idCol)
+    build(corpus.join(cells, idCol), idCol, vecCol, "cell", root, retainVersions)
   }
 
   /** Top-k by cosine for each query vector, probing the `probes` nearest
