@@ -70,20 +70,29 @@ object Ops {
     import org.apache.spark.sql.execution.{CommandResultExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.metric.SQLMetric
     // several executed-plan nodes keep their real subtree as a FIELD, not
     // a child (AQE's plan + its materialized query stages, commands,
     // cached relations) — without these cases a write action reports an
-    // empty metric map
+    // empty metric map. Both plan nodes and metric objects are deduped by
+    // reference identity: AQE stage reuse makes the same physical subtree
+    // (and its SQLMetric instances) reachable through a reused wrapper AND
+    // the original plan, which would double-count every reused exchange.
+    val seenNodes = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children.flatMap(walk) ++ (p match {
+      if (!seenNodes.add(p)) Nil
+      else p +: (p.children.flatMap(walk) ++ (p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec => walk(q.plan)
         case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)
         case c: CommandResultExec => walk(c.commandPhysicalPlan)
         case _ => Nil
       }))
+    val seenMetrics = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SQLMetric, java.lang.Boolean]())
     walk(qe.executedPlan)
-      .flatMap(_.metrics.toSeq.map { case (k, m) => k -> m.value })
+      .flatMap(_.metrics.toSeq.collect { case (k, m) if seenMetrics.add(m) => k -> m.value })
       .groupMapReduce(_._1)(_._2)(_ + _)
   }
 
@@ -92,6 +101,13 @@ object Ops {
     * Listener events are delivered asynchronously on the listener bus,
     * so this polls until `expect` reports arrive (or `timeoutMs`) —
     * callers state how many actions they ran.
+    *
+    * CONTRACT: `capture` assumes no concurrent actions run on the same
+    * SparkSession while `body` executes — the listener is session-global,
+    * so an unrelated concurrent action would be counted toward `expect`
+    * and misattributed into the returned reports. Callers that share a
+    * session across threads (Bench uses its own accumulating listener
+    * for exactly this reason) must serialize around `capture`.
     */
   def capture[A](spark: SparkSession, expect: Int, timeoutMs: Long = 30000)
       (body: => A): (A, Seq[QueryReport]) = {

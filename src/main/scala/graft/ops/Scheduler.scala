@@ -63,13 +63,15 @@ object Scheduler {
     * monthly table maintenance (1st 00:00 — `Orchestrator.maintain`:
     * business-key-clustered compaction + retention vacuum per versioned
     * root), which a log-structured sink needs where the reference's
-    * remote Dataverse tables did not.
+    * remote Dataverse tables did not. The maintenance slot exists only
+    * when a callback is actually bound — a schedule must reflect what
+    * runs, never carry a silently-do-nothing job.
     */
   def referenceJobs(runIncremental: () => Unit, runFull: () => Unit,
-      runMaintenance: () => Unit = () => ()): Seq[Job] = Seq(
+      runMaintenance: Option[() => Unit] = None): Seq[Job] = Seq(
     Job("daily_olap_sync", parse("0 2 * * *"), runIncremental),
-    Job("weekly_full_sync", parse("0 3 * * 0"), runFull),
-    Job("monthly_maintenance", parse("0 0 1 * *"), runMaintenance))
+    Job("weekly_full_sync", parse("0 3 * * 0"), runFull)) ++
+    runMaintenance.map(m => Job("monthly_maintenance", parse("0 0 1 * *"), m))
 
   /** Minimal loop driver: fires each job at its next cron instant,
     * re-arms, repeats until `stop()`. Clock and sleeper are injectable

@@ -108,8 +108,14 @@ object Similarity {
       .agg(sum((col("val") * col("val")).cast(Dec)).cast("double").as("ns"))
     val v = base.join(ns, "vec_id")
     // (plane, pos) → md5 weight: a planes×dim control-plane table, each
-    // weight evaluated once and broadcast (vs once per vector element)
-    val dims = base.agg(max(size(col("emb")))).head().getInt(0)
+    // weight evaluated once and broadcast (vs once per vector element).
+    // An empty corpus (a plausible daily slice) has no max — return the
+    // empty pair set instead of NPE-ing on the null aggregate
+    val dimsRow = base.agg(max(size(col("emb")))).head()
+    if (dimsRow.isNullAt(0))
+      return base.select(col("vec_id").as("va"), col("vec_id").as("vb"),
+        lit(0.0).as("cosine")).limit(0)
+    val dims = dimsRow.getInt(0)
     val weights = spark.range(planes.toLong * dims).select(
         floor(col("id") / dims).cast("int").as("plane"),
         pmod(col("id"), lit(dims)).cast("int").as("pos"))

@@ -350,8 +350,12 @@ object VersionedTable {
     val commitAbs = new Path(root, commitRel)
     plans.foreach { case (relPath, dirs, nTarget) =>
       // raw parquet read of the partition's data files: partition values
-      // stay encoded in the dir name only, exactly as written
-      val data = spark.read.parquet(dirs.map(_.toString): _*)
+      // stay encoded in the dir name only, exactly as written. mergeSchema:
+      // a partition's live dirs may span commits written before and after
+      // a schema evolution — taking one file's schema would silently drop
+      // the evolved columns from the rewrite (data loss)
+      val data = spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(_.toString): _*)
       val packed =
         if (sortCols.isEmpty) data.repartition(nTarget)
         else data.repartitionByRange(nTarget, sortCols.map(col): _*)

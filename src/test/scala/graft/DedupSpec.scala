@@ -95,4 +95,14 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size} missing=${brute.diff(lsh)}")
     assert(brute.nonEmpty)
   }
+
+  test("sign-bit LSH on an empty corpus returns the empty pair set") {
+    import graft.similarity.Similarity
+    // an empty daily slice is a plausible input — must not NPE on the
+    // null max-dims aggregate
+    val empty = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 0)
+    val out = Similarity.lshCosinePairs(empty, "vec_id", "embedding", 0.9)
+    assert(out.columns.toSeq == Seq("va", "vb", "cosine"))
+    assert(out.count() == 0)
+  }
 }

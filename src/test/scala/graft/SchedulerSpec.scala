@@ -28,7 +28,7 @@ class SchedulerSpec extends AnyFunSuite {
     val jobs = Scheduler.referenceJobs(
       runIncremental = () => fired += "inc",
       runFull = () => fired += "full",
-      runMaintenance = () => fired += "maint")
+      runMaintenance = Some(() => fired += "maint"))
     val loop = new Scheduler.Loop(jobs, utc,
       now = () => clock,
       sleep = ms => clock = clock.plusMillis(ms))
@@ -53,6 +53,9 @@ class SchedulerSpec extends AnyFunSuite {
     // the throwing incremental job keeps its schedule
     assert(fired.toSeq == Seq("inc", "full", "inc", "inc"))
     assert(clock == t("2026-08-18T02:00:00Z"))
+    // no maintenance callback bound -> no maintenance job in the table:
+    // the schedule reflects what actually runs
+    assert(!jobs.exists(_.name == "monthly_maintenance"), jobs.map(_.name))
   }
 
   test("stop() halts the loop") {
