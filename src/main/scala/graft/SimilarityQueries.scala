@@ -159,6 +159,14 @@ object SimilarityQueries {
     * and scoring — with the same decimal(28,12) kernels, so the trained
     * quantizer itself (not just the probe mechanics) is hash-verified
     * bit-for-bit.
+    *
+    * Bench-cost note: unlike every other query, s03 re-trains AND
+    * re-builds the index from scratch each run so the oracle can verify
+    * the whole path (phase-probed steady-state at sf0.1: ~1 s/Lloyd
+    * iteration + ~2 s full assignment + ~2 s build writes + ~2 s
+    * probe). Production is build-once/probe-many: the amortized query
+    * cost is the probe alone, and training cost is bounded by
+    * `sampleMod`, not corpus size.
     */
   val s03: QueryDef = {
     val nlist = 8; val iters = 2; val sampleMod = 2

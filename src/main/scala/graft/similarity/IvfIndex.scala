@@ -126,6 +126,18 @@ object IvfIndex {
     require(nlist >= 1, "nlist must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     require(sampleMod >= 1, "sampleMod must be >= 1")
+    val spark = corpus.sparkSession
+    // centroids are control-plane-small (nlist × dims rows) — pin each
+    // round's table to the driver and restart the lineage from a literal.
+    // Left lazy, every assign references the centroid subtree twice (norms
+    // + dots) and each Lloyd round references the previous round's, so the
+    // training DAG re-executes exponentially in `iters` (measured 13 s vs
+    // 4 s at sf0.1 for iters=2). Values are exact decimals/doubles, so
+    // materializing changes nothing but the plan.
+    def pinned(df: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    }
     val ex = corpus.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("pos", "val0")))
       .withColumn("val", col("val0").cast("double")).drop("val0")
@@ -134,23 +146,28 @@ object IvfIndex {
       else ex.filter(
         conv(substring(md5(concat(lit("ivf"), col("vec_id").cast("string"))), 1, 8), 16, 10)
           .cast("long") % sampleMod === 0)
-    // nlist seeds by salted-md5 rank: limit first, then number the tiny
-    // survivor set (the window sorts nlist rows, not the corpus)
-    val seedW = Window.orderBy(col("__h"), col("vec_id"))
-    val seeds = smp.select("vec_id").distinct()
-      .withColumn("__h", md5(concat(lit("seed"), col("vec_id").cast("string"))))
-      .orderBy(col("__h"), col("vec_id")).limit(nlist)
-      .withColumn("cell", (row_number().over(seedW) - 1).cast("int"))
-      .select("vec_id", "cell")
-    var cent = smp.join(broadcast(seeds), "vec_id")
-      .select(col("cell"), col("pos"), col("val").as("cval"))
-    for (_ <- 1 to iters) {
-      val asg = assign(smp, cent)
-      cent = smp.join(asg, "vec_id")
-        .groupBy("cell", "pos")
-        .agg((dsum(col("val"), 12) / count(col("val"))).as("cval"))
-    }
-    assign(ex, cent)
+    smp.persist() // scanned twice per Lloyd round (assign + re-mean)
+    try {
+      // nlist seeds by salted-md5 rank: limit first, then number the tiny
+      // survivor set (the window sorts nlist rows, not the corpus)
+      val seedW = Window.orderBy(col("__h"), col("vec_id"))
+      val seeds = smp.select("vec_id").distinct()
+        .withColumn("__h", md5(concat(lit("seed"), col("vec_id").cast("string"))))
+        .orderBy(col("__h"), col("vec_id")).limit(nlist)
+        .withColumn("cell", (row_number().over(seedW) - 1).cast("int"))
+        .select("vec_id", "cell")
+      var cent = pinned(smp.join(broadcast(seeds), "vec_id")
+        .select(col("cell"), col("pos"), col("val").as("cval")))
+      for (_ <- 1 to iters) {
+        val asg = assign(smp, cent)
+        cent = pinned(smp.join(asg, "vec_id")
+          .groupBy("cell", "pos")
+          .agg((dsum(col("val"), 12) / count(col("val"))).as("cval")))
+      }
+      // the returned plan depends only on the full corpus and the final
+      // pinned centroids — never on the (unpersisted-below) sample
+      assign(ex, cent)
+    } finally smp.unpersist()
   }
 
   /** Nearest-centroid assignment by squared L2: argmin over cells of
@@ -179,7 +196,11 @@ object IvfIndex {
       retainVersions: Int = 2): Int = {
     val cells = train(corpus, idCol, vecCol, nlist, iters, sampleMod)
       .withColumnRenamed("vec_id", idCol)
-    build(corpus.join(cells, idCol), idCol, vecCol, "cell", root, retainVersions)
+    // build runs two actions (vectors write + centroids write) — cache
+    // the assignment so the final full-corpus pass runs once, not twice
+    cells.persist()
+    try build(corpus.join(cells, idCol), idCol, vecCol, "cell", root, retainVersions)
+    finally cells.unpersist()
   }
 
   /** Top-k by cosine for each query vector, probing the `probes` nearest
