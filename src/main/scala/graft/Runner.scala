@@ -33,6 +33,24 @@ object Runner {
 
   def main(args: Array[String]): Unit = {
     val opts = parseOpts(args)
+    // --log-file <path>: tee stdout+stderr to a logfile, the reference's
+    // operational discipline for long destructive runs
+    // (`full_refresh_fy2023_2025.py:267-289` installs the same tee) — the
+    // console stays live, the file keeps the audit trail.
+    opts.get("log-file").foreach { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val fileOut = new java.io.PrintStream(
+        new java.io.FileOutputStream(f, true), true, "UTF-8")
+      def tee(live: java.io.PrintStream) = new java.io.PrintStream(live, true, "UTF-8") {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          super.write(b, off, len); fileOut.write(b, off, len); fileOut.flush()
+        }
+      }
+      System.setOut(tee(System.out))
+      System.setErr(tee(System.err))
+      println(s"Log file: $p")
+    }
     val sfDir = opts.getOrElse("sf", "/root/testdata/sf0.001")
     val which = opts.getOrElse("query", "all")
     val out = opts.get("out")
@@ -143,8 +161,11 @@ object Runner {
         if (p == "all") Orchestrator.runAll(spark, sfDir, slice, sink = sink)
         else Seq(Orchestrator.run(spark, sfDir, p, slice, sink = sink))
       results.foreach { r =>
+        // rows/sec mirrors the reference's upsert progress rate
+        // (`modules/dataverse.py:213-219`)
+        val rate = if (r.elapsedSec > 0) r.rows / r.elapsedSec else 0.0
         println(f"[sync] ${r.pipeline}%-14s ${r.rows}%8d rows  ${r.created}%7d created " +
-          f"${r.updated}%7d updated  ${r.elapsedSec}%6.1f s  slicer=${r.slicer}" +
+          f"${r.updated}%7d updated  ${r.elapsedSec}%6.1f s  ${rate}%8.0f rows/s  slicer=${r.slicer}" +
           r.error.map(e => s"  FAILED: $e").getOrElse(""))
       }
       spark.stop()
