@@ -185,6 +185,28 @@ object Bench {
       name -> r
     }
     val (loadAfter, memAfter) = machineLoad()
+    println(renderLine(runs, unstable.toSeq,
+      (loadBefore, loadAfter, memBefore, memAfter), waitedSec, sfDir))
+    System.out.flush()
+    spark.stop()
+  }
+
+  /** The single-line JSON artifact. Pure so `BenchSpec` can pin the
+    * contract: the whole line must fit in the driver's bounded
+    * output-tail capture (~2 KB) or the leading keys — including the
+    * headline metric — get truncated away and the artifact is
+    * unparseable. Hence: millisecond precision (sub-ms is noise at
+    * these run times anyway), load as a compact [loadavg_before,
+    * loadavg_after, mem_avail_mib_before, mem_avail_mib_after] array,
+    * error text capped, and at most 8 spelled-out error entries (the
+    * rest is a count under `_more`).
+    */
+  private[graft] def renderLine(
+      runs: Seq[(String, Either[String, Double])],
+      unstable: Seq[String],
+      load: (Double, Double, Long, Long),
+      waitedSec: Double,
+      sfDir: String): String = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -192,31 +214,31 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
-    // The whole line must fit in the driver's bounded output-tail capture
-    // (~2 KB) or the leading keys — including the headline metric — get
-    // truncated away and the artifact is unparseable. Hence: millisecond
-    // precision (sub-ms is noise at these run times anyway), load as a
-    // compact [loadavg_before, loadavg_after, mem_avail_mib_before,
-    // mem_avail_mib_after] array, error text capped, and at most 8
-    // spelled-out error entries (the rest is a count).
     def sec(t: Double): String = f"$t%.3f"
     val qs = runs.map { case (k, r) =>
       s"\"${esc(k)}\":" + r.fold(_ => "-1", sec)
     }.mkString("{", ",", "}")
     val allErrs = runs.collect { case (k, Left(err)) => k -> err }
-    val errs = (allErrs.take(8).map { case (k, err) =>
-      s"\"${esc(k)}\":\"${esc(err.take(60))}\""
-    } ++ (if (allErrs.size > 8) Seq(s"\"_more\":${allErrs.size - 8}") else Nil))
-      .mkString("{", ",", "}")
-    val total = runs.collect { case (_, Right(t)) => t }.sum
-    val nFailed = runs.count(_._2.isLeft)
-    val unstableJson = unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
-    val loadJson = s""""load":[$loadBefore,$loadAfter,$memBefore,$memAfter]"""
-    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
-      .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
-    val waitJson = if (waitedSec > 0) f""","wait":${waitedSec}%.0f""" else ""
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson$waitJson,"sf":$sfNum}""")
-    System.out.flush()
-    spark.stop()
+    def render(errCap: Int): String = {
+      val errs = (allErrs.take(errCap).map { case (k, err) =>
+        s"\"${esc(k)}\":\"${esc(err.take(60))}\""
+      } ++ (if (allErrs.size > errCap) Seq(s"\"_more\":${allErrs.size - errCap}") else Nil))
+        .mkString("{", ",", "}")
+      val total = runs.collect { case (_, Right(t)) => t }.sum
+      val nFailed = runs.count(_._2.isLeft)
+      val unstableJson = unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
+      val loadJson =
+        s""""load":[${load._1},${load._2},${load._3},${load._4}]"""
+      val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+        .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
+      val waitJson = if (waitedSec > 0) f""","wait":${waitedSec}%.0f""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"unstable":$unstableJson,$loadJson$waitJson,"sf":$sfNum}"""
+    }
+    // self-clamp: a catastrophic run (every query failed, long error
+    // text) can push 8 spelled-out errors past the tail cap — shed
+    // error detail (never timings) until the line fits with margin
+    (8 to 0 by -2).iterator.map(render)
+      .find(_.length <= 2000)
+      .getOrElse(render(0))
   }
 }

@@ -86,6 +86,27 @@ object Runner {
       return
     }
 
+    if (opts.contains("schedule")) {
+      // the reference's cron table (`truenas/cron-jobs.txt`) as a live
+      // scheduler: daily 2wk incremental, Sunday full_bi_data sync,
+      // monthly table maintenance. --max-fires bounds the loop (ops
+      // smoke tests); default runs until killed, like cron.
+      import graft.ops.{Orchestrator, Scheduler}
+      val maxFires = opts.get("max-fires").map(_.toInt).getOrElse(Int.MaxValue)
+      val retain = opts.getOrElse("retain", "7").toInt
+      val jobs = Orchestrator.scheduledJobs(spark, sfDir, retainVersions = retain,
+        onResult = r =>
+          println(f"[sched] ${r.pipeline}%-14s ${r.rows}%8d rows ${r.elapsedSec}%6.1f s  " +
+            f"slicer=${r.slicer}" + r.error.map(e => s"  FAILED: $e").getOrElse("")),
+        onMaintain = m =>
+          println(f"[sched] maintain ${m.pipeline}%-14s compacted=${m.compactedPartitions} " +
+            f"skipped=${m.skipped}"))
+      println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
+      new Scheduler.Loop(jobs).run(maxFires)
+      spark.stop()
+      return
+    }
+
     if (opts.contains("full-refresh")) {
       // destructive entry point with the reference's confirmation gates
       // (`full_refresh_fy2023_2025.py:291-293`): refuses without

@@ -29,6 +29,10 @@ object Orchestrator {
   final case class Rolling(days: Int) extends Slice
   /** Fiscal-year slicer, optional 13-4 period (1-13). */
   final case class Fiscal(fy: Int, fp: Option[Int]) extends Slice
+  /** No slicer — the reference's `full_bi_data` weekly validation sync
+    * (`truenas/cron-jobs.txt:15`), which queries the whole cube.
+    */
+  case object Full extends Slice
 
   /** The five config-driven pipelines, same registry as the reference's
     * `pipelines/pipelines.yaml`.
@@ -51,6 +55,7 @@ object Orchestrator {
       case (None, None) => length match {
         case "1wk" => Rolling(7)
         case "2wk" => Rolling(14)
+        case "full" => Full
         case other => sys.error(s"Unknown length '$other'")
       }
     }
@@ -71,6 +76,7 @@ object Orchestrator {
       if (pipeline == "offers")
         s"([MyView].[My View].[My View].&[$myViewId],[13-4 Calendar].[Alternate Calendar Hierarchy].[All])"
       else s"[MyView].[My View].[My View].&[$myViewId]"
+    case Full => "(full_bi_data: no slicer)"
   }
 
   /** Apply the slice BELOW the aggregate: rolling windows anchor on the
@@ -80,6 +86,7 @@ object Orchestrator {
     */
   def applySlice(df: DataFrame, dateCol: Column, pipeline: String, slice: Slice): DataFrame =
     slice match {
+      case Full => df
       case Rolling(days) =>
         val anchor = df.agg(max(to_date(dateCol)).as("__graft_anchor"))
         df.crossJoin(broadcast(anchor))
@@ -326,6 +333,31 @@ object Orchestrator {
     }
     result
   }
+
+  /** The reference's production schedule bound to REAL work — the
+    * cron table of `truenas/cron-jobs.txt` as live scheduler jobs:
+    * daily 02:00 incremental 2-week sync of every pipeline (`:12`,
+    * `--query-type last_2_weeks`), Sunday 03:00 full-data validation
+    * sync (`:15`, `full_bi_data` → the [[Full]] slice), and the
+    * monthly 1st-00:00 housekeeping slot (`:18`, log rotation there;
+    * here [[maintain]] — compaction + retention vacuum — which a
+    * log-structured sink needs where the reference's remote tables did
+    * not). Results flow through `onResult`/`onMaintain` so the caller
+    * owns logging; job failures are already re-armed by
+    * `Scheduler.Loop`.
+    */
+  def scheduledJobs(spark: SparkSession, sfDir: String,
+      sink: VersionedSink = VersionedSink(), retainVersions: Int = 7,
+      notifier: Option[Notifier.Config] = None,
+      onResult: RunResult => Unit = _ => (),
+      onMaintain: MaintainResult => Unit = _ => ()): Seq[Scheduler.Job] =
+    Scheduler.referenceJobs(
+      runIncremental = () =>
+        runAll(spark, sfDir, Rolling(14), notifier, sink).foreach(onResult),
+      runFull = () =>
+        runAll(spark, sfDir, Full, notifier, sink).foreach(onResult),
+      runMaintenance = Some(() =>
+        pipelines.foreach(p => onMaintain(maintain(spark, p, retainVersions, sink)))))
 
   final case class MaintainResult(pipeline: String, root: String,
       compactedPartitions: Int, retainedVersions: Int, skipped: Boolean)

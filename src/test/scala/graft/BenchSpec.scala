@@ -1,0 +1,62 @@
+package graft
+
+/** The bench artifact contract: one JSON line that ALWAYS parses and
+  * fits the driver's ~2 KB output-tail capture — including worst cases
+  * (every query failed with maximal error text) that round 4/6 showed
+  * turn a transient environment problem into a lost round artifact.
+  */
+class BenchSpec extends SparkSpec {
+
+  private def parse(line: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    val df = spark.read.json(Seq(line).toDS)
+    assert(!df.columns.contains("_corrupt_record"), s"unparseable: $line")
+    df.head()
+  }
+
+  private def names = (1 to 60).map(i => f"q$i%02d_some_operator_name")
+
+  test("healthy artifact: parses, sums, stays under the tail cap") {
+    val runs = names.map(n => n -> (Right(1.2345678): Either[String, Double]))
+    val line = Bench.renderLine(runs, Seq("q03_some_operator_name"),
+      (1.25, 3.96, 126220L, 121148L), 0.0, "/root/testdata/sf0.1")
+    assert(line.length < 2048, s"${line.length} bytes")
+    assert(!line.contains("\n"))
+    val row = parse(line)
+    assert(row.getAs[String]("metric") == "total")
+    // value is the sum of RAW times (then ms-rounded), not of the
+    // per-query rounded renderings
+    assert(math.abs(row.getAs[Double]("value") - 60 * 1.2345678) < 0.001)
+    assert(row.getAs[Long]("failed") == 0)
+    assert(row.getAs[Double]("sf") == 0.1)
+  }
+
+  test("worst case: 60 failures with hostile text still parse under the cap") {
+    val nasty = "java.lang.RuntimeException: \"quoted\"\\backslash\n" + "x" * 300
+    val runs = names.map(n => n -> (Left(nasty): Either[String, Double]))
+    val line = Bench.renderLine(runs, Nil, (9.9, 9.9, 1L, 1L), 88.0, "/weird dir/no-sf")
+    assert(line.length < 2048, s"${line.length} bytes — would truncate the artifact")
+    val row = parse(line)
+    assert(row.getAs[Long]("failed") == 60)
+    // error detail self-clamps (≤8 spelled out, fewer if the line would
+    // blow the cap) and the remainder is counted — nothing silently lost
+    val errs = row.getAs[org.apache.spark.sql.Row]("errors")
+    val spelled = errs.schema.fieldNames.count(_ != "_more")
+    assert(spelled <= 8)
+    assert(spelled + errs.getAs[Long]("_more") == 60)
+    // non-sf dir is quoted, not dropped
+    assert(row.getAs[String]("sf") == "/weird dir/no-sf")
+    assert(row.getAs[Long]("wait") == 88L)
+  }
+
+  test("mixed run: failures are -1 in queries, successes keep timings") {
+    val runs: Seq[(String, Either[String, Double])] = Seq(
+      "a_ok" -> Right(2.5), "b_bad" -> Left("timeout>120s"), "c_ok" -> Right(0.001))
+    val row = parse(Bench.renderLine(runs, Nil, (0, 0, 0L, 0L), 0.0, "sf0.01"))
+    val qs = row.getAs[org.apache.spark.sql.Row]("queries")
+    assert(qs.getAs[Double]("a_ok") == 2.5)
+    assert(qs.getAs[Long]("b_bad") == -1)
+    assert(row.getAs[Long]("failed") == 1)
+    assert(row.getAs[org.apache.spark.sql.Row]("errors").getAs[String]("b_bad") == "timeout>120s")
+  }
+}

@@ -377,6 +377,41 @@ class OpsSpec extends SparkSpec {
       .select("business_key").as[String].collect().toSet == mergedKeys)
   }
 
+  test("scheduled jobs bind the reference cron table to real syncs and maintenance (E1/E2)") {
+    import java.time.{Instant, ZoneId}
+    import graft.ops.{Orchestrator, Scheduler}
+    def rootFor(p: String) = s"graft_versioned_sched_$p"
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Orchestrator.pipelines.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, rootFor(p))))
+    val sink = Orchestrator.VersionedSink(rootFor)
+    val results = scala.collection.mutable.ArrayBuffer[Orchestrator.RunResult]()
+    val maints = scala.collection.mutable.ArrayBuffer[Orchestrator.MaintainResult]()
+    val jobs = Orchestrator.scheduledJobs(spark, sfDir, sink, retainVersions = 3,
+      onResult = results += _, onMaintain = maints += _)
+    assert(jobs.map(_.name) ==
+      Seq("daily_olap_sync", "weekly_full_sync", "monthly_maintenance"))
+    // Saturday 23:00 → Sunday 02:00 daily incremental, Sunday 03:00 full —
+    // two REAL fires under virtual time, every pipeline synced twice
+    var clock = Instant.parse("2026-08-29T23:00:00Z")
+    new Scheduler.Loop(jobs, ZoneId.of("UTC"),
+      now = () => clock, sleep = ms => clock = clock.plusMillis(ms))
+      .run(maxFires = 2)
+    assert(results.size == 2 * Orchestrator.pipelines.size, results.map(_.pipeline))
+    assert(results.forall(_.error.isEmpty), results.filter(_.error.isDefined))
+    val (daily, full) = results.splitAt(Orchestrator.pipelines.size)
+    assert(daily.forall(_.slicer.contains("MyView")), daily.map(_.slicer).distinct)
+    assert(full.forall(_.slicer == "(full_bi_data: no slicer)"), full.map(_.slicer).distinct)
+    // the full sync covers strictly more rows than the 2-week window
+    assert(full.map(_.rows).sum > daily.map(_.rows).sum)
+    // monthly slot: fire the bound maintenance closure — every pipeline
+    // root was just synced, so none may be skipped
+    jobs.find(_.name == "monthly_maintenance").get.run()
+    assert(maints.size == Orchestrator.pipelines.size)
+    assert(maints.forall(!_.skipped), maints)
+  }
+
   test("orchestrator failure path still notifies with the error (E1)") {
     import java.net.InetSocketAddress
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
