@@ -185,6 +185,11 @@ object Bench {
       name -> r
     }
     val (loadAfter, memAfter) = machineLoad()
+    // drain stderr BEFORE emitting the artifact so the progress lines
+    // can't interleave after the JSON in a merged output capture and
+    // push its head out of a bounded tail
+    System.err.flush()
+    Thread.sleep(100)
     println(renderLine(runs, unstable.toSeq,
       (loadBefore, loadAfter, memBefore, memAfter), waitedSec, sfDir))
     System.out.flush()
