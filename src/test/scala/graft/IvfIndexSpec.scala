@@ -53,6 +53,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(a.map(_._2).subsetOf((0 until 8).toSet), a.map(_._2))
   }
 
+  test("trainer descends: sample SSE is monotone non-increasing in Lloyd iterations") {
+    import graft.functions.StableAgg._
+    val emb = Tables.embeddings(spark, sfDir)
+    // within-cluster SSE of an assignment with its own mean centroids,
+    // over the trainer's sample (the monotone Lloyd quantity: S(a_k+1)
+    // <= SSE(a_k+1, c_k) <= SSE(a_k, c_k) = S(a_k))
+    def sampleSse(iters: Int): Double = {
+      val cells = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8,
+        iters = iters, sampleMod = 2)
+      val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+        .withColumn("v", col("v0").cast("double"))
+        .filter(conv(substring(md5(concat(lit("ivf"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0)
+        .join(cells, "vec_id")
+      val cent = ex.groupBy("cell", "pos").agg((dsum(col("v"), 12) / count(col("v"))).as("c"))
+      ex.join(cent, Seq("cell", "pos"))
+        .agg(dsum((col("v") - col("c")) * (col("v") - col("c")), 12))
+        .head().getDouble(0)
+    }
+    val s1 = sampleSse(1); val s2 = sampleSse(2); val s3 = sampleSse(3)
+    assert(s2 <= s1, s"SSE rose: iters1=$s1 iters2=$s2")
+    assert(s3 <= s2, s"SSE rose: iters2=$s2 iters3=$s3")
+    assert(s3 > 0)
+  }
+
   test("trained index: recall vs brute top-k, pruning pinned, deterministic rebuild") {
     import graft.similarity.Similarity
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-t").toString + "/idx"
