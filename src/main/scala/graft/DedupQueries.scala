@@ -11,21 +11,85 @@ import graft.similarity.Similarity
   */
 object DedupQueries {
 
-  /** Shared DuckDB CTEs: tokenization → distinct shingle inverted index
-    * with the df≤100 hot-shingle cap → per-doc set sizes. Mirrors
-    * Dedup.shingleIndex exactly.
+  /** Shared DuckDB CTEs, parameterized by a CTE-name prefix and a
+    * corpus predicate so the incremental query (d07) can replay the
+    * recipe over two disjoint corpora side by side: tokenization →
+    * distinct shingle inverted index with the df≤100 hot-shingle cap
+    * (capped WITHIN the given corpus, exactly like the store build) →
+    * per-doc set sizes. Mirrors Dedup.shingleIndex.
     */
-  private val shingleCtes = """
-      toks AS (
-        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        FROM documents),
-      sh0 AS (
+  private def corpusCtes(p: String, where: String): String = s"""
+      ${p}toks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE $where),
+      ${p}sh0 AS (
         SELECT DISTINCT doc_id,
           unnest(list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
-        FROM toks WHERE len(t) >= 3),
-      df AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100),
-      sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+        FROM ${p}toks WHERE len(t) >= 3),
+      ${p}df AS (SELECT shingle FROM ${p}sh0 GROUP BY 1 HAVING count(*) <= 100),
+      ${p}sh AS (SELECT s.doc_id, s.shingle FROM ${p}sh0 s JOIN ${p}df USING (shingle)),
+      ${p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}sh GROUP BY 1)"""
+
+  private val shingleCtes = corpusCtes("", "TRUE")
+
+  /** The MinHash band-signature CTEs (16 permuted mins → 8 r=2 bands),
+    * prefix-parameterized like [[corpusCtes]]. Mirrors
+    * Dedup.minhashBands bit for bit.
+    */
+  private def bandCtes(p: String): String = s"""
+      ${p}shl AS (
+        SELECT doc_id, list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS sl
+        FROM ${p}toks WHERE len(t) >= 3),
+      ${p}sh_all AS (SELECT doc_id, unnest(sl) AS s FROM ${p}shl),
+      ${p}hb AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+        FROM ${p}sh_all),
+      ${p}sigs AS (
+        SELECT doc_id,
+          MIN((h * 1 + 1) % 2147483647) AS m0,
+          MIN((h * 3 + 7920) % 2147483647) AS m1,
+          MIN((h * 5 + 15839) % 2147483647) AS m2,
+          MIN((h * 7 + 23758) % 2147483647) AS m3,
+          MIN((h * 9 + 31677) % 2147483647) AS m4,
+          MIN((h * 11 + 39596) % 2147483647) AS m5,
+          MIN((h * 13 + 47515) % 2147483647) AS m6,
+          MIN((h * 15 + 55434) % 2147483647) AS m7,
+          MIN((h * 17 + 63353) % 2147483647) AS m8,
+          MIN((h * 19 + 71272) % 2147483647) AS m9,
+          MIN((h * 21 + 79191) % 2147483647) AS m10,
+          MIN((h * 23 + 87110) % 2147483647) AS m11,
+          MIN((h * 25 + 95029) % 2147483647) AS m12,
+          MIN((h * 27 + 102948) % 2147483647) AS m13,
+          MIN((h * 29 + 110867) % 2147483647) AS m14,
+          MIN((h * 31 + 118786) % 2147483647) AS m15
+        FROM ${p}hb GROUP BY 1),
+      ${p}sigsel AS (
+        SELECT doc_id,
+          CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR) AS bh0,
+          CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR) AS bh1,
+          CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR) AS bh2,
+          CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR) AS bh3,
+          CAST(m8 AS VARCHAR) || '_' || CAST(m9 AS VARCHAR) AS bh4,
+          CAST(m10 AS VARCHAR) || '_' || CAST(m11 AS VARCHAR) AS bh5,
+          CAST(m12 AS VARCHAR) || '_' || CAST(m13 AS VARCHAR) AS bh6,
+          CAST(m14 AS VARCHAR) || '_' || CAST(m15 AS VARCHAR) AS bh7
+        FROM ${p}sigs),
+      ${p}bands AS (
+        SELECT doc_id, 0 AS band, bh0 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 1 AS band, bh1 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 2 AS band, bh2 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 3 AS band, bh3 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 4 AS band, bh4 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 5 AS band, bh5 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 6 AS band, bh6 AS band_hash FROM ${p}sigsel
+        UNION ALL
+        SELECT doc_id, 7 AS band, bh7 AS band_hash FROM ${p}sigsel)"""
 
   /** Exact dedup: lowest doc_id survives per content fingerprint. */
   val d01 = QueryDef(
@@ -64,70 +128,11 @@ object DedupQueries {
       WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """.stripMargin.trim))
 
-  /** MinHash-LSH: 8 band signatures (min-md5 of band-salted shingles),
-    * bucket-join candidates, exact-Jaccard re-verification — the
-    * standard recall/precision split at corpus scale. The oracle
-    * replays the identical signature computation, so the result is
-    * bit-equal, not just approximately right.
+  /** The full d03 pair recipe as a reusable CTE chain ending in
+    * `pairs(doc_a, doc_b, jaccard)` — shared verbatim by d03 (pair
+    * enumeration) and d06 (cluster resolution over the same pairs).
     */
-  val d03 = QueryDef(
-    "d03_minhash_lsh",
-    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir)),
-    Some(s"""
-      WITH $shingleCtes,
-      shl AS (
-        SELECT doc_id, list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS sl
-        FROM toks WHERE len(t) >= 3),
-      sh_all AS (SELECT doc_id, unnest(sl) AS s FROM shl),
-      hb AS (
-        SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
-        FROM sh_all),
-      sigs AS (
-        SELECT doc_id,
-          MIN((h * 1 + 1) % 2147483647) AS m0,
-          MIN((h * 3 + 7920) % 2147483647) AS m1,
-          MIN((h * 5 + 15839) % 2147483647) AS m2,
-          MIN((h * 7 + 23758) % 2147483647) AS m3,
-          MIN((h * 9 + 31677) % 2147483647) AS m4,
-          MIN((h * 11 + 39596) % 2147483647) AS m5,
-          MIN((h * 13 + 47515) % 2147483647) AS m6,
-          MIN((h * 15 + 55434) % 2147483647) AS m7,
-          MIN((h * 17 + 63353) % 2147483647) AS m8,
-          MIN((h * 19 + 71272) % 2147483647) AS m9,
-          MIN((h * 21 + 79191) % 2147483647) AS m10,
-          MIN((h * 23 + 87110) % 2147483647) AS m11,
-          MIN((h * 25 + 95029) % 2147483647) AS m12,
-          MIN((h * 27 + 102948) % 2147483647) AS m13,
-          MIN((h * 29 + 110867) % 2147483647) AS m14,
-          MIN((h * 31 + 118786) % 2147483647) AS m15
-        FROM hb GROUP BY 1),
-      sigsel AS (
-        SELECT doc_id,
-          CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR) AS bh0,
-          CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR) AS bh1,
-          CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR) AS bh2,
-          CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR) AS bh3,
-          CAST(m8 AS VARCHAR) || '_' || CAST(m9 AS VARCHAR) AS bh4,
-          CAST(m10 AS VARCHAR) || '_' || CAST(m11 AS VARCHAR) AS bh5,
-          CAST(m12 AS VARCHAR) || '_' || CAST(m13 AS VARCHAR) AS bh6,
-          CAST(m14 AS VARCHAR) || '_' || CAST(m15 AS VARCHAR) AS bh7
-        FROM sigs),
-      bands AS (
-        SELECT doc_id, 0 AS band, bh0 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 1 AS band, bh1 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 2 AS band, bh2 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 3 AS band, bh3 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 4 AS band, bh4 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 5 AS band, bh5 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 6 AS band, bh6 AS band_hash FROM sigsel
-        UNION ALL
-        SELECT doc_id, 7 AS band, bh7 AS band_hash FROM sigsel),
+  private val lshPairCtes = s"""$shingleCtes,${bandCtes("")},
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
@@ -138,13 +143,59 @@ object DedupQueries {
         FROM cand c
         JOIN sh a ON a.doc_id = c.doc_a
         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-        n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-      FROM common
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b,
+          n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5)"""
+
+  /** MinHash-LSH: 8 band signatures (min-md5 of band-salted shingles),
+    * bucket-join candidates, exact-Jaccard re-verification — the
+    * standard recall/precision split at corpus scale. The oracle
+    * replays the identical signature computation, so the result is
+    * bit-equal, not just approximately right.
+    */
+  val d03 = QueryDef(
+    "d03_minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir)),
+    Some(s"""
+      WITH $lshPairCtes
+      SELECT doc_a, doc_b, jaccard FROM pairs
+    """.stripMargin.trim))
+
+  /** Duplicate-cluster resolution: the MinHash-LSH pair set (the exact
+    * d03 result) resolved into connected components, one row per corpus
+    * document with its component-min cluster id and a keep/drop flag —
+    * the operator that turns pair enumeration into an actually
+    * deduplicated corpus. The oracle replays the full d03 pair recipe,
+    * then computes components with a recursive min-label reachability
+    * CTE (labels only propagate toward larger ids; the component min
+    * survives every hop since it is smaller than every node it visits,
+    * so MIN per node is exact).
+    */
+  val d06 = QueryDef(
+    "d06_dup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusters(Dedup.minhashLshPairs(docs), docs)
+    },
+    Some(s"""
+      WITH RECURSIVE $lshPairCtes,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(v, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+        UNION
+        SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u AND r.lbl < e.v),
+      comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY 1)
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+        COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_rep
+      FROM documents d LEFT JOIN comp c USING (doc_id)
     """.stripMargin.trim))
 
   /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures). The
@@ -284,5 +335,46 @@ object DedupQueries {
       WHERE dot / (sqrt(na.ns) * sqrt(nb.ns)) >= 0.9
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  /** Incremental dedup against a persisted signature store: history
+    * (doc_id % 10 ≠ 0) is hashed once into bucketed store tables
+    * ([[graft.dedup.SignatureStore]]), then the new batch
+    * (doc_id % 10 = 0) dedupes against it — candidates from a band-key
+    * equi-join into the store's bucketing, exact-Jaccard re-verify
+    * against the store's df-capped inverted index. At 100 TB this is the
+    * only affordable dedup cadence: daily cost tracks the batch, the
+    * history side is read pre-bucketed and never reshuffled. The oracle
+    * replays the identical recipe over the two corpora side by side.
+    */
+  val d07 = QueryDef(
+    "d07_incremental_dedup",
+    (s, dir) => {
+      import graft.dedup.SignatureStore
+      val docs = Tables.documents(s, dir)
+      val name = "graft_d07_sigstore"
+      SignatureStore.build(s, docs.filter(col("doc_id") % 10 =!= 0), name)
+      SignatureStore.incrementalPairs(s, docs.filter(col("doc_id") % 10 === 0), name)
+    },
+    Some(s"""
+      WITH ${corpusCtes("h_", "doc_id % 10 <> 0")},${bandCtes("h_")},
+      ${corpusCtes("b_", "doc_id % 10 = 0")},${bandCtes("b_")},
+      cand AS (
+        SELECT DISTINCT x.doc_id AS hist_id, y.doc_id AS new_id
+        FROM h_bands x JOIN b_bands y
+          ON x.band = y.band AND x.band_hash = y.band_hash
+        WHERE x.band_hash IS NOT NULL),
+      common AS (
+        SELECT c.hist_id, c.new_id, count(*) AS n_common
+        FROM cand c
+        JOIN h_sh a ON a.doc_id = c.hist_id
+        JOIN b_sh b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+      SELECT hist_id, new_id,
+        n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN h_sizes sa ON sa.doc_id = hist_id
+      JOIN b_sizes sb ON sb.doc_id = new_id
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

@@ -138,6 +138,71 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Resolve a near-dup pair set into duplicate clusters: connected
+    * components by min-label propagation, so a corpus can actually be
+    * deduplicated (keep one representative per component) rather than
+    * just enumerate pairs. Returns one row per document in `docs`:
+    * (id, cluster, is_rep) where `cluster` is the smallest doc id in the
+    * component (the id itself for singletons) and `is_rep` marks the
+    * surviving representative.
+    *
+    * Scale shape: each round is one shuffle-join of the symmetric edge
+    * list against the label table keyed on vertex id plus a min
+    * aggregate — cost tracks |edges|, never a pair blowup. Rounds needed
+    * = component diameter; duplicate clusters are near-cliques (diameter
+    * 1–2: every copy collides with the same source bucket), so this
+    * converges in 2–3 rounds on real corpora. Each round's labels are
+    * eagerly `localCheckpoint`ed: the label table feeds TWICE into the
+    * next round (the neighbor-min aggregate and the join back), so a
+    * mere `persist()` still DOUBLES the logical plan every round —
+    * analysis and cache lookup walk a 2^rounds tree long before any
+    * data moves (a persist pin is not a lineage truncation; same family
+    * as the round-5 lesson pinned in `IvfIndex.train`). The checkpoint
+    * cuts each round's plan to a constant-size `LogicalRDD` while the
+    * labels stay distributed in executor storage; superseded rounds are
+    * freed by the context cleaner when their RDDs go out of scope. On a
+    * multi-executor cluster a reliable `checkpoint()` (HDFS dir) trades
+    * executor-loss tolerance for the same truncation. A `maxRounds` cap
+    * guards pathological chain topologies (a >cap-diameter chain of
+    * pairwise near-dups would need alternating star contraction, which
+    * no near-dup pair generator produces in practice); convergence is
+    * `require`d, never silently partial.
+    */
+  def clusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("lbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // labels only decrease, so any strict drop means another round
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select("id", "lbl")
+      round += 1
+    }
+    require(converged, s"component labeling did not converge in $maxRounds rounds")
+    edges.unpersist()
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster"))
+      .withColumn("is_rep", col("cluster") === col(idCol))
+  }
+
   /** 64-bit SimHash per document (token-multiset majority vote per bit,
     * token hash = first 16 hex chars of md5 carried as two 32-bit
     * halves — see [[graft.text.TextFunctions.hash32]]). One explode +

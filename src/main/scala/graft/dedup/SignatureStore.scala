@@ -1,0 +1,133 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash signature store for INCREMENTAL dedup — the only
+  * dedup shape that survives 100 TB of history. Re-running corpus-wide
+  * LSH per ingest is O(corpus) every day; the store makes the daily cost
+  * O(batch): the historical corpus is hashed ONCE into bucketed
+  * signature/index tables, and each new batch dedupes against it by
+  * being shuffled INTO the store's bucketing — the history side is read
+  * in place, pre-partitioned and pre-sorted, and never moves again
+  * (same discipline as the bucketed MERGE in
+  * [[graft.sinks.TableManager]], where only the updates side shuffles).
+  *
+  * Three bucketed managed tables per store (plus a one-row spec table
+  * so probes can never drift from the build parameters):
+  *  - `<name>_bands`    (doc_id, band, band_hash, band_key) bucketed by
+  *    `band_key` — the LSH candidate join key.
+  *  - `<name>_shingles` (doc_id, shingle) df-capped inverted index
+  *    bucketed by `doc_id` — the exact-Jaccard re-verify side.
+  *  - `<name>_sizes`    (doc_id, n_sh) — per-doc surviving-shingle
+  *    counts for the Jaccard denominator, bucketed by `doc_id` (one row
+  *    per historical document — at scale this is as big as the corpus).
+  *
+  * Semantics note: MinHash signatures depend only on a document's own
+  * shingles, so band signatures are corpus-independent and cross-corpus
+  * collisions are exactly what full-corpus LSH would produce. The
+  * re-verify Jaccard uses each corpus's own df-capped index (history
+  * capped at build time over history, the batch over itself) — the
+  * standard incremental approximation, replayed exactly by the d07
+  * oracle.
+  */
+object SignatureStore {
+
+  final case class Spec(k: Int = 3, bands: Int = 8, maxDf: Int = 100)
+
+  def bandsTable(name: String): String = s"${name}_bands"
+  def shinglesTable(name: String): String = s"${name}_shingles"
+  def sizesTable(name: String): String = s"${name}_sizes"
+  def metaTable(name: String): String = s"${name}_meta"
+
+  private def allTables(name: String): Seq[String] =
+    Seq(bandsTable(name), shinglesTable(name), sizesTable(name), metaTable(name))
+
+  /** Drop a store table from the catalog AND clear its default warehouse
+    * location. The session catalog is per-process but the warehouse
+    * directory is durable, so a table written by a previous JVM is an
+    * orphaned location to this one — `saveAsTable` would refuse to
+    * CREATE over it (LOCATION_ALREADY_EXISTS). A store rebuild must own
+    * both halves.
+    */
+  private def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Hash, band, and index the historical corpus into the store's
+    * bucketed tables. One pass over `history` for signatures and one for
+    * the inverted index; the index is pinned so its sizes aggregate does
+    * not re-shingle the corpus.
+    */
+  def build(spark: SparkSession, history: DataFrame, name: String,
+      spec: Spec = Spec(), buckets: Int = 16): Unit = {
+    import spark.implicits._
+    allTables(name).foreach(reset(spark, _))
+    Dedup.minhashBands(history, spec.k, spec.bands)
+      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(bandsTable(name))
+    val index = Dedup.shingleIndex(history, spec.k, spec.maxDf).persist()
+    try {
+      index.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(shinglesTable(name))
+      index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(sizesTable(name))
+    } finally index.unpersist()
+    Seq((spec.k, spec.bands, spec.maxDf, buckets))
+      .toDF("k", "bands", "max_df", "buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+  }
+
+  /** Drop the store's tables and their locations (idempotent). */
+  def drop(spark: SparkSession, name: String): Unit =
+    allTables(name).foreach(reset(spark, _))
+
+  /** Cross-corpus near-dup pairs of a new batch against the store:
+    * (hist_id, new_id, jaccard ≥ threshold). Only the batch is hashed
+    * and shuffled — candidates come from an equi-join on `band_key`
+    * into the store's bucketing, re-verified with exact Jaccard against
+    * the store's inverted index (both store joins are on the tables'
+    * bucket keys, so the history side never shuffles; `DedupSpec` pins
+    * that plan property). Build parameters come from the store's meta
+    * table, never the caller.
+    */
+  def incrementalPairs(spark: SparkSession, batch: DataFrame, name: String,
+      threshold: Double = 0.5): DataFrame = {
+    val meta = spark.table(metaTable(name)).head()
+    val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
+    val h = spark.table(bandsTable(name))
+      .select(col("band_key"), col("doc_id").as("hist_id"))
+    val b = Dedup.minhashBands(batch, spec.k, spec.bands)
+      .select(concat_ws(":", col("band"), col("band_hash")).as("band_key"),
+        col("doc_id").as("new_id"))
+    val cand = h.join(b, "band_key").select("hist_id", "new_id").distinct()
+    val batchIndex = Dedup.shingleIndex(batch, spec.k, spec.maxDf).persist()
+    val batchSizes = batchIndex.groupBy(col("doc_id").as("new_id"))
+      .agg(count(lit(1)).as("n_b"))
+    val histShingles = spark.table(shinglesTable(name))
+      .select(col("doc_id").as("hist_id"), col("shingle").as("sh_h"))
+    val common = cand
+      .join(histShingles, "hist_id")
+      .join(batchIndex.select(col("doc_id").as("new_id2"), col("shingle").as("sh_b")),
+        col("new_id") === col("new_id2") && col("sh_h") === col("sh_b"))
+      .groupBy("hist_id", "new_id")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(spark.table(sizesTable(name))
+        .select(col("doc_id").as("hist_id"), col("n_sh").as("n_a")), "hist_id")
+      .join(batchSizes, "new_id")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("hist_id", "new_id", "jaccard")
+  }
+}

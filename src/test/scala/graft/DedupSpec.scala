@@ -96,6 +96,102 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("clusters: components, singletons, and a chain needing many rounds") {
+    // components {1,2,3} and {10,11}; a 12-node chain (diameter 11, so
+    // min-label propagation needs ~11 rounds — exercises the loop and
+    // the per-round persist swap); 40 appears in no pair (singleton)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 31L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L, 40L) ++ (20L to 31L)).toDF("doc_id")
+    val out = Dedup.clusters(pairs, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 18)
+    Seq(1L, 2L, 3L).foreach(i => assert(out(i) == ((1L, i == 1L))))
+    Seq(10L, 11L).foreach(i => assert(out(i) == ((10L, i == 10L))))
+    (20L to 31L).foreach(i => assert(out(i) == ((20L, i == 20L)), s"node $i"))
+    assert(out(40L) == ((40L, true)))
+  }
+
+  test("clusters are consistent with the pair set on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashLshPairs(docs)
+    val cl = Dedup.clusters(pairs, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(cl.size == docs.count())
+    // every pair's endpoints land in the same cluster
+    pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(cl(a)._1 == cl(b)._1, s"pair ($a,$b) split")
+    }
+    // each cluster is labeled by its minimum member; exactly that member
+    // is the representative
+    cl.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+      assert(members.collect { case (id, (_, true)) => id }.toSeq == Seq(label))
+    }
+  }
+
+  test("signature store: incremental pairs == direct cross-corpus recipe; store never shuffles") {
+    import graft.dedup.SignatureStore
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val name = "graft_sigstore_spec"
+    SignatureStore.drop(spark, name)
+    // simulate a previous JVM's leftover: a warehouse dir for the bands
+    // table with no catalog entry — build must clear it, not refuse with
+    // LOCATION_ALREADY_EXISTS (the catalog is per-process, the warehouse
+    // dir is durable)
+    val orphan = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          SignatureStore.bandsTable(name))))
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    SignatureStore.build(spark, hist, name)
+    // expected: the same recipe composed directly, no store in between
+    val hb = Dedup.minhashBands(hist)
+      .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"))
+    val bb = Dedup.minhashBands(batch)
+      .select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+    val cand = hb.join(bb, Seq("band", "band_hash")).select("hist_id", "new_id").distinct()
+    val hIdx = Dedup.shingleIndex(hist)
+    val bIdx = Dedup.shingleIndex(batch)
+    val common = cand
+      .join(hIdx.select(col("doc_id").as("hist_id"), col("shingle").as("sh_h")), "hist_id")
+      .join(bIdx.select(col("doc_id").as("new_id2"), col("shingle").as("sh_b")),
+        col("new_id") === col("new_id2") && col("sh_h") === col("sh_b"))
+      .groupBy("hist_id", "new_id").agg(count(lit(1)).as("n_common"))
+    val expected = common
+      .join(hIdx.groupBy(col("doc_id").as("hist_id")).agg(count(lit(1)).as("n_a")), "hist_id")
+      .join(bIdx.groupBy(col("doc_id").as("new_id")).agg(count(lit(1)).as("n_b")), "new_id")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("hist_id", "new_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = SignatureStore.incrementalPairs(spark, batch, name)
+      val got = inc.as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"got=${got.size} expected=${expected.size}")
+      assert(got.nonEmpty, "fixture corpus must contain cross-corpus near-dups")
+      val p = inc.queryExecution.executedPlan.toString
+      // store tables are read through their bucketing...
+      assert(p.contains("SelectedBucketsCount: 16 out of 16"),
+        p.linesIterator.take(40).mkString("\n"))
+      // ...and the candidate join reuses it: exactly one band_key shuffle
+      // (the batch side) — a second would mean the 100 TB history side
+      // started re-shuffling on every daily increment
+      val bandKeyShuffles = raw"Exchange hashpartitioning\(band_key".r.findAllIn(p).size
+      assert(bandKeyShuffles == 1,
+        s"expected exactly one band_key shuffle (batch side), got $bandKeyShuffles:\n" +
+          p.linesIterator.take(60).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      SignatureStore.drop(spark, name)
+    }
+  }
+
   test("sign-bit LSH on an empty corpus returns the empty pair set") {
     import graft.similarity.Similarity
     // an empty daily slice is a plausible input — must not NPE on the
