@@ -128,29 +128,32 @@ object DedupQueries {
       WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """.stripMargin.trim))
 
-  /** The full d03 pair recipe as a reusable CTE chain ending in
-    * `pairs(doc_a, doc_b, jaccard)` — shared verbatim by d03 (pair
-    * enumeration) and d06 (cluster resolution over the same pairs).
+  /** The full within-corpus pair recipe as a reusable CTE chain ending
+    * in `${p}pairs(doc_a, doc_b, jaccard)` — shared by d03 (pair
+    * enumeration), d06 (cluster resolution over the same pairs), and
+    * d08 (internal pairs of the history-survivor sub-corpus).
     */
-  private val lshPairCtes = s"""$shingleCtes,${bandCtes("")},
-      cand AS (
+  private def pairCtes(p: String): String = s"""
+      ${p}cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
+        FROM ${p}bands x JOIN ${p}bands y
           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
         WHERE x.band_hash IS NOT NULL),
-      common AS (
+      ${p}common AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common
-        FROM cand c
-        JOIN sh a ON a.doc_id = c.doc_a
-        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        FROM ${p}cand c
+        JOIN ${p}sh a ON a.doc_id = c.doc_a
+        JOIN ${p}sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2),
-      pairs AS (
+      ${p}pairs AS (
         SELECT doc_a, doc_b,
           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
+        FROM ${p}common
+        JOIN ${p}sizes sa ON sa.doc_id = doc_a
+        JOIN ${p}sizes sb ON sb.doc_id = doc_b
         WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5)"""
+
+  private val lshPairCtes = s"""$shingleCtes,${bandCtes("")},${pairCtes("")}"""
 
   /** MinHash-LSH: 8 band signatures (min-md5 of band-salted shingles),
     * bucket-join candidates, exact-Jaccard re-verification — the
@@ -376,5 +379,67 @@ object DedupQueries {
       WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  /** One full ingest cycle's dup flags ([[graft.dedup.SignatureStore
+    * .ingest]]): history (doc_id % 10 ≠ 0) is built into the store, then
+    * the batch (doc_id % 10 = 0) is flagged — first against the store
+    * (dup_of = smallest matching stored id), then within the batch among
+    * the history-survivors (LSH pairs → connected components → each
+    * component's min id survives). The oracle replays every stage in
+    * SQL: the cross-corpus d07 recipe for histdup, a third survivor
+    * sub-corpus (df cap re-applied WITHIN the survivors, exactly like
+    * the engine's second LSH pass), the within-survivor pair recipe,
+    * and the recursive min-label components.
+    */
+  val d08 = QueryDef(
+    "d08_ingest_flags",
+    (s, dir) => {
+      import graft.dedup.SignatureStore
+      val docs = Tables.documents(s, dir)
+      val name = "graft_d08_sigstore"
+      SignatureStore.build(s, docs.filter(col("doc_id") % 10 =!= 0), name)
+      SignatureStore.ingest(s, docs.filter(col("doc_id") % 10 === 0), name)
+    },
+    Some(s"""
+      WITH RECURSIVE ${corpusCtes("h_", "doc_id % 10 <> 0")},${bandCtes("h_")},
+      ${corpusCtes("b_", "doc_id % 10 = 0")},${bandCtes("b_")},
+      xcand AS (
+        SELECT DISTINCT x.doc_id AS hist_id, y.doc_id AS new_id
+        FROM h_bands x JOIN b_bands y
+          ON x.band = y.band AND x.band_hash = y.band_hash
+        WHERE x.band_hash IS NOT NULL),
+      xcommon AS (
+        SELECT c.hist_id, c.new_id, count(*) AS n_common
+        FROM xcand c
+        JOIN h_sh a ON a.doc_id = c.hist_id
+        JOIN b_sh b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      histdup AS (
+        SELECT new_id AS doc_id, MIN(hist_id) AS hist_dup_of
+        FROM xcommon
+        JOIN h_sizes sa ON sa.doc_id = hist_id
+        JOIN b_sizes sb ON sb.doc_id = new_id
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        GROUP BY 1),
+      ${corpusCtes("s_",
+        "doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM histdup)")},${bandCtes("s_")},${pairCtes("s_")},
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM s_pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM s_pairs),
+      reach(v, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+        UNION
+        SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u AND r.lbl < e.v),
+      comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY 1),
+      batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+      SELECT t.doc_id,
+        (h.doc_id IS NOT NULL) OR (c.cluster IS NOT NULL AND c.cluster <> t.doc_id) AS is_dup,
+        COALESCE(h.hist_dup_of,
+          CASE WHEN c.cluster <> t.doc_id THEN c.cluster END) AS dup_of
+      FROM batch t
+      LEFT JOIN histdup h USING (doc_id)
+      LEFT JOIN comp c ON c.doc_id = t.doc_id
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

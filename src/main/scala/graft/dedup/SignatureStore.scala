@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * capped at build time over history, the batch over itself) — the
   * standard incremental approximation, replayed exactly by the d07
   * oracle.
+  *
+  * Lifecycle: [[build]] once over history → [[ingest]] per batch (flag
+  * dups against store + within batch, append survivors so the store
+  * grows) → periodic [[build]] rebuild in the maintenance window to
+  * compact appended files and re-apply the df cap corpus-wide.
   */
 object SignatureStore {
 
@@ -92,6 +97,80 @@ object SignatureStore {
   def drop(spark: SparkSession, name: String): Unit =
     allTables(name).foreach(reset(spark, _))
 
+  /** Append a (already deduplicated) document set's signatures to the
+    * store — bucketed `mode("append")` writes, so each ingest adds at
+    * most `buckets` files per table and reads keep their shuffle-free
+    * bucketing (more files per bucket, same bucket pruning/join keys).
+    * File proliferation across many ingests is bounded by the monthly
+    * maintenance rebuild ([[build]] from the full corpus), which also
+    * re-applies the df cap corpus-wide.
+    */
+  private def append(spark: SparkSession, docs: DataFrame, name: String,
+      spec: Spec, buckets: Int): Unit = {
+    Dedup.minhashBands(docs, spec.k, spec.bands)
+      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(bandsTable(name))
+    val index = Dedup.shingleIndex(docs, spec.k, spec.maxDf).persist()
+    try {
+      index.write.mode("append").format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(shinglesTable(name))
+      index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(sizesTable(name))
+    } finally index.unpersist()
+  }
+
+  /** One full cycle of the daily cadence: flag the batch's duplicates,
+    * APPEND the survivors' signatures to the store (so the next batch
+    * dedupes against them — history grows), and return one row per
+    * batch doc: (doc_id, is_dup, dup_of).
+    *
+    * Dup resolution order:
+    *  1. a batch doc that near-dups ANY stored doc is a duplicate
+    *     (`dup_of` = the smallest matching stored id);
+    *  2. the remaining docs are LSH'd against each other and resolved to
+    *     connected components ([[Dedup.clusters]]) — each component's
+    *     min-id member survives, the rest carry `dup_of` = that id.
+    * A doc that only near-dups a step-1 duplicate is NOT removed:
+    * Jaccard is not transitive, and its content is no longer represented
+    * by any surviving doc — dropping it would over-delete.
+    *
+    * Scale shape: every stage is O(batch) — the history side contributes
+    * only bucketed, never-reshuffled reads in step 1; step 2 is LSH over
+    * the batch alone; the append shuffles only survivors. Nothing
+    * rewrites or rescans the accumulated corpus.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame, name: String,
+      threshold: Double = 0.5): DataFrame = {
+    val meta = spark.table(metaTable(name)).head()
+    val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
+    val buckets = meta.getAs[Int]("buckets")
+    val b = batch.persist() // feeds the history pass, the internal pass, and the append
+    val histDup = incrementalPairs(spark, b, name, threshold)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("hist_id")).as("hist_dup_of"))
+    val survivors1 = b.join(histDup, Seq("doc_id"), "left_anti")
+    val comp = Dedup.clusters(
+      Dedup.minhashLshPairs(survivors1, spec.k, spec.bands, spec.maxDf, threshold),
+      survivors1)
+    val flags = b.select(col("doc_id").cast("long").as("doc_id"))
+      .join(histDup, Seq("doc_id"), "left")
+      .join(comp.select(col("doc_id"), col("cluster"), col("is_rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("hist_dup_of").isNotNull || col("is_rep") === false).as("is_dup"),
+        coalesce(col("hist_dup_of"),
+          when(col("is_rep") === false, col("cluster"))).as("dup_of"))
+      .localCheckpoint(true) // returned to the caller — must not pin the cache manager
+    append(spark, b.join(flags.filter(!col("is_dup")).select("doc_id"), "doc_id"),
+      name, spec, buckets)
+    b.unpersist()
+    flags
+  }
+
   /** Cross-corpus near-dup pairs of a new batch against the store:
     * (hist_id, new_id, jaccard ≥ threshold). Only the batch is hashed
     * and shuffled — candidates come from an equi-join on `band_key`
@@ -111,7 +190,12 @@ object SignatureStore {
       .select(concat_ws(":", col("band"), col("band_hash")).as("band_key"),
         col("doc_id").as("new_id"))
     val cand = h.join(b, "band_key").select("hist_id", "new_id").distinct()
-    val batchIndex = Dedup.shingleIndex(batch, spec.k, spec.maxDf).persist()
+    // eager localCheckpoint, not persist: the index feeds two branches
+    // (common + sizes) so it must be pinned, but a persist would stay
+    // registered in the cache manager until someone unpersists — in a
+    // daily ingest loop that's a leak. The checkpointed RDD is freed by
+    // the context cleaner when this plan goes out of scope.
+    val batchIndex = Dedup.shingleIndex(batch, spec.k, spec.maxDf).localCheckpoint(true)
     val batchSizes = batchIndex.groupBy(col("doc_id").as("new_id"))
       .agg(count(lit(1)).as("n_b"))
     val histShingles = spark.table(shinglesTable(name))

@@ -192,6 +192,93 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingest cycle: dup flags vs store and within batch; store grows by survivors") {
+    import graft.dedup.SignatureStore
+    // 24-token docs; a near-dup differs in the final token only →
+    // 22 shingles, 19 shared, J = 19/25 = 0.76 (deterministic md5
+    // signatures: the band collision either happens or not, fixed at
+    // authoring time — verified here)
+    def doc(words: String*): String = words.mkString(" ")
+    val h1 = doc("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
+    val h2 = doc("one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+      "fifteen", "sixteen", "seventeen", "eighteen", "nineteen", "twenty",
+      "thirty", "forty", "fifty", "sixty")
+    val b102 = doc("spark", "catalyst", "tungsten", "shuffle", "partition",
+      "broadcast", "join", "aggregate", "window", "stream", "watermark",
+      "state", "checkpoint", "lineage", "executor", "driver", "task",
+      "stage", "codegen", "parquet", "bucket", "salt", "skew", "spill")
+    val b104 = doc("apple", "banana", "cherry", "date", "elderberry", "fig",
+      "grape", "honeydew", "kiwi", "lemon", "mango", "nectarine", "orange",
+      "papaya", "quince", "raspberry", "strawberry", "tangerine", "ugli",
+      "vanilla", "walnut", "yuzu", "apricot", "blackberry")
+    val b105 = doc("table", "chair", "sofa", "lamp", "desk", "shelf",
+      "cabinet", "drawer", "mirror", "carpet", "curtain", "pillow",
+      "blanket", "mattress", "wardrobe", "bench", "stool", "ottoman",
+      "dresser", "nightstand", "bookcase", "recliner", "futon", "armoire")
+    def mut(s: String): String = s.split(" ").dropRight(1).mkString(" ") + " mutated"
+    val hist = Seq((1L, h1), (2L, h2)).toDF("doc_id", "text")
+    val day1 = Seq(
+      (101L, mut(h1)),  // near-dup of history doc 1
+      (102L, b102),     // survivor
+      (103L, mut(b102)),// within-batch near-dup of 102
+      (104L, b104),     // survivor
+      (105L, b105)      // survivor
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (201L, mut(b104)), // near-dup of a DAY-1 SURVIVOR — store must have grown
+      (202L, mut(h1)),   // still a dup of original history after appends
+      (203L, doc("zinc", "copper", "iron", "nickel", "cobalt", "tin",
+        "lead", "silver", "gold", "platinum", "mercury", "chromium",
+        "titanium", "tungsten2", "aluminium", "magnesium", "sodium",
+        "calcium", "barium", "lithium", "cesium", "radium", "osmium",
+        "iridium"))   // survivor
+    ).toDF("doc_id", "text")
+    val name = "graft_ingest_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, hist, name)
+    def flagMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Boolean, Option[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    try {
+      val f1 = flagMap(SignatureStore.ingest(spark, day1, name))
+      assert(f1 == Map(
+        101L -> ((true, Some(1L))), 102L -> ((false, None)),
+        103L -> ((true, Some(102L))), 104L -> ((false, None)),
+        105L -> ((false, None))), s"day1 flags: $f1")
+      val f2 = flagMap(SignatureStore.ingest(spark, day2, name))
+      assert(f2 == Map(
+        201L -> ((true, Some(104L))), 202L -> ((true, Some(1L))),
+        203L -> ((false, None))), s"day2 flags: $f2")
+      // the bands table now equals a from-scratch build over
+      // history + survivors (signatures are corpus-independent)
+      val survivors = hist.unionByName(day1.filter(col("doc_id").isin(102L, 104L, 105L)))
+        .unionByName(day2.filter(col("doc_id") === 203L))
+      val got = spark.table(SignatureStore.bandsTable(name))
+        .select("doc_id", "band", "band_hash")
+        .as[(Long, Int, String)].collect().toSet
+      val want = Dedup.minhashBands(survivors)
+        .as[(Long, Int, String)].collect().toSet
+      assert(got == want)
+      // appends preserved the bucketed layout: a probe against the
+      // grown store still reads through the bucket index
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = SignatureStore.incrementalPairs(spark,
+          Seq((301L, mut(b105))).toDF("doc_id", "text"), name)
+        assert(probe.queryExecution.executedPlan.toString
+          .contains("SelectedBucketsCount: 16 out of 16"))
+        assert(flagMap(probe.groupBy(col("new_id").as("doc_id"))
+          .agg(min(col("hist_id")).as("dup_of"))
+          .select(col("doc_id"), lit(true).as("is_dup"), col("dup_of")))
+          == Map(301L -> ((true, Some(105L)))))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    } finally SignatureStore.drop(spark, name)
+  }
+
   test("sign-bit LSH on an empty corpus returns the empty pair set") {
     import graft.similarity.Similarity
     // an empty daily slice is a plausible input — must not NPE on the
