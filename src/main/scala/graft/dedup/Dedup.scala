@@ -30,20 +30,34 @@ object Dedup {
       .withColumnRenamed("__fp", "fingerprint")
   }
 
+  /** Raw exploded (doc_id, shingle) rows — duplicates preserved (the
+    * MinHash MIN is multiset-insensitive, the index dedups downstream).
+    * The tokenize+explode is the single most expensive scan-side step of
+    * every shingle-based operator; callers that need BOTH signatures and
+    * an index over the same corpus should compute this once, pin it, and
+    * derive both ([[graft.dedup.SignatureStore]] does).
+    */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = docs
+    .withColumn("__toks", tokens(col("text")))
+    .select(col("doc_id"), explode(shinglesOf(col("__toks"), k)).as("shingle"))
+
+  /** [[shingleIndex]] over pre-exploded shingle rows: distinct, then the
+    * df cap — the cap's corpus is exactly the docs present in `sh`.
+    */
+  def indexFromShingles(sh: DataFrame, maxDf: Int = 100): DataFrame = {
+    val d = sh.distinct()
+    val df = d.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    d.join(df.select("shingle"), Seq("shingle"))
+  }
+
   /** Distinct (doc, shingle) inverted index with a document-frequency
     * cap: shingles occurring in more than `maxDf` docs are dropped
     * (they generate quadratic candidate blowup and carry no dedup
     * signal — the "the quick brown"-problem).
     */
-  def shingleIndex(docs: DataFrame, k: Int = 3, maxDf: Int = 100): DataFrame = {
-    val sh = docs
-      .withColumn("__toks", tokens(col("text")))
-      .select(col("doc_id"), explode(shinglesOf(col("__toks"), k)).as("shingle"))
-      .distinct()
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-    sh.join(df.select("shingle"), Seq("shingle"))
-  }
+  def shingleIndex(docs: DataFrame, k: Int = 3, maxDf: Int = 100): DataFrame =
+    indexFromShingles(shingles(docs, k), maxDf)
 
   /** Exact pairwise Jaccard over the inverted index: pairs sharing ≥1
     * surviving shingle, similarity = |A∩B| / |A∪B|, thresholded.
@@ -92,14 +106,13 @@ object Dedup {
     * shingle, then ONE hash-aggregate computing all 2b mins (codegen'd,
     * map-side partial) — a single narrow shuffle on doc_id.
     */
-  def minhashBands(docs: DataFrame, k: Int = 3, bands: Int = 8): DataFrame = {
-    val exploded = docs
-      .withColumn("__toks", tokens(col("text")))
-      .select(col("doc_id"), explode(shinglesOf(col("__toks"), k)).as("__s"))
+  /** [[minhashBands]] over pre-exploded shingle rows. */
+  def bandsFromShingles(sh: DataFrame, bands: Int = 8): DataFrame = {
+    val hashed = sh
       .withColumn("__h",
-        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long") % MinhashP)
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP)
     val minCols = (0 until 2 * bands).map(i => min(perm(col("__h"), i)).as(s"__m$i"))
-    exploded.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
@@ -108,20 +121,29 @@ object Dedup {
             col(s"__m${2 * b + 1}").cast("string"))): _*)).as(Seq("band", "band_hash")))
   }
 
+  def minhashBands(docs: DataFrame, k: Int = 3, bands: Int = 8): DataFrame =
+    bandsFromShingles(shingles(docs, k), bands)
+
   /** LSH candidates (pairs sharing any band bucket) re-verified with
     * exact Jaccard over the inverted index. The verify join is keyed on
     * candidate pairs — cost tracks collisions, never n².
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
-      maxDf: Int = 100, threshold: Double = 0.5): DataFrame = {
-    val bandsDf = minhashBands(docs, k, bands)
+      maxDf: Int = 100, threshold: Double = 0.5): DataFrame =
+    lshPairsFrom(minhashBands(docs, k, bands), shingleIndex(docs, k, maxDf), threshold)
+
+  /** [[minhashLshPairs]] over precomputed band signatures and inverted
+    * index (callers holding a shared exploded-shingle pass derive both
+    * without re-scanning the corpus).
+    */
+  def lshPairsFrom(bandsDf: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame = {
     val x = bandsDf.as("x"); val y = bandsDf.as("y")
     val candidates = x.join(y,
       col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val index = shingleIndex(docs, k, maxDf)
     val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val ia = index.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a")
     val ib = index.withColumnRenamed("doc_id", "doc_b2").withColumnRenamed("shingle", "sh_b")

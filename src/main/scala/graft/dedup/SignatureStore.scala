@@ -97,31 +97,29 @@ object SignatureStore {
   def drop(spark: SparkSession, name: String): Unit =
     allTables(name).foreach(reset(spark, _))
 
-  /** Append a (already deduplicated) document set's signatures to the
+  /** Append an (already deduplicated) document set's signatures to the
     * store — bucketed `mode("append")` writes, so each ingest adds at
     * most `buckets` files per table and reads keep their shuffle-free
     * bucketing (more files per bucket, same bucket pruning/join keys).
     * File proliferation across many ingests is bounded by the monthly
     * maintenance rebuild ([[build]] from the full corpus), which also
-    * re-applies the df cap corpus-wide.
+    * re-applies the df cap corpus-wide. Takes precomputed bands/index
+    * (both derived from the ingest's single shingle pass).
     */
-  private def append(spark: SparkSession, docs: DataFrame, name: String,
-      spec: Spec, buckets: Int): Unit = {
-    Dedup.minhashBands(docs, spec.k, spec.bands)
+  private def appendFrom(bands: DataFrame, index: DataFrame, name: String,
+      buckets: Int): Unit = {
+    bands
       .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .saveAsTable(bandsTable(name))
-    val index = Dedup.shingleIndex(docs, spec.k, spec.maxDf).persist()
-    try {
-      index.write.mode("append").format("parquet")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(shinglesTable(name))
-      index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(sizesTable(name))
-    } finally index.unpersist()
+    index.write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(shinglesTable(name))
+    index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(sizesTable(name))
   }
 
   /** One full cycle of the daily cadence: flag the batch's duplicates,
@@ -142,22 +140,37 @@ object SignatureStore {
     * Scale shape: every stage is O(batch) — the history side contributes
     * only bucketed, never-reshuffled reads in step 1; step 2 is LSH over
     * the batch alone; the append shuffles only survivors. Nothing
-    * rewrites or rescans the accumulated corpus.
+    * rewrites or rescans the accumulated corpus. The batch's text is
+    * scanned and exploded ONCE ([[Dedup.shingles]], eager checkpoint);
+    * history-pass bands/index, survivor-pass bands/index (df cap
+    * re-applied within the survivors), and the appended signatures are
+    * all aggregates over that one pass. `histDup` and `flags` are also
+    * eagerly checkpointed: each feeds 2–3 downstream consumers, and an
+    * unpinned histDup re-executes the whole store-join subtree per
+    * consumer (measured 2× on the bench before pinning).
     */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       threshold: Double = 0.5): DataFrame = {
     val meta = spark.table(metaTable(name)).head()
     val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
     val buckets = meta.getAs[Int]("buckets")
-    val b = batch.persist() // feeds the history pass, the internal pass, and the append
-    val histDup = incrementalPairs(spark, b, name, threshold)
+    // ids come from the batch itself, not the shingle pass — docs with
+    // fewer than k tokens have no shingles but still need a flag row
+    val ids = batch.select(col("doc_id").cast("long").as("doc_id"))
+    val bsh = Dedup.shingles(batch, spec.k).localCheckpoint(true)
+    val bIdx = Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true)
+    val histDup = pairsAgainstStore(spark, name,
+      Dedup.bandsFromShingles(bsh, spec.bands), bIdx, threshold)
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(col("hist_id")).as("hist_dup_of"))
-    val survivors1 = b.join(histDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val survIds = ids.join(histDup, Seq("doc_id"), "left_anti")
+    val ssh = bsh.join(survIds, "doc_id")
     val comp = Dedup.clusters(
-      Dedup.minhashLshPairs(survivors1, spec.k, spec.bands, spec.maxDf, threshold),
-      survivors1)
-    val flags = b.select(col("doc_id").cast("long").as("doc_id"))
+      Dedup.lshPairsFrom(Dedup.bandsFromShingles(ssh, spec.bands),
+        Dedup.indexFromShingles(ssh, spec.maxDf), threshold),
+      survIds)
+    val flags = ids
       .join(histDup, Seq("doc_id"), "left")
       .join(comp.select(col("doc_id"), col("cluster"), col("is_rep")), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -165,9 +178,10 @@ object SignatureStore {
         coalesce(col("hist_dup_of"),
           when(col("is_rep") === false, col("cluster"))).as("dup_of"))
       .localCheckpoint(true) // returned to the caller — must not pin the cache manager
-    append(spark, b.join(flags.filter(!col("is_dup")).select("doc_id"), "doc_id"),
-      name, spec, buckets)
-    b.unpersist()
+    val ksh = bsh.join(flags.filter(!col("is_dup")).select("doc_id"), "doc_id")
+    appendFrom(Dedup.bandsFromShingles(ksh, spec.bands),
+      Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true), // 2 writes read it
+      name, buckets)
     flags
   }
 
@@ -184,18 +198,29 @@ object SignatureStore {
       threshold: Double = 0.5): DataFrame = {
     val meta = spark.table(metaTable(name)).head()
     val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
+    // one text scan: signatures and index are both aggregates over the
+    // checkpointed shingle pass. Eager localCheckpoint, not persist — a
+    // persist would stay registered in the cache manager until someone
+    // unpersists, a leak in a daily loop; the checkpointed RDDs are
+    // freed by the context cleaner when the plan goes out of scope.
+    val bsh = Dedup.shingles(batch, spec.k).localCheckpoint(true)
+    pairsAgainstStore(spark, name, Dedup.bandsFromShingles(bsh, spec.bands),
+      Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true), threshold)
+  }
+
+  /** The store-join core of [[incrementalPairs]] over precomputed batch
+    * signatures and index. `batchIndex` feeds two branches (common +
+    * sizes) — callers pin it.
+    */
+  private def pairsAgainstStore(spark: SparkSession, name: String,
+      batchBands: DataFrame, batchIndex: DataFrame,
+      threshold: Double): DataFrame = {
     val h = spark.table(bandsTable(name))
       .select(col("band_key"), col("doc_id").as("hist_id"))
-    val b = Dedup.minhashBands(batch, spec.k, spec.bands)
+    val b = batchBands
       .select(concat_ws(":", col("band"), col("band_hash")).as("band_key"),
         col("doc_id").as("new_id"))
     val cand = h.join(b, "band_key").select("hist_id", "new_id").distinct()
-    // eager localCheckpoint, not persist: the index feeds two branches
-    // (common + sizes) so it must be pinned, but a persist would stay
-    // registered in the cache manager until someone unpersists — in a
-    // daily ingest loop that's a leak. The checkpointed RDD is freed by
-    // the context cleaner when this plan goes out of scope.
-    val batchIndex = Dedup.shingleIndex(batch, spec.k, spec.maxDf).localCheckpoint(true)
     val batchSizes = batchIndex.groupBy(col("doc_id").as("new_id"))
       .agg(count(lit(1)).as("n_b"))
     val histShingles = spark.table(shinglesTable(name))
