@@ -82,8 +82,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, shuffle service, FS client) so
-    // the first timed query doesn't pay JVM/session init
+    // the first timed query doesn't pay JVM/session init. The second
+    // warmup is a 256-row untimed miniature of the suite's first query
+    // (window + custom fingerprint expression over a parquet scan into
+    // the noop sink): without it d01 absorbed that JIT and was
+    // repeatedly flagged `unstable` (3.6 s first run vs 0.4 s steady)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.dedup.Dedup.exact(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(256))
+      .write.mode("overwrite").format("noop").save()
 
     // Plan-metric accumulator: executed-plan SQLMetrics summed across
     // every action since the last reset. Listener delivery is async
