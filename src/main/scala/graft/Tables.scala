@@ -24,16 +24,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert to
-    * the engine's µs TimestampType (truncation — same as DuckDB's
-    * ns→µs cast, so differential results agree).
+  /** The driver has regenerated events.parquet with different `ts`
+    * physical types across rounds (TIMESTAMP(NANOS), then µs
+    * TIMESTAMP_NTZ), so branch on the read schema rather than assuming
+    * one encoding:
+    *   - TIMESTAMP(NANOS): Spark rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]) — enable the legacy nanos-as-long read
+    *     (only on this path) and truncate ns→µs, matching DuckDB's cast
+    *     so differential results agree.
+    *   - TIMESTAMP_NTZ (µs, no isAdjustedToUTC): cast to TimestampType —
+    *     value-identical under the pinned UTC session TZ, matching the
+    *     DuckDB oracle's direct µs read.
+    *   - TimestampType (µs): pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw =
+      try apply(spark, dir, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(spark, dir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
