@@ -30,28 +30,61 @@ object Tables {
     * one encoding:
     *   - TIMESTAMP(NANOS): Spark rejects it outright
     *     ([PARQUET_TYPE_ILLEGAL]) — enable the legacy nanos-as-long read
-    *     (only on this path) and truncate ns→µs, matching DuckDB's cast
-    *     so differential results agree.
+    *     and truncate ns→µs, matching DuckDB's cast so differential
+    *     results agree. NOTE: the conf stays set for the rest of the
+    *     session (restoring it right after the re-read would break the
+    *     lazy scan, which consults it at execution time); any later
+    *     TIMESTAMP(NANOS) parquet in the same session therefore also
+    *     surfaces as long — which this normalizer is the only reader of.
     *   - TIMESTAMP_NTZ (µs, no isAdjustedToUTC): cast to TimestampType —
     *     value-identical under the pinned UTC session TZ, matching the
     *     DuckDB oracle's direct µs read.
     *   - TimestampType (µs): pass through.
+    *   - Anything else (e.g. a future native BIGINT ts whose unit we
+    *     can't know) fails loudly rather than guessing a divisor.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    val (raw, usedNanosRetry) =
+      try (apply(spark, dir, "events"), false)
+      catch {
+        case e: Throwable if isParquetNanosIllegal(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          (apply(spark, dir, "events"), true)
+      }
+    normalizeEventsTs(raw, usedNanosRetry)
+  }
+
+  /** True iff the read failed because of parquet TIMESTAMP(NANOS)
+    * columns. Matches the stable error class first (Spark 4 surfaces it
+    * via SparkThrowable), with message-contains as a fallback for
+    * wrapper exceptions.
+    */
+  private[graft] def isParquetNanosIllegal(e: Throwable): Boolean = {
+    val byClass = e match {
+      case st: org.apache.spark.SparkThrowable =>
+        st.getCondition == "PARQUET_TYPE_ILLEGAL"
+      case _ => false
+    }
+    byClass || Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+  }
+
+  /** Normalize the `ts` column of an events frame to TimestampType (µs).
+    * `usedNanosRetry` records whether the frame was read under
+    * `nanosAsLong` (so a LongType ts is known to be nanoseconds); a long
+    * ts from any other source has an unknown unit and is an error.
+    */
+  private[graft] def normalizeEventsTs(raw: DataFrame, usedNanosRetry: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw =
-      try apply(spark, dir, "events")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          apply(spark, dir, "events")
-      }
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType if usedNanosRetry =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (nanosRetry=$usedNanosRetry): " +
+            "testdata encoding drifted again — add an explicit branch in Tables.events")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
