@@ -49,6 +49,48 @@ class BenchSpec extends SparkSpec {
     assert(row.getAs[Long]("wait") == 88L)
   }
 
+  test("catastrophic run: 63 failures still spell >=4 error reasons under the cap") {
+    // the round-7 regression: a full-suite failure rendered
+    // `"errors":{"_more":14}` — zero diagnosis. The shedding ladder must
+    // sacrifice the unstable array / load detail / error-text length
+    // before error COUNT, with a floor of 4 named failures.
+    val names63 = (1 to 63).map(i => f"q$i%02d_some_operator_name")
+    val nasty = "org.apache.spark.SparkException: Job aborted due to stage failure: " + "y" * 200
+    val runs = names63.map(n => n -> (Left(nasty): Either[String, Double]))
+    val line = Bench.renderLine(runs,
+      names63.take(5), (9.9, 9.9, 126220L, 121148L), 88.0, "/root/testdata/sf0.1")
+    assert(line.length < 2048, s"${line.length} bytes — would truncate the artifact")
+    val row = parse(line)
+    assert(row.getAs[Long]("failed") == 63)
+    val errs = row.getAs[org.apache.spark.sql.Row]("errors")
+    val spelled = errs.schema.fieldNames.filter(_ != "_more")
+    assert(spelled.length >= 4,
+      s"only ${spelled.length} error entries survived the clamp: $line")
+    // each surviving entry still carries non-empty reason text
+    spelled.foreach(k => assert(errs.getAs[String](k).nonEmpty))
+    assert(spelled.length + errs.getAs[Long]("_more") == 63)
+  }
+
+  test("round-7 shape: 49 ok + 14 failed + 10 unstable still names >=4 failures") {
+    val names63 = (1 to 63).map(i => f"q$i%02d_some_operator_name")
+    val runs: Seq[(String, Either[String, Double])] = names63.zipWithIndex.map {
+      case (n, i) if i < 14 => n -> Left("SchemaColumnConvertNotSupportedException: column ts " + "z" * 100)
+      case (n, _) => n -> Right(7.6543210)
+    }
+    val line = Bench.renderLine(runs, names63.slice(20, 30),
+      (4.5, 4.4, 126220L, 121148L), 0.0, "/root/testdata/sf0.1")
+    assert(line.length < 2048, s"${line.length} bytes")
+    val row = parse(line)
+    assert(row.getAs[Long]("failed") == 14)
+    val errs = row.getAs[org.apache.spark.sql.Row]("errors")
+    val spelled = errs.schema.fieldNames.filter(_ != "_more")
+    assert(spelled.length >= 4, s"only ${spelled.length} reasons: $line")
+    spelled.foreach(k => assert(errs.getAs[String](k).nonEmpty))
+    // successful timings survive whatever sheds, at >=0.1s precision
+    val qs = row.getAs[org.apache.spark.sql.Row]("queries")
+    assert(math.abs(qs.getAs[Double]("q63_some_operator_name") - 7.654) < 0.06)
+  }
+
   test("mixed run: failures are -1 in queries, successes keep timings") {
     val runs: Seq[(String, Either[String, Double])] = Seq(
       "a_ok" -> Right(2.5), "b_bad" -> Left("timeout>120s"), "c_ok" -> Right(0.001))
