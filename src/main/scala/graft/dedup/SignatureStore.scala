@@ -73,17 +73,30 @@ object SignatureStore {
       spec: Spec = Spec(), buckets: Int = 16): Unit = {
     import spark.implicits._
     allTables(name).foreach(reset(spark, _))
+    // repartition onto the bucket key before every bucketed write:
+    // Spark's bucketed writer emits one file per (task, bucket-present-
+    // in-task), so writing straight from a W-way shuffle produces up to
+    // W×buckets near-empty files PER WRITE — a small-files problem that
+    // compounds with every append and taxes every later store read and
+    // file listing. The repartition uses the same Murmur3 hash family as
+    // the bucket spec, so each task holds exactly one bucket: `buckets`
+    // files per write, at the cost of one extra |input| shuffle in the
+    // (monthly) build / (per-batch) append — the right trade at any
+    // scale.
     Dedup.minhashBands(history, spec.k, spec.bands)
       .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+      .repartition(buckets, col("band_key"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .saveAsTable(bandsTable(name))
-    val index = Dedup.shingleIndex(history, spec.k, spec.maxDf).persist()
+    val index = Dedup.shingleIndex(history, spec.k, spec.maxDf)
+      .repartition(buckets, col("doc_id")).persist()
     try {
       index.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(shinglesTable(name))
       index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .repartition(buckets, col("doc_id"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(sizesTable(name))
@@ -97,6 +110,50 @@ object SignatureStore {
   def drop(spark: SparkSession, name: String): Unit =
     allTables(name).foreach(reset(spark, _))
 
+  /** File-level snapshot of the store: every data file currently under
+    * its tables' locations. Because [[ingest]] only ever APPENDS files
+    * (bucketed `mode("append")` — never rewrites or deletes), the
+    * snapshot plus [[rollback]] gives a cheap undo for a failed or
+    * trial ingest: O(#files) driver-side listings, no data copied.
+    */
+  def snapshot(spark: SparkSession, name: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    allTables(name).flatMap { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(conf)
+      // store tables are unpartitioned bucketed dirs — one flat
+      // listStatus each (recursive listFiles stats every file for block
+      // locations, measured ~0.5 ms/file on Hadoop's local FS)
+      if (!fs.exists(loc)) Nil
+      else fs.listStatus(loc).map(_.getPath.toString).toSeq
+    }.toSet
+  }
+
+  /** Undo every append since `snap` was taken: delete files not in the
+    * snapshot and refresh the tables' cached file listings. Restores the
+    * store bit-for-bit (appends never touch pre-existing files), so an
+    * aborted batch leaves no trace for the next batch to collide with.
+    */
+  def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    allTables(name).foreach { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(conf)
+      if (fs.exists(loc)) {
+        val added = fs.listStatus(loc).map(_.getPath)
+          .filterNot(p => snap.contains(p.toString))
+        if (added.nonEmpty) {
+          added.foreach(fs.delete(_, false))
+          spark.catalog.refreshTable(t)
+        }
+      }
+    }
+  }
+
   /** Append an (already deduplicated) document set's signatures to the
     * store — bucketed `mode("append")` writes, so each ingest adds at
     * most `buckets` files per table and reads keep their shuffle-free
@@ -108,18 +165,36 @@ object SignatureStore {
     */
   private def appendFrom(bands: DataFrame, index: DataFrame, name: String,
       buckets: Int): Unit = {
-    bands
-      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "band_key").sortBy("band_key")
-      .saveAsTable(bandsTable(name))
-    index.write.mode("append").format("parquet")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(shinglesTable(name))
-    index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(sizesTable(name))
+    // the three table appends are independent jobs over already-pinned
+    // inputs (callers checkpoint `index`; `bands` filters a checkpointed
+    // table) — submit them concurrently and let the scheduler interleave
+    // their small stages instead of paying three sequential job latencies
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future {
+        bands
+          .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+          .repartition(buckets, col("band_key"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "band_key").sortBy("band_key")
+          .saveAsTable(bandsTable(name))
+      },
+      Future {
+        index.repartition(buckets, col("doc_id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(shinglesTable(name))
+      },
+      Future {
+        index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .repartition(buckets, col("doc_id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(sizesTable(name))
+      })
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** One full cycle of the daily cadence: flag the batch's duplicates,
@@ -159,15 +234,19 @@ object SignatureStore {
     val ids = batch.select(col("doc_id").cast("long").as("doc_id"))
     val bsh = Dedup.shingles(batch, spec.k).localCheckpoint(true)
     val bIdx = Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true)
-    val histDup = pairsAgainstStore(spark, name,
-      Dedup.bandsFromShingles(bsh, spec.bands), bIdx, threshold)
+    // MinHash signatures are per-document (corpus-independent), so the
+    // batch's bands are aggregated ONCE and every later consumer —
+    // store join, within-survivor LSH, keeper append — is a semi-join
+    // filter of this table, not a re-aggregation of the shingle pass
+    val bBands = Dedup.bandsFromShingles(bsh, spec.bands).localCheckpoint(true)
+    val histDup = pairsAgainstStore(spark, name, bBands, bIdx, threshold)
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(col("hist_id")).as("hist_dup_of"))
       .localCheckpoint(true)
     val survIds = ids.join(histDup, Seq("doc_id"), "left_anti")
     val ssh = bsh.join(survIds, "doc_id")
     val comp = Dedup.clusters(
-      Dedup.lshPairsFrom(Dedup.bandsFromShingles(ssh, spec.bands),
+      Dedup.lshPairsFrom(bBands.join(survIds, "doc_id"),
         Dedup.indexFromShingles(ssh, spec.maxDf), threshold),
       survIds)
     val flags = ids
@@ -178,8 +257,9 @@ object SignatureStore {
         coalesce(col("hist_dup_of"),
           when(col("is_rep") === false, col("cluster"))).as("dup_of"))
       .localCheckpoint(true) // returned to the caller — must not pin the cache manager
-    val ksh = bsh.join(flags.filter(!col("is_dup")).select("doc_id"), "doc_id")
-    appendFrom(Dedup.bandsFromShingles(ksh, spec.bands),
+    val keepIds = flags.filter(!col("is_dup")).select("doc_id")
+    val ksh = bsh.join(keepIds, "doc_id")
+    appendFrom(bBands.join(keepIds, "doc_id"),
       Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true), // 2 writes read it
       name, buckets)
     flags

@@ -279,6 +279,41 @@ class DedupSpec extends SparkSpec {
     } finally SignatureStore.drop(spark, name)
   }
 
+  test("snapshot/rollback undoes an ingest bit-for-bit; re-ingest is identical") {
+    import graft.dedup.SignatureStore
+    def doc(i: Int): String =
+      (0 until 24).map(w => s"w${i}_$w").mkString(" ")
+    val hist = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, doc(1).split(" ").dropRight(1).mkString(" ") + " mutated"), // dup of 1
+      (12L, doc(12))                                                    // survivor
+    ).toDF("doc_id", "text")
+    val name = "graft_rollback_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, hist, name)
+    try {
+      val snap = SignatureStore.snapshot(spark, name)
+      def run(): Map[Long, (Boolean, Option[Long])] =
+        SignatureStore.ingest(spark, batch, name).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val f1 = run()
+      assert(f1 == Map(11L -> ((true, Some(1L))), 12L -> ((false, None))), s"$f1")
+      // the ingest appended the survivor — the store visibly grew
+      assert(SignatureStore.snapshot(spark, name) != snap)
+      assert(spark.table(SignatureStore.sizesTable(name))
+        .filter(col("doc_id") === 12L).count() == 1)
+      SignatureStore.rollback(spark, name, snap)
+      // bit-for-bit: the exact pre-ingest file set, nothing extra
+      assert(SignatureStore.snapshot(spark, name) == snap)
+      assert(spark.table(SignatureStore.sizesTable(name))
+        .filter(col("doc_id") === 12L).count() == 0)
+      // a second ingest against the restored store flags identically —
+      // the d08 bench/Verify idempotence contract
+      assert(run() == f1)
+    } finally SignatureStore.drop(spark, name)
+  }
+
   test("sign-bit LSH on an empty corpus returns the empty pair set") {
     import graft.similarity.Similarity
     // an empty daily slice is a plausible input — must not NPE on the
