@@ -62,23 +62,28 @@ object SourceQueries {
     """.stripMargin.trim))
 
   /** A7 + B1/B6 — the bulk CSV load path (`/root/reference/load_csv.py:41-131`)
-    * end-to-end through a REAL csv file: the events table is serialized
-    * to headered CSV (all strings, M/d/yyyy dates — the reference's wire
-    * shape), read back via the header-keyed scan, and pushed through the
-    * mapping layer (typed projection, multi-format date parse, business
-    * key, display name, metadata). The oracle replays the logical
-    * content from the parquet table — proving the CSV round-trip is
-    * lossless.
+    * end-to-end through a REAL csv file: a deterministic event feed
+    * (seeded by the stable `o_orderkey` BIGINT — pure arithmetic, no
+    * fragile columns, so a driver-side re-encode of some other table's
+    * types can never reach this fixture) is serialized to headered CSV
+    * (all strings, M/d/yyyy dates — the reference's wire shape), read
+    * back via the header-keyed scan, and pushed through the mapping
+    * layer (typed projection, multi-format date parse, business key,
+    * display name, metadata). The oracle replays the same arithmetic —
+    * proving the CSV round-trip is lossless.
     */
   val e08 = QueryDef(
     "e08_csv_pipeline",
     (s, dir) => {
-      val ev = Tables.events(s, dir).select(
-        col("event_id").cast("string").as("event_id"),
-        col("user_id").cast("string").as("StoreNumber"),
-        date_format(col("ts"), "M/d/yyyy").as("CalendarDate"),
-        col("event_type").as("Channel"),
-        (col("event_id") % 1000).cast("string").as("Qty"))
+      val k = col("o_orderkey")
+      val ev = Tables.orders(s, dir).select(
+        k.cast("string").as("event_id"),
+        (k % 491).cast("string").as("StoreNumber"),
+        date_format(date_add(to_date(lit("1996-01-01")), (k % 730).cast("int")),
+          "M/d/yyyy").as("CalendarDate"),
+        element_at(array(lit("web"), lit("store"), lit("app")),
+          (k % 3 + 1).cast("int")).as("Channel"),
+        (k % 1000).cast("string").as("Qty"))
       val tmp = s"/tmp/graft_csv_${Integer.toHexString(dir.hashCode)}"
       ev.write.mode("overwrite").option("header", "true").csv(tmp)
       val raw = Connectors.csv(s, tmp)
@@ -99,19 +104,24 @@ object SourceQueries {
         .withColumn("cal_date", date_format(col("cal_date"), "yyyy-MM-dd"))
     },
     Some("""
-      SELECT CAST(event_id AS BIGINT) AS event_id,
-        CAST(user_id AS VARCHAR) AS store,
-        strftime(CAST(ts AS DATE), '%Y-%m-%d') AS cal_date,
-        event_type AS channel,
-        CAST(event_id % 1000 AS BIGINT) AS qty,
+      WITH feed AS (
+        SELECT o_orderkey AS k,
+          DATE '1996-01-01' + CAST(o_orderkey % 730 AS INTEGER) AS d,
+          CASE o_orderkey % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'store' ELSE 'app' END AS ch
+        FROM orders)
+      SELECT CAST(k AS BIGINT) AS event_id,
+        CAST(k % 491 AS VARCHAR) AS store,
+        strftime(d, '%Y-%m-%d') AS cal_date,
+        ch AS channel,
+        CAST(k % 1000 AS BIGINT) AS qty,
         concat_ws('_',
-          regexp_replace(CAST(user_id AS VARCHAR), '[ -]', '_', 'g'),
-          strftime(CAST(ts AS DATE), '%Y%m%d'),
-          regexp_replace(event_type, '[ -]', '_', 'g')) AS business_key,
-        concat_ws(' - ', CAST(user_id AS VARCHAR), event_type) AS display_name,
+          regexp_replace(CAST(k % 491 AS VARCHAR), '[ -]', '_', 'g'),
+          strftime(d, '%Y%m%d'),
+          regexp_replace(ch, '[ -]', '_', 'g')) AS business_key,
+        concat_ws(' - ', CAST(k % 491 AS VARCHAR), ch) AS display_name,
         'csv_load' AS datasource,
         TIMESTAMP '2026-01-01 00:00:00' AS lastrefreshed
-      FROM events
+      FROM feed
     """.stripMargin.trim))
 
   /** D4 — bulk keyed delete (`full_refresh_fy2023_2025.py:59-167`'s
@@ -185,15 +195,17 @@ object SourceQueries {
     * pushed through the store_hours mapping + HH:MM normalization. The
     * oracle replays the logical content — proving the xlsx round-trip
     * is lossless. Master-data scale: the sheet is stores × 7 rows, a
-    * driver-side parse that broadcast-joins downstream.
+    * driver-side parse that broadcast-joins downstream. The (store, dow)
+    * universe is seeded by the stable `o_orderkey` BIGINT so no other
+    * table's encoding drift can reach this fixture.
     */
   val e15 = QueryDef(
     "e15_store_hours_e2e",
     (s, dir) => {
       import graft.functions.Coercions
-      val base = Tables.events(s, dir)
-        .select((col("user_id") % 50).cast("int").as("store"),
-          ((col("user_id") % 7) + 1).cast("int").as("dow"))
+      val base = Tables.orders(s, dir)
+        .select((col("o_orderkey") % 50).cast("int").as("store"),
+          ((col("o_orderkey") % 7) + 1).cast("int").as("dow"))
         .distinct()
         .select(col("store"), col("dow"),
           (lit(600) + (col("store") % 6) * 100).cast("int").as("open_i"),
@@ -215,9 +227,9 @@ object SourceQueries {
     },
     Some("""
       WITH base AS (
-        SELECT DISTINCT CAST(user_id % 50 AS INTEGER) AS store,
-          CAST(user_id % 7 + 1 AS INTEGER) AS dow
-        FROM events),
+        SELECT DISTINCT CAST(o_orderkey % 50 AS INTEGER) AS store,
+          CAST(o_orderkey % 7 + 1 AS INTEGER) AS dow
+        FROM orders),
       t AS (
         SELECT store, dow,
           lpad(CAST(600 + (store % 6) * 100 AS VARCHAR), 4, '0') AS open_p,
