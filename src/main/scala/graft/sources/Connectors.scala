@@ -57,6 +57,36 @@ object Connectors {
     spark.createDataFrame(loop(None, Vector.empty, 0).asJava, schema)
   }
 
+  /** A9 at data scale — a page-ADDRESSABLE paged source: page `i` is
+    * independently fetchable (OData `$$skip`/`$$top`, page-numbered REST
+    * APIs), unlike the nextLink token chain, which is inherently
+    * sequential.
+    */
+  trait PageRangeFetch extends Serializable {
+    /** @return the rows of 0-based page `page` (empty when past the end). */
+    def fetch(page: Int): Seq[Row]
+  }
+
+  /** A9 at data scale — read a page-addressable source as a PARTITIONED
+    * scan: the page range is sliced across `partitions` input partitions
+    * and each executor slice fetches its own pages, so a large OData
+    * read-back lands distributed and can join against fact data without
+    * a driver-side materialization (the [[pagedRead]] loop stays the
+    * right tool for small control-plane reads that broadcast). Each page
+    * is fetched exactly once per scan; re-scanning (two actions over the
+    * same frame) re-fetches, as with any external scan — persist the
+    * frame if the source isn't idempotent.
+    */
+  def pagedReadPartitioned(spark: SparkSession, schema: StructType,
+      source: PageRangeFetch, numPages: Int, partitions: Int = 0): DataFrame = {
+    require(numPages >= 0, s"numPages must be >= 0, got $numPages")
+    val slices = math.max(1, if (partitions > 0) partitions
+      else math.min(spark.sparkContext.defaultParallelism, numPages))
+    val rdd = spark.sparkContext.parallelize(0 until numPages, slices)
+      .mapPartitions(_.flatMap(p => source.fetch(p)))
+    spark.createDataFrame(rdd, schema)
+  }
+
   private val Placeholder = raw"\$$\{(\w+)\}".r
 
   /** A10 — render `${var}` placeholders; unknown vars raise, literal

@@ -63,6 +63,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("k") === "c").select("id").as[Int].collect().toSeq == Seq(3))
   }
 
+  test("partitioned paged read: N pages fetched exactly once across P input partitions") {
+    val fetches = spark.sparkContext.longAccumulator("page-fetches")
+    val schema = StructType(Seq(StructField("page", IntegerType), StructField("v", IntegerType)))
+    val source = new Connectors.PageRangeFetch {
+      def fetch(page: Int): Seq[Row] = {
+        fetches.add(1)
+        (0 until 3).map(i => Row(page, page * 10 + i))
+      }
+    }
+    val df = Connectors.pagedReadPartitioned(spark, schema, source, numPages = 8, partitions = 4)
+    // the scan is distributed: 4 input partitions, not a driver loop
+    assert(df.rdd.getNumPartitions == 4)
+    val rows = df.collect()
+    // one action → every page fetched exactly once, each by its own slice
+    assert(fetches.value == 8, s"expected 8 page fetches, saw ${fetches.value}")
+    assert(rows.length == 24)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      (0 until 8).flatMap(p => (0 until 3).map(i => (p, p * 10 + i))).toSet)
+  }
+
+  test("partitioned paged read: zero pages is an empty frame, not an error") {
+    val schema = StructType(Seq(StructField("v", IntegerType)))
+    assert(Connectors.pagedReadPartitioned(spark, schema, SourcesSpec.MustNotFetch,
+      numPages = 0).count() == 0)
+  }
+
   test("csv scan: header-keyed, strings until mapping coerces (A7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     val f = dir.resolve("in.csv")
@@ -74,5 +100,13 @@ class SourcesSpec extends SparkSpec {
       graft.functions.Coercions.asDecimal(col("Net Sales")).as("net_sales"))
     assert(typed.as[BigDecimal].collect().map(_.toString).sorted.toSeq
       == Seq("1234.50", "99.00"))
+  }
+}
+
+object SourcesSpec {
+  /** Top-level (outer-free, serializable) source that must never fetch. */
+  object MustNotFetch extends Connectors.PageRangeFetch {
+    def fetch(page: Int): Seq[org.apache.spark.sql.Row] =
+      throw new IllegalStateException(s"fetch($page) must not be called")
   }
 }
