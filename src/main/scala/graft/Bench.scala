@@ -152,20 +152,27 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val unstable = scala.collection.mutable.ArrayBuffer[String]()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      metricSums.set(Map.empty)
       // untimed warm-up of persistent state (signature stores, ANN
       // indexes) so every timed run exercises the steady-state
       // incremental path — and runs agree, instead of run 1 absorbing a
       // one-time build and tripping the instability detector. Guarded by
       // the same watchdog as a timed run (a hung build must not tomb the
-      // artifact); a failure here is only logged — the timed run repeats
-      // the attempt and records the real error.
-      Queries.byName.get(name).flatMap(_.prepare).foreach { p =>
-        once(s"$name-prepare", () => p(spark, sfDir)) match {
-          case Right(t) => System.err.println(f"[bench] $name%-28s prepare ${t}%.2fs (untimed)")
-          case Left(err) => System.err.println(s"[bench] $name prepare failed: $err")
+      // artifact) and skipped entirely past the hard deadline (the query
+      // will be recorded skipped — minutes of state building for it
+      // would delay the artifact the deadline exists to protect); a
+      // failure here is only logged — the timed run repeats the attempt
+      // and records the real error.
+      if (elapsedSec <= hardDeadlineSec) {
+        Queries.byName.get(name).flatMap(_.prepare).foreach { p =>
+          once(s"$name-prepare", () => p(spark, sfDir)) match {
+            case Right(t) => System.err.println(f"[bench] $name%-28s prepare ${t}%.2fs (untimed)")
+            case Left(err) => System.err.println(s"[bench] $name prepare failed: $err")
+          }
         }
       }
+      // reset AFTER the prepare so the one-time build's scan/shuffle
+      // bytes aren't attributed to the timed runs' diagnostic line
+      metricSums.set(Map.empty)
       val rawTimes = scala.collection.mutable.ArrayBuffer[Double]()
       def timed(): Either[String, Double] = {
         val r = once(name,

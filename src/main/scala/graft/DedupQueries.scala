@@ -432,11 +432,13 @@ object DedupQueries {
     (s, dir) => {
       val (name, snap) = d08Store(s, dir)
       // ingest returns an eagerly-checkpointed frame (and its appends
-      // have executed), so rolling back here cannot invalidate it
-      val flags = SignatureStore.ingest(s,
+      // have executed), so rolling back cannot invalidate it. The
+      // rollback is a finally: a failed or watchdog-cancelled ingest
+      // must not leave partial appends for the next run to dedupe
+      // against (the batch would then match its own stored survivors).
+      try SignatureStore.ingest(s,
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), name)
-      SignatureStore.rollback(s, name, snap)
-      flags
+      finally SignatureStore.rollback(s, name, snap)
     },
     Some(s"""
       WITH RECURSIVE ${corpusCtes("h_", "doc_id % 10 <> 0")},${bandCtes("h_")},

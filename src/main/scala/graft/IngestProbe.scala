@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Dedup, SignatureStore}
+import graft.dedup.SignatureStore
 
 /** Dev-only stage profiler for the d08 ingest cycle (not part of the
   * driver contract): `runMain graft.IngestProbe [sfDir]` builds a
-  * scratch store, then times each stage of one
-  * [[graft.dedup.SignatureStore.ingest]]-equivalent cycle separately —
-  * store-join, survivor LSH, components, appends — so bench-weight work
-  * on d08 targets the stage that actually costs, not a guess.
+  * scratch store, then drives the REAL [[graft.dedup.SignatureStore
+  * .ingest]] through its `onStage` timing hook — the numbers are the
+  * production code path's own materialization points, so bench-weight
+  * work on d08 targets the stage that actually costs and cannot drift
+  * from a probe-local reimplementation.
   */
 object IngestProbe {
   def main(args: Array[String]): Unit = {
@@ -36,64 +37,12 @@ object IngestProbe {
     t("build (untimed in bench)") {
       SignatureStore.build(spark, docs.filter(col("doc_id") % 10 =!= 0), name)
     }
+    val snap = t("snapshot")(SignatureStore.snapshot(spark, name))
     (1 to 2).foreach { round =>
       println(s"--- cycle $round")
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      val snap = t("snapshot")(SignatureStore.snapshot(spark, name))
-      val meta = spark.table(SignatureStore.metaTable(name)).head()
-      val spec = SignatureStore.Spec(meta.getAs[Int]("k"),
-        meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
-      val buckets = meta.getAs[Int]("buckets")
-      val ids = batch.select(col("doc_id").cast("long").as("doc_id"))
-      val bsh = t("shingle pass + ckpt")(Dedup.shingles(batch, spec.k).localCheckpoint(true))
-      val bIdx = t("batch index + ckpt")(Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true))
-      val bBands = t("batch bands + ckpt")(Dedup.bandsFromShingles(bsh, spec.bands).localCheckpoint(true))
-      val histDup = t("store join (histDup)") {
-        SignatureStore.incrementalPairs(spark, batch, name)
-          .groupBy(col("new_id").as("doc_id"))
-          .agg(min(col("hist_id")).as("hist_dup_of"))
-          .localCheckpoint(true)
-      }
-      val survIds = ids.join(histDup, Seq("doc_id"), "left_anti")
-      val ssh = bsh.join(survIds, "doc_id")
-      val pairs = t("survivor LSH pairs") {
-        Dedup.lshPairsFrom(bBands.join(survIds, "doc_id"),
-          Dedup.indexFromShingles(ssh, spec.maxDf), 0.5).localCheckpoint(true)
-      }
-      val comp = t("components")(Dedup.clusters(pairs, survIds))
-      val flags = t("flags + ckpt") {
-        ids.join(histDup, Seq("doc_id"), "left")
-          .join(comp.select(col("doc_id"), col("cluster"), col("is_rep")), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            (col("hist_dup_of").isNotNull || col("is_rep") === false).as("is_dup"),
-            coalesce(col("hist_dup_of"),
-              when(col("is_rep") === false, col("cluster"))).as("dup_of"))
-          .localCheckpoint(true)
-      }
-      val keepIds = flags.filter(!col("is_dup")).select("doc_id")
-      val ksh = bsh.join(keepIds, "doc_id")
-      val kIdx = t("keep index + ckpt")(Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true))
-      t("append bands") {
-        bBands.join(keepIds, "doc_id")
-          .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
-          .repartition(buckets, col("band_key"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "band_key").sortBy("band_key")
-          .saveAsTable(SignatureStore.bandsTable(name))
-      }
-      t("append shingles") {
-        kIdx.repartition(buckets, col("doc_id"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(SignatureStore.shinglesTable(name))
-      }
-      t("append sizes") {
-        kIdx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-          .repartition(buckets, col("doc_id"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(SignatureStore.sizesTable(name))
-      }
+      val flags = SignatureStore.ingest(spark, batch, name,
+        onStage = (label, sec) => println(f"[stage] $label%-26s $sec%6.2f s"))
       t("noop(flags)")(flags.write.mode("overwrite").format("noop").save())
       t("rollback")(SignatureStore.rollback(spark, name, snap))
     }

@@ -33,9 +33,14 @@ final case class QueryDef(
   * state are identical, so correctness is unaffected.
   */
 object OncePerJvm {
-  private val done = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
+  // computation must run under the key's lock so a second caller BLOCKS
+  // until the first build finishes (or retries if it threw) instead of
+  // racing a concurrent build of the same store/index (TrieMap evaluates
+  // the thunk outside any lock).
+  private val done = new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
   def apply(key: String, dir: String)(build: => Unit): Unit =
-    done.getOrElseUpdate((key, dir), build)
+    done.computeIfAbsent((key, dir), _ => build)
 
   /** Stable identifier-safe slug of a data directory, so per-dir state
     * (store tables, index roots) can't collide when one JVM touches

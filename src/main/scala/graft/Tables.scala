@@ -44,8 +44,13 @@ object Tables {
     *     can't know) fails loudly rather than guessing a divisor.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // the conf being already on means an earlier events() in this
+    // session took the nanos retry — this read's LongType ts is then the
+    // same nanos encoding surfaced directly, not an unknown-unit BIGINT
+    def nanosConfOn: Boolean =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
     val (raw, usedNanosRetry) =
-      try (apply(spark, dir, "events"), false)
+      try (apply(spark, dir, "events"), nanosConfOn)
       catch {
         case e: Throwable if isParquetNanosIllegal(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

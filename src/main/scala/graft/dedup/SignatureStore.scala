@@ -165,36 +165,45 @@ object SignatureStore {
     */
   private def appendFrom(bands: DataFrame, index: DataFrame, name: String,
       buckets: Int): Unit = {
-    // the three table appends are independent jobs over already-pinned
+    // The three table appends are independent jobs over already-pinned
     // inputs (callers checkpoint `index`; `bands` filters a checkpointed
     // table) — submit them concurrently and let the scheduler interleave
-    // their small stages instead of paying three sequential job latencies
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // their small stages instead of paying three sequential job
+    // latencies. The executor threads are created HERE, per call — not
+    // taken from a shared pool — so Spark's InheritableThreadLocal
+    // localProperties (job group, cancellation scope) propagate from the
+    // caller: a harness cancelling the caller's job group cancels these
+    // writes with it, instead of leaking stragglers that race a later
+    // rollback.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val writes = Seq(
-      Future {
-        bands
-          .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
-          .repartition(buckets, col("band_key"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "band_key").sortBy("band_key")
-          .saveAsTable(bandsTable(name))
-      },
-      Future {
-        index.repartition(buckets, col("doc_id"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(shinglesTable(name))
-      },
-      Future {
-        index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-          .repartition(buckets, col("doc_id"))
-          .write.mode("append").format("parquet")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(sizesTable(name))
-      })
-    writes.foreach(Await.result(_, Duration.Inf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq(
+        Future {
+          bands
+            .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+            .repartition(buckets, col("band_key"))
+            .write.mode("append").format("parquet")
+            .bucketBy(buckets, "band_key").sortBy("band_key")
+            .saveAsTable(bandsTable(name))
+        },
+        Future {
+          index.repartition(buckets, col("doc_id"))
+            .write.mode("append").format("parquet")
+            .bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(shinglesTable(name))
+        },
+        Future {
+          index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+            .repartition(buckets, col("doc_id"))
+            .write.mode("append").format("parquet")
+            .bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(sizesTable(name))
+        })
+      writes.foreach(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** One full cycle of the daily cadence: flag the batch's duplicates,
@@ -224,44 +233,69 @@ object SignatureStore {
     * unpinned histDup re-executes the whole store-join subtree per
     * consumer (measured 2× on the bench before pinning).
     */
+  /** @param onStage dev-hook: called with (stage-label, seconds) after
+    *   each materialization point, so profilers ([[graft.IngestProbe]])
+    *   time THIS code path rather than a drift-prone reimplementation.
+    *   Failure note: an exception mid-ingest (including during the
+    *   appends) can leave PARTIAL appends behind — callers that must
+    *   preserve the store take a [[snapshot]] first and [[rollback]] on
+    *   failure, which restores it bit-for-bit.
+    */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def staged[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val meta = spark.table(metaTable(name)).head()
     val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
     val buckets = meta.getAs[Int]("buckets")
     // ids come from the batch itself, not the shingle pass — docs with
     // fewer than k tokens have no shingles but still need a flag row
     val ids = batch.select(col("doc_id").cast("long").as("doc_id"))
-    val bsh = Dedup.shingles(batch, spec.k).localCheckpoint(true)
-    val bIdx = Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true)
+    val bsh = staged("shingle pass")(Dedup.shingles(batch, spec.k).localCheckpoint(true))
+    val bIdx = staged("batch index")(
+      Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true))
     // MinHash signatures are per-document (corpus-independent), so the
     // batch's bands are aggregated ONCE and every later consumer —
     // store join, within-survivor LSH, keeper append — is a semi-join
     // filter of this table, not a re-aggregation of the shingle pass
-    val bBands = Dedup.bandsFromShingles(bsh, spec.bands).localCheckpoint(true)
-    val histDup = pairsAgainstStore(spark, name, bBands, bIdx, threshold)
-      .groupBy(col("new_id").as("doc_id"))
-      .agg(min(col("hist_id")).as("hist_dup_of"))
-      .localCheckpoint(true)
+    val bBands = staged("batch bands")(
+      Dedup.bandsFromShingles(bsh, spec.bands).localCheckpoint(true))
+    val histDup = staged("store join") {
+      pairsAgainstStore(spark, name, bBands, bIdx, threshold)
+        .groupBy(col("new_id").as("doc_id"))
+        .agg(min(col("hist_id")).as("hist_dup_of"))
+        .localCheckpoint(true)
+    }
     val survIds = ids.join(histDup, Seq("doc_id"), "left_anti")
     val ssh = bsh.join(survIds, "doc_id")
-    val comp = Dedup.clusters(
-      Dedup.lshPairsFrom(bBands.join(survIds, "doc_id"),
-        Dedup.indexFromShingles(ssh, spec.maxDf), threshold),
-      survIds)
-    val flags = ids
-      .join(histDup, Seq("doc_id"), "left")
-      .join(comp.select(col("doc_id"), col("cluster"), col("is_rep")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("hist_dup_of").isNotNull || col("is_rep") === false).as("is_dup"),
-        coalesce(col("hist_dup_of"),
-          when(col("is_rep") === false, col("cluster"))).as("dup_of"))
-      .localCheckpoint(true) // returned to the caller — must not pin the cache manager
+    val comp = staged("survivor LSH + components") {
+      Dedup.clusters(
+        Dedup.lshPairsFrom(bBands.join(survIds, "doc_id"),
+          Dedup.indexFromShingles(ssh, spec.maxDf), threshold),
+        survIds)
+    }
+    val flags = staged("flags") {
+      ids
+        .join(histDup, Seq("doc_id"), "left")
+        .join(comp.select(col("doc_id"), col("cluster"), col("is_rep")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("hist_dup_of").isNotNull || col("is_rep") === false).as("is_dup"),
+          coalesce(col("hist_dup_of"),
+            when(col("is_rep") === false, col("cluster"))).as("dup_of"))
+        .localCheckpoint(true) // returned to the caller — must not pin the cache manager
+    }
     val keepIds = flags.filter(!col("is_dup")).select("doc_id")
     val ksh = bsh.join(keepIds, "doc_id")
-    appendFrom(bBands.join(keepIds, "doc_id"),
-      Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true), // 2 writes read it
-      name, buckets)
+    staged("appends") {
+      appendFrom(bBands.join(keepIds, "doc_id"),
+        Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true), // 2 writes read it
+        name, buckets)
+    }
     flags
   }
 

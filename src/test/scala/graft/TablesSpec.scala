@@ -170,6 +170,30 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("drifted"))
   }
 
+  test("events branch: LATER reads in a nanos session (sticky conf, long ts) still convert") {
+    import spark.implicits._
+    // once the first events() read takes the nanos retry, the legacy
+    // conf stays on session-wide and subsequent reads surface LongType
+    // directly WITHOUT throwing — they must convert, not crash
+    withTmp { dir =>
+      val nanos = t0.getTime * 1000000L + 789L
+      Seq((1L, nanos)).toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val got = Tables.events(spark, dir)
+        assert(got.schema("ts").dataType == TimestampType)
+        assert(got.select("ts").as[Timestamp].collect().toSeq == Seq(t0))
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      // without the session flag the same long ts has unknown unit → loud
+      intercept[IllegalStateException](Tables.events(spark, dir).schema)
+    }
+  }
+
   test("nanos-illegal detector matches error class and wrapped messages") {
     val byMessage = new RuntimeException(
       "caused by [PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64 (TIMESTAMP(NANOS,false))")
