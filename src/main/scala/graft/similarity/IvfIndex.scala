@@ -78,7 +78,13 @@ object IvfIndex {
     val v = corpus.select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
       col(vecCol).as("emb"))
       .withColumn("ns", Similarity.normSq(col("emb")))
-    v.write.partitionBy("cell").parquet(s"$tmp/vectors")
+    // repartition on the layout key before the partitioned write: writing
+    // straight from a W-way shuffle emits one file per (task, cell) — up
+    // to W×nlist near-empty files per build (measured 256/version at
+    // sf0.1) — while hash-clustering by cell bounds it at one file per
+    // cell (very large cells split further via
+    // spark.sql.files.maxRecordsPerFile when an operator sets it)
+    v.repartition(col("cell")).write.partitionBy("cell").parquet(s"$tmp/vectors")
     val ex = v.select(col("cell"), posexplode(col("emb")).as(Seq("pos", "val0")))
       .withColumn("val", col("val0").cast("double"))
     val cent = ex.groupBy(col("cell"), col("pos"))
@@ -87,7 +93,8 @@ object IvfIndex {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
         s => s.getField("cval")).as("cent"))
       .withColumn("cns", Similarity.normSq(col("cent")))
-    centArr.write.parquet(s"$tmp/centroids")
+    // nlist rows — control-plane size, one file
+    centArr.coalesce(1).write.parquet(s"$tmp/centroids")
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(versionDir(root, next)))) {
       fs.delete(tmp, true) // lost the publish race — don't leak the build
       sys.error(s"concurrent index build: version $next already published at $root")

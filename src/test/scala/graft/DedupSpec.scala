@@ -306,6 +306,17 @@ class DedupSpec extends SparkSpec {
       SignatureStore.rollback(spark, name, snap)
       // bit-for-bit: the exact pre-ingest file set, nothing extra
       assert(SignatureStore.snapshot(spark, name) == snap)
+      // bucket-aligned writes: a build emits at most `buckets` data
+      // files per table (one per bucket), not one per (task, bucket) —
+      // the small-files regression guard
+      Seq(SignatureStore.bandsTable(name), SignatureStore.shinglesTable(name),
+        SignatureStore.sizesTable(name)).foreach { t =>
+        val loc = new java.io.File(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)))
+        val parts = loc.listFiles().count(f => f.getName.startsWith("part-"))
+        assert(parts <= 16, s"$t has $parts data files after build (buckets=16)")
+      }
       assert(spark.table(SignatureStore.sizesTable(name))
         .filter(col("doc_id") === 12L).count() == 0)
       // a second ingest against the restored store flags identically —

@@ -105,5 +105,16 @@ class IvfIndexSpec extends SparkSpec {
       nlist = 8, iters = 2, sampleMod = 2) == 2)
     assert(IvfIndex.topK(spark, root, queries, "vec_id", "embedding", k = 5, probes = 2)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet == gotPairs)
+    // build writes are cell-clustered: one data file per cell (plus one
+    // centroids file), NOT one per (writer-task, cell) — the small-files
+    // regression guard for the partitioned layout
+    val v2 = new java.io.File(s"$root/v00002/vectors")
+    val dataFiles = v2.listFiles().filter(_.isDirectory).map(d =>
+      d.getName -> d.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_._2 == 1),
+      s"per-cell file counts: ${dataFiles.mkString(", ")}")
+    val centFiles = new java.io.File(s"$root/v00002/centroids")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(centFiles == 1, s"$centFiles centroid files")
   }
 }
