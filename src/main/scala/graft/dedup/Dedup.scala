@@ -127,10 +127,27 @@ object Dedup {
   /** LSH candidates (pairs sharing any band bucket) re-verified with
     * exact Jaccard over the inverted index. The verify join is keyed on
     * candidate pairs — cost tracks collisions, never n².
+    *
+    * One shingle pass: the tokenize+explode (the expensive scan-side
+    * step) is eagerly checkpointed and BOTH derivations — band
+    * signatures and the df-capped index — aggregate from it, instead of
+    * each re-scanning and re-exploding the corpus; the index is
+    * checkpointed too because [[lshPairsFrom]] consumes it three times
+    * (sizes + both verify sides). Same discipline as
+    * [[SignatureStore.ingest]]. Note this makes the call eager (the
+    * checkpoints materialize immediately), and it trades executor
+    * storage for the exploded shingle set against re-scanning and
+    * re-tokenizing the corpus per derivation — the right trade for a
+    * batch; a corpus-wide pass at full history scale should go through
+    * [[SignatureStore]] instead, which amortizes the history side to
+    * zero.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, bands: Int = 8,
-      maxDf: Int = 100, threshold: Double = 0.5): DataFrame =
-    lshPairsFrom(minhashBands(docs, k, bands), shingleIndex(docs, k, maxDf), threshold)
+      maxDf: Int = 100, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).localCheckpoint(true)
+    val idx = indexFromShingles(sh, maxDf).localCheckpoint(true)
+    lshPairsFrom(bandsFromShingles(sh, bands), idx, threshold)
+  }
 
   /** [[minhashLshPairs]] over precomputed band signatures and inverted
     * index (callers holding a shared exploded-shingle pass derive both
