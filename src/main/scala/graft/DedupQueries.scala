@@ -349,25 +349,35 @@ object DedupQueries {
     * history side is read pre-bucketed and never reshuffled. The oracle
     * replays the identical recipe over the two corpora side by side.
     */
-  /** Build-once/probe-many lifecycle: the history store is constructed
-    * once per JVM ([[graft.OncePerJvm]]) — Bench warms it via `prepare`
-    * so the published seconds time the daily incremental join, not the
-    * one-time banding of history (the cost an operator pays monthly in
-    * the compaction window, not per batch).
+  /** Build-once/probe-many lifecycle shared by d07 AND d08: ONE history
+    * store per JVM per data dir ([[graft.OncePerJvm]], keyed by the
+    * dir's slug so path aliases like a trailing slash can't trigger a
+    * duplicate build) — Bench warms it via `prepare` so the published
+    * seconds time the daily incremental join, not the one-time banding
+    * of history (the cost an operator pays monthly in the compaction
+    * window, not per batch). d08's snapshot+rollback restores the store
+    * to exactly this post-build state after every ingest, which is what
+    * lets read-only d07 share it. The post-build file-set snapshot is
+    * taken INSIDE the build block, so it can never go stale against a
+    * rebuild under the same name.
     */
-  private def d07Store(s: SparkSession, dir: String): String = {
-    val name = s"graft_d07_sigstore_${OncePerJvm.slug(dir)}"
-    OncePerJvm(name, dir) {
+  private val storeSnaps = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  private def dedupStore(s: SparkSession, dir: String): (String, Set[String]) = {
+    val slug = OncePerJvm.slug(dir)
+    val name = s"graft_dedup_sigstore_$slug"
+    OncePerJvm(name, slug) {
       SignatureStore.build(s,
         Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), name)
+      storeSnaps.put(name, SignatureStore.snapshot(s, name)); ()
     }
-    name
+    (name, storeSnaps.getOrElseUpdate(name, SignatureStore.snapshot(s, name)))
   }
 
   val d07 = QueryDef(
     "d07_incremental_dedup",
     (s, dir) => {
-      val name = d07Store(s, dir)
+      val (name, _) = dedupStore(s, dir)
       SignatureStore.incrementalPairs(s,
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), name)
     },
@@ -392,7 +402,7 @@ object DedupQueries {
       JOIN b_sizes sb ON sb.doc_id = new_id
       WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """.stripMargin.trim),
-    prepare = Some((s, dir) => { d07Store(s, dir); () }))
+    prepare = Some((s, dir) => { dedupStore(s, dir); () }))
 
   /** One full ingest cycle's dup flags ([[graft.dedup.SignatureStore
     * .ingest]]): history (doc_id % 10 ≠ 0) is built into the store, then
@@ -405,32 +415,18 @@ object DedupQueries {
     * the engine's second LSH pass), the within-survivor pair recipe,
     * and the recursive min-label components.
     */
-  /** Same build-once lifecycle as d07 — but `ingest` MUTATES the store
-    * (appends the batch's survivors), so each execution snapshots the
-    * store's file set and rolls the appends back after the flags are
-    * materialized ([[graft.dedup.SignatureStore.rollback]]). The timed
-    * path is one full daily cycle — store join, within-batch LSH,
-    * survivor append — against the identical post-build store every run;
-    * the rollback itself is a driver-side delete of ≤3×buckets files.
+  /** Same shared store as d07 — but `ingest` MUTATES it (appends the
+    * batch's survivors), so each execution rolls the appends back to the
+    * memoized post-build snapshot after the flags are materialized
+    * ([[graft.dedup.SignatureStore.rollback]]). The timed path is one
+    * full daily cycle — store join, within-batch LSH, survivor append —
+    * against the identical post-build store every run; the rollback
+    * itself is a driver-side delete of ≤3×buckets files.
     */
-  private val d08Snaps = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
-
-  private def d08Store(s: SparkSession, dir: String): (String, Set[String]) = {
-    val name = s"graft_d08_sigstore_${OncePerJvm.slug(dir)}"
-    OncePerJvm(name, dir) {
-      SignatureStore.build(s,
-        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), name)
-    }
-    // the post-build file set is snapshotted once per JVM: every
-    // execution rolls its appends back to exactly this state, so the
-    // memoized snapshot stays valid for the store's whole JVM lifetime
-    (name, d08Snaps.getOrElseUpdate(name, SignatureStore.snapshot(s, name)))
-  }
-
   val d08 = QueryDef(
     "d08_ingest_flags",
     (s, dir) => {
-      val (name, snap) = d08Store(s, dir)
+      val (name, snap) = dedupStore(s, dir)
       // ingest returns an eagerly-checkpointed frame (and its appends
       // have executed), so rolling back cannot invalidate it. The
       // rollback is a finally: a failed or watchdog-cancelled ingest
@@ -481,7 +477,7 @@ object DedupQueries {
       LEFT JOIN histdup h USING (doc_id)
       LEFT JOIN comp c ON c.doc_id = t.doc_id
     """.stripMargin.trim),
-    prepare = Some((s, dir) => { d08Store(s, dir); () }))
+    prepare = Some((s, dir) => { dedupStore(s, dir); () }))
 
   def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

@@ -194,10 +194,12 @@ object SimilarityQueries {
     // the 2-probe pruned top-k, which is the amortized production cost.
     def ensureIndex(s: SparkSession, dir: String): String = {
       import graft.similarity.IvfIndex
+      // keyed by the dir's slug (matching the root's name) so a path
+      // alias like a trailing slash can't rebuild into the same root
       val root = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
         s"graft_s03_ivf_index_${OncePerJvm.slug(dir)}")
-      OncePerJvm("graft_s03_ivf_index", dir) {
+      OncePerJvm("graft_s03_ivf_index", OncePerJvm.slug(dir)) {
         root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
         IvfIndex.buildTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
           root.toString, nlist = nlist, iters = iters, sampleMod = sampleMod)

@@ -33,9 +33,11 @@ object Tables {
     *     and truncate ns→µs, matching DuckDB's cast so differential
     *     results agree. NOTE: the conf stays set for the rest of the
     *     session (restoring it right after the re-read would break the
-    *     lazy scan, which consults it at execution time); any later
-    *     TIMESTAMP(NANOS) parquet in the same session therefore also
-    *     surfaces as long — which this normalizer is the only reader of.
+    *     lazy scan, which consults it at execution time), so any later
+    *     events read — nanos or a genuine BIGINT — surfaces as long
+    *     WITHOUT throwing; the unit is therefore resolved per dir from
+    *     the parquet FOOTER ([[eventsTsIsNanosOnDisk]]), never from the
+    *     session conf.
     *   - TIMESTAMP_NTZ (µs, no isAdjustedToUTC): cast to TimestampType —
     *     value-identical under the pinned UTC session TZ, matching the
     *     DuckDB oracle's direct µs read.
@@ -44,19 +46,53 @@ object Tables {
     *     can't know) fails loudly rather than guessing a divisor.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // the conf being already on means an earlier events() in this
-    // session took the nanos retry — this read's LongType ts is then the
-    // same nanos encoding surfaced directly, not an unknown-unit BIGINT
-    def nanosConfOn: Boolean =
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
-    val (raw, usedNanosRetry) =
-      try (apply(spark, dir, "events"), nanosConfOn)
+    val raw =
+      try apply(spark, dir, "events")
       catch {
         case e: Throwable if isParquetNanosIllegal(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          (apply(spark, dir, "events"), true)
+          apply(spark, dir, "events")
       }
-    normalizeEventsTs(raw, usedNanosRetry)
+    raw.schema("ts").dataType match {
+      // a LongType ts is ambiguous from Spark's side (the legacy conf —
+      // sticky from an earlier nanos read this session — surfaces real
+      // TIMESTAMP(NANOS) AND any native BIGINT as long), so resolve the
+      // unit from THIS dir's parquet footer, never from session state: a
+      // driver-regenerated BIGINT-of-unknown-unit must fail loudly even
+      // in a session that read nanos before
+      case org.apache.spark.sql.types.LongType =>
+        normalizeEventsTs(raw, knownNanos = eventsTsIsNanosOnDisk(spark, dir))
+      case _ => normalizeEventsTs(raw, knownNanos = false)
+    }
+  }
+
+  /** True iff `dir`'s events parquet footer declares `ts` as
+    * TIMESTAMP(NANOS). Driver-side read of one file's footer — the
+    * authoritative per-dir answer the session conf can't give.
+    */
+  private[graft] def eventsTsIsNanosOnDisk(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val dataFile =
+      if (fs.getFileStatus(root).isFile) Some(root)
+      else fs.listStatus(root).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    dataFile.exists { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+          (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+      } finally reader.close()
+    }
   }
 
   /** True iff the read failed because of parquet TIMESTAMP(NANOS)
@@ -74,21 +110,21 @@ object Tables {
   }
 
   /** Normalize the `ts` column of an events frame to TimestampType (µs).
-    * `usedNanosRetry` records whether the frame was read under
-    * `nanosAsLong` (so a LongType ts is known to be nanoseconds); a long
-    * ts from any other source has an unknown unit and is an error.
+    * `knownNanos` records whether the on-disk encoding is POSITIVELY
+    * known to be nanoseconds (parquet footer annotation); a long ts
+    * without that knowledge has an unknown unit and is an error.
     */
-  private[graft] def normalizeEventsTs(raw: DataFrame, usedNanosRetry: Boolean): DataFrame = {
+  private[graft] def normalizeEventsTs(raw: DataFrame, knownNanos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
-      case LongType if usedNanosRetry =>
+      case LongType if knownNanos =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other =>
         throw new IllegalStateException(
-          s"events.ts has unsupported type $other (nanosRetry=$usedNanosRetry): " +
+          s"events.ts has unsupported type $other (knownNanos=$knownNanos): " +
             "testdata encoding drifted again — add an explicit branch in Tables.events")
     }
   }

@@ -147,7 +147,10 @@ object SignatureStore {
         val added = fs.listStatus(loc).map(_.getPath)
           .filterNot(p => snap.contains(p.toString))
         if (added.nonEmpty) {
-          added.foreach(fs.delete(_, false))
+          // recursive: an ABORTED append leaves a non-empty _temporary
+          // staging dir — a non-recursive delete would throw on it,
+          // abort the rollback partway, and mask the original failure
+          added.foreach(fs.delete(_, true))
           spark.catalog.refreshTable(t)
         }
       }
@@ -202,7 +205,13 @@ object SignatureStore {
             .bucketBy(buckets, "doc_id").sortBy("doc_id")
             .saveAsTable(sizesTable(name))
         })
-      writes.foreach(Await.result(_, Duration.Inf))
+      // await ALL three before returning or rethrowing: if one write
+      // fails while siblings are still running, returning early would
+      // leave stragglers committing files AFTER a caller's rollback
+      // listed the directories — exactly the partial-append pollution
+      // the rollback exists to prevent
+      val results = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
+      results.foreach(_.get)
     } finally pool.shutdown()
   }
 

@@ -140,23 +140,20 @@ class TablesSpec extends SparkSpec {
     }
   }
 
-  test("events branch: long ts under the nanos retry converts ns→µs exactly") {
+  test("events branch: long ts with footer-confirmed nanos converts ns→µs exactly") {
     import spark.implicits._
-    // Spark cannot write TIMESTAMP(NANOS) parquet, so exercise the
-    // normalizer directly with what the nanosAsLong read surfaces: a
-    // LongType column of epoch-nanoseconds.
     val nanos = t0.getTime * 1000000L + 789L // sub-µs part must truncate
     val raw = Seq((1L, nanos)).toDF("event_id", "ts")
-    val got = Tables.normalizeEventsTs(raw, usedNanosRetry = true)
+    val got = Tables.normalizeEventsTs(raw, knownNanos = true)
     assert(got.schema("ts").dataType == TimestampType)
     assert(got.select("ts").as[Timestamp].collect().toSeq == Seq(t0))
   }
 
-  test("events branch: long ts WITHOUT the nanos retry fails loudly (unknown unit)") {
+  test("events branch: long ts WITHOUT footer-confirmed nanos fails loudly (unknown unit)") {
     import spark.implicits._
     val raw = Seq((1L, 12345L)).toDF("event_id", "ts")
     val e = intercept[IllegalStateException] {
-      Tables.normalizeEventsTs(raw, usedNanosRetry = false)
+      Tables.normalizeEventsTs(raw, knownNanos = false)
     }
     assert(e.getMessage.contains("unsupported"))
   }
@@ -165,32 +162,70 @@ class TablesSpec extends SparkSpec {
     import spark.implicits._
     val raw = Seq((1L, "2024-03-01")).toDF("event_id", "ts")
     val e = intercept[IllegalStateException] {
-      Tables.normalizeEventsTs(raw, usedNanosRetry = false)
+      Tables.normalizeEventsTs(raw, knownNanos = false)
     }
     assert(e.getMessage.contains("drifted"))
   }
 
-  test("events branch: LATER reads in a nanos session (sticky conf, long ts) still convert") {
+  /** Write a GENUINE parquet file whose ts column is annotated
+    * TIMESTAMP(NANOS) — the encoding Spark cannot write but the driver
+    * has shipped — so the whole events() path (rejection, legacy-conf
+    * retry, footer detection, ns→µs truncation) is exercised end to end.
+    */
+  private def writeNanosEvents(path: String, eventId: Long, tsNanos: Long): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, PrimitiveType, Types}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    val schema = Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LTA.timestampType(false, LTA.TimeUnit.NANOS)).named("ts")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+    try {
+      val g = new SimpleGroup(schema)
+      g.add("event_id", eventId)
+      g.add("ts", tsNanos)
+      w.write(g)
+    } finally w.close()
+  }
+
+  test("events e2e: genuine TIMESTAMP(NANOS) file → retry + footer detection → µs values") {
     import spark.implicits._
-    // once the first events() read takes the nanos retry, the legacy
-    // conf stays on session-wide and subsequent reads surface LongType
-    // directly WITHOUT throwing — they must convert, not crash
-    withTmp { dir =>
-      val nanos = t0.getTime * 1000000L + 789L
-      Seq((1L, nanos)).toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try {
+    val nanos = t0.getTime * 1000000L + 789L
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.unset(key)
+    try {
+      withTmp { dir =>
+        writeNanosEvents(s"$dir/events.parquet", 1L, nanos)
+        assert(Tables.eventsTsIsNanosOnDisk(spark, dir))
+        // first read in the session: PARQUET_TYPE_ILLEGAL → retry path
         val got = Tables.events(spark, dir)
         assert(got.schema("ts").dataType == TimestampType)
         assert(got.select("ts").as[Timestamp].collect().toSeq == Seq(t0))
-      } finally prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
       }
-      // without the session flag the same long ts has unknown unit → loud
-      intercept[IllegalStateException](Tables.events(spark, dir).schema)
+      // second nanos dir in the SAME session: the sticky conf means no
+      // exception is thrown this time — the footer must still say nanos
+      withTmp { dir2 =>
+        writeNanosEvents(s"$dir2/events.parquet", 2L, nanos)
+        val got2 = Tables.events(spark, dir2)
+        assert(got2.select("ts").as[Timestamp].collect().toSeq == Seq(t0))
+      }
+      // and a genuine unknown-unit BIGINT dir in the same nanos session
+      // must STILL fail loudly — the footer, not the conf, decides
+      withTmp { dir3 =>
+        import spark.implicits._
+        Seq((1L, 12345L)).toDF("event_id", "ts").write.parquet(s"$dir3/events.parquet")
+        assert(!Tables.eventsTsIsNanosOnDisk(spark, dir3))
+        intercept[IllegalStateException](Tables.events(spark, dir3))
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
