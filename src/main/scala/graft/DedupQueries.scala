@@ -109,12 +109,19 @@ object DedupQueries {
     """.stripMargin.trim))
 
   /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index
-    * (pairs sharing ≥1 shingle; cost tracks collisions, not n²).
+    * (pairs sharing ≥1 shingle; cost tracks collisions, not n²). The
+    * index is checkpointed before the pair join — jaccardPairs consumes
+    * it three times (both self-join sides + per-doc sizes), and without
+    * the pin each consumer re-runs the explode→distinct→df-cap subtree
+    * (the same multiply-consumed-intermediate rule SignatureStore
+    * applies, SURVEY.md §7 lesson 20).
     */
   val d02 = QueryDef(
     "d02_ngram_jaccard",
     (s, dir) =>
-      Dedup.jaccardPairs(Dedup.shingleIndex(Tables.documents(s, dir)), threshold = 0.5),
+      Dedup.jaccardPairs(
+        Dedup.shingleIndex(Tables.documents(s, dir)).localCheckpoint(true),
+        threshold = 0.5),
     Some(s"""
       WITH $shingleCtes,
       common AS (

@@ -254,5 +254,84 @@ object TextQueries {
           FROM documents))
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** PII detection + redaction — the scrub pass (Dolma/CCNet-style)
+    * a corpus runs before training: count emails / NANP phones / IPv4
+    * addresses per document and fingerprint the redacted text. The
+    * driver's documents table is synthetic word-soup with no digits, so
+    * the query first seeds deterministic PII spans derived from doc_id
+    * (the same in-query fixture discipline as m01/m02) — both engines
+    * build the identical augmented string, then detect and redact it.
+    * Patterns stay in the Java∩RE2 common regex dialect so Spark and
+    * the DuckDB oracle compile them identically. Narrow per-row map; the
+    * one subtlety is materializing `aug` once (withColumn) so the three
+    * extracts and the redact chain don't each rebuild the concat.
+    */
+  val t08: QueryDef = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    QueryDef(
+      "t08_pii_scrub",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val email = concat(lit(" contact user"), id.cast("string"), lit("@example.com"))
+        val phone = concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))
+        val ip = concat(lit(" host 10."), (id % 256).cast("string"),
+          lit(".0."), (id % 200).cast("string"))
+        val aug = concat(normText(col("text")),
+          when(id % 7 === 0, email).otherwise(lit("")),
+          when(id % 7 === 1, phone).otherwise(lit("")),
+          when(id % 7 === 2, ip).otherwise(lit("")),
+          when(id % 7 === 3, concat(email, ip)).otherwise(lit("")))
+        val withAug = d.withColumn("aug", aug)
+        val nEmails = size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+        val nPhones = size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+        val nIps = size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+        withAug.select(
+          col("doc_id"),
+          nEmails.as("n_emails"),
+          nPhones.as("n_phones"),
+          nIps.as("n_ips"),
+          (nEmails + nPhones + nIps).as("pii_total"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), emailRe, "<email>"),
+              ipRe, "<ip>"),
+            phoneRe, "<phone>")).as("redacted_fp"))
+      },
+      Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '$emailRe')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '$phoneRe')) AS INTEGER) AS n_phones,
+        CAST(len(regexp_extract_all(aug, '$ipRe')) AS INTEGER) AS n_ips,
+        CAST(len(regexp_extract_all(aug, '$emailRe'))
+           + len(regexp_extract_all(aug, '$phoneRe'))
+           + len(regexp_extract_all(aug, '$ipRe')) AS INTEGER) AS pii_total,
+        md5(regexp_replace(
+              regexp_replace(
+                regexp_replace(aug, '$emailRe', '<email>', 'g'),
+                '$ipRe', '<ip>', 'g'),
+              '$phoneRe', '<phone>', 'g')) AS redacted_fp
+      FROM (
+        SELECT doc_id, concat(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+          CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id || '@example.com' ELSE '' END,
+          CASE WHEN doc_id % 7 = 1
+               THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                    '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END,
+          CASE WHEN doc_id % 7 = 2
+               THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 200) ELSE '' END,
+          CASE WHEN doc_id % 7 = 3
+               THEN ' contact user' || doc_id || '@example.com' ||
+                    ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 200) ELSE '' END)
+          AS aug
+        FROM documents)
+      """.stripMargin.trim))
+  }
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
