@@ -91,6 +91,17 @@ object Bench {
     graft.dedup.Dedup.exact(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(256))
       .write.mode("overwrite").format("noop").save()
+    // Third warmup: a 256-doc miniature through the LSH pair pipeline
+    // (shingle explode → md5 base hash → 16-way min aggregate → band
+    // join → Jaccard re-verify) — the codegen/JIT shared by the whole
+    // dedup family (d02–d04, d07/d08). Without it the early d-queries
+    // absorb the C2 compiles of those hot loops mid-timing: r9 probe
+    // showed d03 runs of [5.1/15.3/3.4] s with the warm steady state
+    // at ~3 s, tripping the instability detector on compile noise.
+    graft.dedup.Dedup.minhashLshPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(256))
+      .write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
 
     // Plan-metric accumulator: executed-plan SQLMetrics summed across
     // every action since the last reset. Listener delivery is async
