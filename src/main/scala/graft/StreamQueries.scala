@@ -185,5 +185,30 @@ object StreamQueries {
       GROUP BY 1
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
+  /** Ingest-side exact dedup at (user, event_type, day) grain — the
+    * batch-equivalent semantics of `EventStream.dedupKeys` (streaming
+    * `dropDuplicatesWithinWatermark` with watermark-bounded state):
+    * one surviving row per key, plus the duplicate count and the
+    * first event id. The streaming form keeps the first ARRIVAL
+    * (processing order) where this batch form keeps min(event_id);
+    * `StreamingSpec` compares the two on the key set, which is
+    * identical by construction.
+    */
+  val st06 = QueryDef(
+    "st06_stream_dedup",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("event_id")).as("first_event_id"))
+    },
+    Some("""
+      SELECT user_id, event_type, date_trunc('day', ts) AS day,
+        COUNT(*) AS n_dups, MIN(event_id) AS first_event_id
+      FROM events
+      GROUP BY 1, 2, 3
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
 }

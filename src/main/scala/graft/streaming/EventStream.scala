@@ -164,6 +164,26 @@ object EventStream {
         col("p_ts"), col("view_ts"))
   }
 
+  /** Streaming exact dedup — the ingest-side dedup a training-data
+    * pipeline runs on arrival: drop events repeating the same
+    * (user, event_type, day) key, keeping the first arrival, with
+    * state BOUNDED by the watermark. `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes its event time
+    * plus `lateness`, so state is O(keys per lateness window), not
+    * O(all keys ever) the way plain `dropDuplicates` grows on an
+    * unbounded stream — the property that keeps a year-long ingest
+    * from accreting a year of dedup state. Dedup is guaranteed for
+    * duplicates whose event times lie within `lateness` of each
+    * other; `lateness` therefore must cover the dedup grain's span
+    * (2 days > the 24 h a day-grain key can stretch). Batch-equivalent
+    * semantics (same key set) are the oracle-verified st06.
+    */
+  def dedupKeys(events: DataFrame, lateness: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, value: Double)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, session_value: Double)

@@ -134,6 +134,39 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("streaming watermark-bounded dedup keeps exactly the batch key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-src")
+    val events = Tables.events(spark, sfDir)
+    // ts-range-partitioned files + small triggers: duplicates of a
+    // day-grain key land within the 2-day lateness of each other in
+    // event time, which is the regime dropDuplicatesWithinWatermark
+    // guarantees dedup for.
+    events.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(dir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ck").toString
+    val q = EventStream.dedupKeys(
+        EventStream.read(spark, dir.toString, maxFilesPerTrigger = Some(2)))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("dedup_test")
+      .select(col("user_id"), col("event_type"), col("day"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val batch = events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    val total = events.count()
+    // one survivor per key, no key missed, and real duplicates dropped
+    assert(streamed.length == streamed.toSet.size, "stream emitted a key twice")
+    assert(streamed.toSet == batch,
+      s"stream ${streamed.length} keys vs batch ${batch.size}")
+    assert(streamed.length < total, "fixture carried no duplicates — test is vacuous")
+  }
+
   test("session state transition matches batch gap semantics") {
     val us = 1000000L
     val evs = Seq(
