@@ -682,6 +682,65 @@ object CubeQueries {
       FROM j GROUP BY 1, 2
     """.stripMargin.trim))
 
+  /** Approximate distinct via the KMV sketch ([[graft.functions
+    * .KmvAggregator]]): distinct orders per return flag, estimated
+    * from the k = 64 smallest distinct 60-bit hashes. The point at
+    * 100 TB: exact COUNT(DISTINCT) shuffles every distinct value,
+    * the sketch shuffles O(k) per group with map-side partials — and
+    * unlike approx_count_distinct(HLL++) the whole sketch is
+    * engine-portable, so the oracle replays the k-th min hash AND
+    * the estimate bit-for-bit (exact count published alongside for
+    * the error story). Estimator doubles are exactly-representable
+    * products divided once — IEEE-identical on both engines.
+    */
+  val q16: QueryDef = {
+    val k = 64
+    QueryDef(
+      "q16_kmv_distinct",
+      (s, dir) => {
+        val kmv = udaf(new graft.functions.KmvAggregator(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), h.as("h"))
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("h")).as("n_exact"),
+            kmv(col("h")).as("sketch"))
+          .select(
+            col("l_returnflag"),
+            col("n_exact"),
+            size(col("sketch")).as("kmv_k"),
+            // get() not element_at(): null (not an ANSI error) when the
+            // sketch holds fewer than k hashes
+            get(col("sketch"), lit(k - 1)).as("kmv_kth"),
+            when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+              .otherwise(lit((k - 1).toDouble * graft.functions.KmvAggregator.HashSpace)
+                / get(col("sketch"), lit(k - 1)).cast("double"))
+              .as("kmv_estimate"))
+      },
+      Some(s"""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag,
+          ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, h,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+          count(*) OVER (PARTITION BY l_returnflag) AS nh
+        FROM h)
+      SELECT l_returnflag,
+        CAST(MAX(nh) AS BIGINT) AS n_exact,
+        CAST(LEAST(MAX(nh), $k) AS INTEGER) AS kmv_k,
+        MAX(CASE WHEN rn = $k THEN h END) AS kmv_kth,
+        CASE WHEN MAX(nh) < $k THEN CAST(MAX(nh) AS DOUBLE)
+             ELSE ${(k - 1).toDouble} * pow(2.0, 60) / CAST(MAX(CASE WHEN rn = $k THEN h END) AS DOUBLE)
+        END AS kmv_estimate
+      FROM r
+      GROUP BY 1
+      """.stripMargin.trim))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
 }
