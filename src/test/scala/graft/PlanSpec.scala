@@ -117,4 +117,27 @@ class PlanSpec extends SparkSpec {
       } finally spark.catalog.clearCache()
     }
   }
+
+  test("kmv sketch-only aggregation shuffles O(k) per group, not per distinct") {
+    // q16 itself publishes the exact count alongside, which forces a
+    // (group, hash)-grain pre-aggregate — deliberate for the error
+    // story. THIS pin is the production shape: sketch only, where the
+    // partial aggregate keys on the group alone and the exchange
+    // carries one O(k) buffer per (partition, group).
+    val kmv = udaf(new graft.functions.KmvAggregator(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val df = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), h.as("h"))
+      .groupBy("l_returnflag")
+      .agg(kmv(col("h")).as("sketch"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kmvaggregator"), p.linesIterator.take(20).mkString("\n"))
+    // the partial aggregate's keys must be the group column only — a
+    // (group, h) key would mean the shuffle scales with distincts again
+    val keys = "keys=\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(k => k.contains("l_returnflag") && !k.contains("h#")),
+      s"partial aggregate keyed on the hash — shuffle is per-distinct: keys=$keys")
+  }
 }
