@@ -486,5 +486,49 @@ object DedupQueries {
     """.stripMargin.trim),
     prepare = Some((s, dir) => { dedupStore(s, dir); () }))
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  /** Train/eval decontamination (the GPT-3-appendix n-gram check):
+    * `src0` plays the fixed eval benchmark, every other source is the
+    * training corpus, and each training doc reports how many of its
+    * distinct 5-gram hashes occur anywhere in the benchmark. The
+    * benchmark gram set is broadcast — the train side's only shuffle is
+    * its own per-doc aggregation — which is exactly the 100 TB shape:
+    * eval suites stay KBs–MBs while the corpus grows unbounded.
+    */
+  val d09 = QueryDef(
+    "d09_decontamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        train = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0"),
+        k = 5)
+    },
+    Some("""
+      WITH ttoks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE source <> 'src0'),
+      btoks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE source = 'src0'),
+      tg AS (
+        SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(unnest(list_transform(range(len(t)-4),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))), 1, 15))::BIGINT AS h
+        FROM ttoks WHERE len(t) >= 5),
+      bg AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(unnest(list_transform(range(len(t)-4),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))), 1, 15))::BIGINT AS h
+        FROM btoks WHERE len(t) >= 5)
+      SELECT tg.doc_id,
+        count(*) AS n_grams,
+        count(bg.h) AS n_hits,
+        CASE WHEN count(*) > 0
+             THEN count(bg.h) * 1.0 / count(*) END AS contamination_frac,
+        CAST(CASE WHEN count(bg.h) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+      FROM tg LEFT JOIN bg USING (h)
+      GROUP BY 1
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

@@ -292,4 +292,43 @@ object Dedup {
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Train/eval decontamination: per training document, how many of its
+    * distinct word k-grams also occur anywhere in a benchmark corpus —
+    * the n-gram contamination check an LLM pipeline runs before
+    * training (the 13-gram discipline of the GPT-3 appendix; k is a
+    * parameter because the right span tracks tokenizer granularity).
+    * Returns (doc_id, n_grams, n_hits, contamination_frac,
+    * contaminated) with `contaminated` = any-overlap, the conservative
+    * flag used for eval-set scrubbing.
+    *
+    * Scale shape: the benchmark side is a fixed-size eval suite
+    * (thousands of docs even when the train corpus is 100 TB), so its
+    * distinct gram-hash set is explicitly `broadcast()` — the train
+    * side never shuffles for the membership probe; the only shuffle is
+    * the per-doc aggregation, whose map-side partial distinct dedups
+    * grams before they travel. Grams are compared as 60-bit md5-prefix
+    * hashes (engine-portable, and 8 bytes on the wire instead of a
+    * k-word string).
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val benchGrams = broadcast(
+      shingles(benchmark, k)
+        .select(gramHash(col("shingle")).as("h"))
+        .distinct()
+        .withColumn("__hit", lit(1)))
+    shingles(train, k)
+      .select(col("doc_id"), gramHash(col("shingle")).as("h"))
+      .join(benchGrams, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_grams"),
+        countDistinct(when(col("__hit").isNotNull, col("h"))).as("n_hits"))
+      .withColumn("contamination_frac",
+        when(col("n_grams") > 0, col("n_hits") / col("n_grams")))
+      .withColumn("contaminated",
+        when(col("n_hits") > 0, 1).otherwise(0))
+  }
 }

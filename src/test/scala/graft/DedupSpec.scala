@@ -17,6 +17,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 7L)) // normalization collapses case/space
   }
 
+  test("decontaminate: overlap counts, flags, and the short-doc guard") {
+    val train = Seq(
+      // 6 tokens → two 5-grams: "a b c d e", "b c d e f"; first one leaks
+      (1L, "a b c d e f"),
+      // verbatim benchmark copy → every gram hits
+      (2L, "a b c d e"),
+      // clean doc, no overlap
+      (3L, "p q r s t u v"),
+      // under 5 tokens → no grams → absent from the result
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, k = 5)
+      .select("doc_id", "n_grams", "n_hits", "contaminated")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1), (2L, 1L, 1L, 1), (3L, 3L, 0L, 0)))
+  }
+
   test("simhash banding equals brute-force hamming scan (pigeonhole)") {
     val docs = Tables.documents(spark, sfDir).limit(200)
     val banded = Dedup.simhashPairs(docs)

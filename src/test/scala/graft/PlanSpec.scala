@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
     assert("HashJoin".r.findAllIn(p).nonEmpty, p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("d09: benchmark gram set broadcasts; the train side has one shuffle (its own agg)") {
+    val p = planOf("d09_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark membership probe must broadcast — the eval suite is fixed-size at any corpus scale")
+    assert(!p.contains("SortMergeJoin"),
+      "train grams must not shuffle for the benchmark probe")
+  }
+
   test("e12/e13: offer/item dimensions broadcast; fact never shuffles for them") {
     Seq("e12_offers_e2e", "e13_inventory_e2e").foreach { n =>
       val p = planOf(n)
