@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.text.HeavyHitters
 import graft.text.TextFunctions._
 
 /** Text-analysis queries over the documents table (SURVEY.md §2.H): the
@@ -333,5 +334,26 @@ object TextQueries {
       """.stripMargin.trim))
   }
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** Corpus heavy hitters: top-20 tokens by exact count via the
+    * Misra–Gries sketch-then-verify pipeline ([[graft.text.HeavyHitters]])
+    * — O(k) sketch state per partition instead of shuffling the whole
+    * vocabulary, exact counts only for the ≤k candidates, full-agg
+    * fallback when the MG bound can't certify the list. The oracle is
+    * the plain exact top-20 (count desc, token asc): whichever path the
+    * engine takes, the published rows are exact.
+    */
+  val t09 = QueryDef(
+    "t09_heavy_hitters",
+    (s, dir) => HeavyHitters.topTokens(s, Tables.documents(s, dir)),
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      cnt AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM tok)
+      SELECT token, n_exact, n_exact * 1.0 / (SELECT n FROM tot) AS corpus_frac
+      FROM cnt ORDER BY n_exact DESC, token LIMIT 20
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }
