@@ -286,5 +286,57 @@ object SimilarityQueries {
       prepare = Some((s, dir) => { ensureIndex(s, dir); () }))
   }
 
-  def all: Seq[QueryDef] = Seq(s01, s02, s03)
+  /** SQ8 scalar-quantized top-5: corpus compressed to int8 codes
+    * against per-dim [min,max] ranges, queries score full-precision
+    * against dequantized midpoints (asymmetric distance). The oracle
+    * replays quantization, reconstruction, and cosines exactly — the
+    * published values ARE the quantized-search answers, not an
+    * approximation of the brute ones (recall vs brute is pinned in
+    * `Sq8Spec` instead).
+    */
+  val s04 = QueryDef(
+    "s04_sq8_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8TopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+    Some("""
+      WITH ex0 AS (
+        SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+        FROM ex0),
+      mm AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY 1),
+      rex AS (
+        SELECT vec_id, pos,
+          mn + ((CASE WHEN mx > mn
+                 THEN LEAST(255, GREATEST(0, CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT)))
+                 ELSE 0 END) + 0.5) * (mx - mn) / 255.0 AS rval
+        FROM ex JOIN mm USING (pos)),
+      rn AS (
+        SELECT vec_id, CAST(SUM(CAST(rval * rval AS DECIMAL(38,12))) AS DOUBLE) AS ns
+        FROM rex GROUP BY 1),
+      qn AS (
+        SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns
+        FROM ex WHERE vec_id < 8 GROUP BY 1),
+      dots AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          CAST(SUM(CAST(q.val * c.rval AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM ex q JOIN rex c ON q.pos = c.pos AND q.vec_id < 8 AND c.vec_id != q.vec_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT q_id, n_id, dot / (sqrt(a.ns) * sqrt(b.ns)) AS cosine_sq8
+        FROM dots JOIN qn a ON a.vec_id = q_id JOIN rn b ON b.vec_id = n_id)
+      SELECT q_id, n_id, cosine_sq8, CAST(rnk AS INTEGER) AS rank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sq8 DESC, n_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }

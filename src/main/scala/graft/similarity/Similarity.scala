@@ -186,6 +186,60 @@ object Similarity {
     * is the right baseline shape at 100 TB (one pass, no corpus
     * shuffle).
     */
+  /** Scalar-quantized (SQ8) top-k: the corpus is compressed to one
+    * int8 code per dimension against per-dimension [min, max] ranges,
+    * and queries score against the DEQUANTIZED midpoints (asymmetric
+    * distance — the query side stays full-precision, so quantization
+    * error enters once, not twice). This is the standard 4× memory/IO
+    * reduction step for a 100 TB embedding corpus: ranges are d
+    * numbers (a one-row broadcast anchor), codes shrink the scan, and
+    * the query plan is otherwise the brute top-k single corpus pass.
+    *
+    * Everything is deterministic double arithmetic with the same
+    * operation order on both engines (mins/maxes are exact float
+    * selections, `floor` has no rounding ties to disagree on), so the
+    * DuckDB oracle replays codes, reconstruction, and cosines
+    * bit-for-bit.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val ex = corpus.select(posexplode(col(vecCol)).as(Seq("pos", "v0")))
+      .select(col("pos"), col("v0").cast("double").as("v"))
+    // per-dim ranges packed into two pos-ordered arrays: a one-row
+    // control-plane anchor (d values), broadcast-cross-joined like the
+    // cube queries' max-date anchors
+    val packed = ex.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    def mnAt(i: Column) = element_at(col("mns"), i + 1)
+    def mxAt(i: Column) = element_at(col("mxs"), i + 1)
+    val codes = transform(col("n_emb"), (x, i) =>
+      when(mxAt(i) > mnAt(i),
+        least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - mnAt(i)) * 255.0 / (mxAt(i) - mnAt(i))))))
+        .otherwise(lit(0L)))
+    val recon = transform(col("n_codes"), (cde, i) =>
+      mnAt(i) + (cde.cast("double") + 0.5) * (mxAt(i) - mnAt(i)) / 255.0)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_emb"))
+      .crossJoin(broadcast(packed))
+      .withColumn("n_codes", codes)
+      .withColumn("n_rvec", recon)
+      .withColumn("n_ns", normSq(col("n_rvec")))
+      .select("n_id", "n_rvec", "n_ns")
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
+      .withColumn("q_ns", normSq(col("q_emb"))))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cosine_sq8",
+        cosine(dot(col("q_emb"), col("n_rvec")), col("q_ns"), col("n_ns")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine_sq8").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "cosine_sq8", "rank")
+  }
+
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
