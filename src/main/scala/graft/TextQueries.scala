@@ -355,5 +355,57 @@ object TextQueries {
       FROM cnt ORDER BY n_exact DESC, token LIMIT 20
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  /** Per-language document-length quantiles (p25/p50/p75/p95 of token
+    * count) — the corpus-profiling pass that sets truncation/packing
+    * budgets. Quantiles are RANK-SELECTED (the value at ceil(q·n) in
+    * the per-group sort, ties broken by doc_id), not interpolated:
+    * selection is pure row-picking plus integer arithmetic
+    * (`(19n+19) div 20`-style ceilings), so the result is
+    * bit-identical on any engine — `percentile`/`quantile_cont`
+    * interpolation would differ in the last ulp between engines and is
+    * deliberately avoided. One shuffle (the per-lang window sort);
+    * at 100 TB the same shape range-partitions per group, or swap in a
+    * mergeable quantile sketch when approximation is acceptable.
+    */
+  val t10 = QueryDef(
+    "t10_length_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"))
+      val byLen = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+      val all = Window.partitionBy("lang")
+      def pick(slot: String) =
+        max(when(col("rn") === expr(slot), col("n_tokens")))
+      d.withColumn("rn", row_number().over(byLen))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy("lang")
+        .agg(
+          max(col("n")).as("n_docs"),
+          pick("(n + 3) div 4").as("p25"),
+          pick("(n + 1) div 2").as("p50"),
+          pick("(3*n + 3) div 4").as("p75"),
+          pick("(19*n + 19) div 20").as("p95"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INTEGER) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id, n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM d)
+      SELECT lang,
+        CAST(MAX(n) AS BIGINT) AS n_docs,
+        CAST(MAX(CASE WHEN rn = (n+3)//4 THEN n_tokens END) AS INTEGER) AS p25,
+        CAST(MAX(CASE WHEN rn = (n+1)//2 THEN n_tokens END) AS INTEGER) AS p50,
+        CAST(MAX(CASE WHEN rn = (3*n+3)//4 THEN n_tokens END) AS INTEGER) AS p75,
+        CAST(MAX(CASE WHEN rn = (19*n+19)//20 THEN n_tokens END) AS INTEGER) AS p95
+      FROM r GROUP BY 1
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

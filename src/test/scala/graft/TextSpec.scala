@@ -30,6 +30,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t10: quantiles are rank-selected at ceil(q*n), ties by doc_id") {
+    // 7 docs with token counts 1..7 (shuffled ids so rank != doc_id):
+    // ceil-rank picks p25 = #2 (rank ceil(7/4)=2), p50 = #4, p75 = #6,
+    // p95 = #7 — directly checkable by hand
+    val rows = Seq(
+      (31L, "a"), (12L, "a a"), (53L, "a a a"), (24L, "a a a a"),
+      (45L, "a a a a a"), (6L, "a a a a a a"), (17L, "a a a a a a a"))
+    withDocs(rows) { dir =>
+      val got = TextQueries.t10.query(spark, dir).collect().head
+      assert(got.getAs[Long]("n_docs") == 7L)
+      assert(got.getAs[Int]("p25") == 2)
+      assert(got.getAs[Int]("p50") == 4)
+      assert(got.getAs[Int]("p75") == 6)
+      assert(got.getAs[Int]("p95") == 7)
+    }
+  }
+
+  test("t10: single-doc group — every quantile is that doc's length") {
+    withDocs(Seq((1L, "x y z"))) { dir =>
+      val got = TextQueries.t10.query(spark, dir).collect().head
+      Seq("p25", "p50", "p75", "p95").foreach(c => assert(got.getAs[Int](c) == 3))
+    }
+  }
+
   test("t08: each doc_id class seeds and detects its PII kind") {
     // doc_id mod 7 selects the augmentation: 0=email, 1=phone, 2=ip,
     // 3=email+ip, else none.
