@@ -306,10 +306,13 @@ object Bench {
     // placeholders and an `{"_more":14}` with zero reasons.
     val ladder = Seq(
       (8, 60, false, false, 3), // full detail
+      (8, 60, false, false, 2), // centisecond timings FIRST: cheapest shed
+                                // (sub-10 ms is noise) — a healthy all-green
+                                // 70-query line keeps its unstable names
       (8, 60, true, false, 3),  // drop unstable array + memory columns
       (8, 40, true, false, 3),  // shorten error text
       (6, 32, true, false, 3),
-      (4, 24, true, false, 2),  // centisecond timings
+      (4, 24, true, false, 2),  // centisecond timings + slim
       (8, 60, true, true, 2),   // drop -1 placeholders, restore reasons
       (4, 24, true, true, 2),
       (4, 12, true, true, 1)    // floor: ≥4 named failures, always

@@ -31,6 +31,23 @@ class BenchSpec extends SparkSpec {
     assert(row.getAs[Double]("sf") == 0.1)
   }
 
+  test("the REAL suite's healthy line fits with unstable names intact") {
+    // the registry has grown past the size where millisecond timings fit
+    // the tail cap — the ladder must shed precision FIRST (centiseconds)
+    // and keep the unstable list + memory columns. Pinned against the
+    // actual query names: if the suite grows enough to break this, the
+    // failure should land here, not in a truncated round artifact.
+    val real = Queries.all.map(_.name)
+    val runs = real.map(n => n -> (Right(1.2345678): Either[String, Double]))
+    val line = Bench.renderLine(runs, real.take(2),
+      (1.25, 3.96, 126220L, 121148L), 0.0, "/root/testdata/sf0.1")
+    assert(line.length <= 1990, s"${line.length} bytes for ${real.size} queries")
+    val row = parse(line)
+    assert(row.getAs[Long]("failed") == 0)
+    assert(line.contains(s""""unstable":["${real.head}""""),
+      "unstable names must survive a healthy oversized line")
+  }
+
   test("worst case: 60 failures with hostile text still parse under the cap") {
     val nasty = "java.lang.RuntimeException: \"quoted\"\\backslash\n" + "x" * 300
     val runs = names.map(n => n -> (Left(nasty): Either[String, Double]))
