@@ -246,12 +246,14 @@ object Bench {
     *
     * When the line would still blow the cap (catastrophic run: dozens of
     * failures), diagnostics shed in a fixed order that SACRIFICES
-    * SIDE-CHANNEL ARRAYS BEFORE ERROR DETAIL — first the unstable list
-    * collapses to a count and load drops its memory columns, then error
-    * text shortens, and only last does the spelled-out error count fall,
-    * with a hard floor of 4 entries: a 63-failure artifact must still
-    * name at least four failures with their reason (the round-7
-    * `"errors":{"_more":14}` artifact carried no diagnosis at all).
+    * SIDE-CHANNEL ARRAYS BEFORE ERROR DETAIL — timing precision and the
+    * load memory columns go first (keeping unstable NAMES through the
+    * healthy-oversized case), then the unstable list collapses to a
+    * count, then error text shortens, and only last does the spelled-out
+    * error count fall, with a hard floor of 4 entries: a 63-failure
+    * artifact must still name at least four failures with their reason
+    * (the round-7 `"errors":{"_more":14}` artifact carried no diagnosis
+    * at all).
     */
   private[graft] def renderLine(
       runs: Seq[(String, Either[String, Double])],
@@ -268,8 +270,8 @@ object Bench {
       }
     def sec(t: Double): String = f"$t%.3f"
     val allErrs = runs.collect { case (k, Left(err)) => k -> err }
-    def render(errCap: Int, errLen: Int, slim: Boolean, dropFailedTimings: Boolean,
-        prec: Int): String = {
+    def render(errCap: Int, errLen: Int, slimLoad: Boolean, slimUnstable: Boolean,
+        dropFailedTimings: Boolean, prec: Int): String = {
       val qs = runs.collect {
         case (k, Right(t)) =>
           s"\"${esc(k)}\":" + String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(t))
@@ -282,10 +284,10 @@ object Bench {
       val total = runs.collect { case (_, Right(t)) => t }.sum
       val nFailed = runs.count(_._2.isLeft)
       val unstableJson =
-        if (slim) s""""unstable_n":${unstable.size}"""
+        if (slimUnstable) s""""unstable_n":${unstable.size}"""
         else "\"unstable\":" + unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
       val loadJson =
-        if (slim) s""""load":[${load._1},${load._2}]"""
+        if (slimLoad) s""""load":[${load._1},${load._2}]"""
         else s""""load":[${load._1},${load._2},${load._3},${load._4}]"""
       val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
         .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
@@ -305,20 +307,24 @@ object Bench {
     // reason text back: the round-7 artifact spent its whole budget on
     // placeholders and an `{"_more":14}` with zero reasons.
     val ladder = Seq(
-      (8, 60, false, false, 3), // full detail
-      (8, 60, false, false, 2), // centisecond timings FIRST: cheapest shed
-                                // (sub-10 ms is noise) — a healthy all-green
-                                // 70-query line keeps its unstable names
-      (8, 60, true, false, 3),  // drop unstable array + memory columns
-      (8, 40, true, false, 3),  // shorten error text
-      (6, 32, true, false, 3),
-      (4, 24, true, false, 2),  // centisecond timings + slim
-      (8, 60, true, true, 2),   // drop -1 placeholders, restore reasons
-      (4, 24, true, true, 2),
-      (4, 12, true, true, 1)    // floor: ≥4 named failures, always
+      (8, 60, false, false, false, 3), // full detail
+      (8, 60, false, false, false, 2), // centisecond timings FIRST: cheapest
+                                       // shed (sub-10 ms is noise)
+      (8, 60, true, false, false, 2),  // drop memory columns, KEEP unstable
+                                       // names — a healthy all-green 71-query
+                                       // line lands here
+      (8, 60, true, false, false, 1),  // decisecond timings, still named
+      (8, 60, true, true, false, 3),   // only now collapse unstable to count
+      (8, 40, true, true, false, 3),   // shorten error text
+      (6, 32, true, true, false, 3),
+      (4, 24, true, true, false, 2),   // centisecond timings + slim
+      (8, 60, true, true, true, 2),    // drop -1 placeholders, restore reasons
+      (4, 24, true, true, true, 2),
+      (4, 12, true, true, true, 1)     // floor: ≥4 named failures, always
     )
     ladder.iterator.map((render _).tupled)
       .find(_.length <= 1990)
-      .getOrElse(render(4, 12, slim = true, dropFailedTimings = true, prec = 1))
+      .getOrElse(render(4, 12, slimLoad = true, slimUnstable = true,
+        dropFailedTimings = true, prec = 1))
   }
 }

@@ -407,5 +407,62 @@ object TextQueries {
       FROM r GROUP BY 1
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** Sequence packing: assign every document its token offset in the
+    * doc_id-ordered concatenation of the corpus, the fixed-budget
+    * training sequence it lands in (`seq_id = offset div 2048`), and
+    * whether it straddles a sequence boundary — the concat-and-split
+    * step that turns a cleaned corpus into fixed-length LLM training
+    * sequences.
+    *
+    * The global running total is a DISTRIBUTED two-level prefix sum,
+    * not one global window sort: per-bucket cumulative sums run in
+    * parallel (window partitioned by `doc_id div 100`), bucket totals
+    * — corpus/bucket_size rows, control-plane-sized at any corpus
+    * scale — take one tiny global window, and their offsets broadcast
+    * back. Integer addition is associative, so the result is
+    * bit-identical to the oracle's single global cumsum.
+    */
+  val t11: QueryDef = {
+    val budget = 2048
+    QueryDef(
+      "t11_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+          .withColumn("bucket", expr("doc_id div 100"))
+        val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+        val local = d.withColumn("cum", sum(col("n_tokens")).over(wLocal))
+        val wBuckets = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+          .withColumn("boffset", coalesce(sum(col("btot")).over(wBuckets), lit(0L)))
+          .select("bucket", "boffset")
+        local.join(broadcast(offsets), "bucket")
+          .withColumn("tok_offset", col("boffset") + col("cum") - col("n_tokens"))
+          .withColumn("seq_id", expr(s"tok_offset div $budget"))
+          .withColumn("straddles",
+            when(expr(s"tok_offset div $budget") =!=
+              expr(s"(tok_offset + n_tokens - 1) div $budget"), 1).otherwise(0))
+          .select("doc_id", "n_tokens", "tok_offset", "seq_id", "straddles")
+      },
+      Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS INTEGER) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        FROM d)
+      SELECT doc_id, n_tokens,
+        CAST(tok_offset AS BIGINT) AS tok_offset,
+        CAST(tok_offset // $budget AS BIGINT) AS seq_id,
+        CAST(CASE WHEN tok_offset // $budget <> (tok_offset + n_tokens - 1) // $budget
+             THEN 1 ELSE 0 END AS INTEGER) AS straddles
+      FROM o
+      """.stripMargin.trim))
+  }
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
