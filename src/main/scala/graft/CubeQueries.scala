@@ -750,6 +750,58 @@ object CubeQueries {
       """.stripMargin.trim))
   }
 
+  /** Per-group top-k WITHOUT a window sort: top 3 customers by revenue
+    * in every nation via the k-bounded typed
+    * [[graft.functions.TopKAggregator]]. A `row_number()` window ships
+    * and sorts every customer row on its nation's partition; the
+    * aggregator combines map-side and ships O(k) rows per (nation,
+    * partition) — at 100 TB the difference between sorting the world
+    * and shuffling 3 rows per group. Ranks are deterministic (revenue
+    * DESC, custkey tie-break; revenue itself decimal-exact via dsum)
+    * so the result replays bit-for-bit against the oracle's window.
+    */
+  val q17: QueryDef = {
+    val k = 3
+    QueryDef(
+      "q17_topk_per_group",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{TopKAggregator, TopKEntry}
+        val rev = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        rev.select(col("n_name"),
+            struct(col("revenue").as("score"), col("c_custkey").as("id")).as("e"))
+          .as[(String, TopKEntry)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new TopKAggregator(k).toColumn.name("topk"))
+          .toDF("n_name", "topk")
+          .select(col("n_name"), posexplode(col("topk")))
+          .select(col("n_name"), (col("pos") + 1).as("rk"),
+            col("col.id").as("c_custkey"), col("col.score").as("revenue"))
+      },
+      Some(s"""
+      WITH rev AS (
+        SELECT n_name, c_custkey,
+          ${O.dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT n_name, CAST(rk AS INTEGER) AS rk, c_custkey, revenue
+      FROM (
+        SELECT n_name, c_custkey, revenue,
+          ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
+        FROM rev)
+      WHERE rk <= $k
+      """.stripMargin.trim))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+      q15, q16, q17)
 }

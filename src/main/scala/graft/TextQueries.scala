@@ -464,5 +464,61 @@ object TextQueries {
       """.stripMargin.trim))
   }
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  /** Domain-mixture sampling: give every source the same token budget
+    * and deterministically subsample the sources that exceed it — the
+    * rebalancing step that keeps one dominant crawl from drowning the
+    * long-tail domains in a training mix.
+    *
+    * Per-source keep rate = min(1, budget / total_tokens); the keep
+    * decision hashes a salted doc key (`mix:<doc_id>`) so it is
+    * reproducible run-to-run, independent of partitioning, and
+    * uncorrelated with the content hashes the dedup/split passes use.
+    * Numerics are engine-portable by construction: one IEEE double
+    * division for the rate, one multiply by 2^60 (exactly
+    * representable), and a compare against the 60-bit hash — identical
+    * bit patterns on any IEEE-754 engine, no transcendentals.
+    *
+    * Scale shape: the per-source totals are a tiny aggregate (one row
+    * per domain) broadcast back onto the corpus; the only shuffle at
+    * 100 TB is that aggregate — the keep decision itself is a narrow
+    * per-row map.
+    */
+  val t12: QueryDef = {
+    val budget = 1300L // per-source token budget
+    QueryDef(
+      "t12_mixture_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+        val totals = d.groupBy("source")
+          .agg(sum(col("n_tokens")).as("total_tokens"))
+          .withColumn("rate",
+            least(lit(1.0), lit(budget.toDouble) / col("total_tokens").cast(DoubleType)))
+        val u60 = conv(
+          substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 15),
+          16, 10).cast(LongType)
+        d.join(broadcast(totals), "source")
+          .withColumn("keep",
+            when(u60.cast(DoubleType) < col("rate") * lit(math.pow(2, 60)), 1).otherwise(0))
+          .select("doc_id", "source", "n_tokens", "total_tokens", "rate", "keep")
+      },
+      Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS INTEGER) AS n_tokens
+        FROM documents),
+      t AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          LEAST(1.0, $budget.0 / CAST(SUM(n_tokens) AS DOUBLE)) AS rate
+        FROM d GROUP BY 1)
+      SELECT d.doc_id, d.source, d.n_tokens, t.total_tokens, t.rate,
+        CAST(CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                  < t.rate * 1152921504606846976.0
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM d JOIN t USING (source)
+      """.stripMargin.trim))
+  }
+
+  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }
