@@ -86,5 +86,50 @@ object MultimodalQueries {
       FROM documents
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(m01, m02)
+  /** Windowed audio features: the WAV samples cut into fixed 25-sample
+    * frames, each frame reporting exact integer energy, peak |sample|,
+    * and RMS — the frame-extraction primitive behind VAD energy gates
+    * and per-frame loudness. One native codegen'd pass over the bytes
+    * per row (`wav_frame_stats`), one array allocation, then a plain
+    * `explode`: at 100 TB the decode stays a narrow distributed map
+    * with no per-frame re-scan of the payload and no driver
+    * involvement beyond the bounded fixture build.
+    */
+  val m03 = QueryDef(
+    "m03_audio_frames",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .as[Long].collect().sorted.toIndexedSeq // bounded fixture build
+      val payloads = s.createDataFrame(ids.map(id => (id, Multimodal.wavFixture(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.MediaFunctions.register(s)
+      payloads
+        .withColumn("fr", explode(expr("wav_frame_stats(payload, 25)")))
+        .select(col("doc_id"), col("fr.frame").as("frame"),
+          col("fr.fr_n").as("fr_n"), col("fr.fr_sum_sq").as("fr_sum_sq"),
+          col("fr.fr_peak").as("fr_peak"))
+        .withColumn("fr_rms", sqrt(col("fr_sum_sq").cast("double") / col("fr_n")))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(100 + doc_id % 50 AS INTEGER) AS n FROM documents),
+      f AS (
+        SELECT doc_id, n, unnest(range(0, CAST(ceil(n / 25.0) AS INTEGER))) AS frame
+        FROM d),
+      s AS (
+        SELECT doc_id, frame,
+          list_transform(range(frame * 25, LEAST(n, frame * 25 + 25)),
+            i -> (doc_id * 31 + i * 7) % 65536 - 32768) AS xs
+        FROM f)
+      SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+        CAST(len(xs) AS INTEGER) AS fr_n,
+        CAST(list_aggregate(list_transform(xs, x -> x * x), 'sum') AS BIGINT) AS fr_sum_sq,
+        CAST(list_aggregate(list_transform(xs, x -> abs(x)), 'max') AS INTEGER) AS fr_peak,
+        sqrt(CAST(list_aggregate(list_transform(xs, x -> x * x), 'sum') AS DOUBLE)
+             / len(xs)) AS fr_rms
+      FROM s
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(m01, m02, m03)
 }

@@ -211,6 +211,58 @@ object WavMath {
     }
     acc
   }
+
+  private val frameStruct = StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("fr_n", IntegerType, nullable = false),
+    StructField("fr_sum_sq", LongType, nullable = false),
+    StructField("fr_peak", IntegerType, nullable = false)))
+
+  /** Result element type of [[frameStats]] (array of per-frame rows). */
+  val frameStatsType: DataType =
+    org.apache.spark.sql.types.ArrayType(frameStruct, containsNull = false)
+
+  /** Per-frame statistics of a canonical PCM WAV: the samples are cut
+    * into fixed `frameLen`-sample frames (last frame short) and each
+    * frame reports its size, exact integer energy (sum of squares), and
+    * peak |sample|. ONE pass over the raw bytes per row, one array
+    * allocation per row — the frame-sample primitive for windowed audio
+    * features (VAD energy gates, per-frame loudness), all integer
+    * arithmetic so it replays bit-for-bit on any engine.
+    */
+  def frameStats(b: Array[Byte], frameLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (b == null || b.length < 44 || frameLen <= 0) return new GenericArrayData(Array.empty[Any])
+    def le(off: Int, n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xFF); i -= 1 }
+      v
+    }
+    val channels = math.max(1L, le(22, 2))
+    val bytesPer = math.max(1L, le(34, 2) / 8)
+    val nSamples = math.min((le(40, 4) / (channels * bytesPer)).toInt, (b.length - 44) / 2)
+    val nFrames = (nSamples + frameLen - 1) / frameLen
+    val rows = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val from = f * frameLen
+      val until = math.min(nSamples, from + frameLen)
+      var acc = 0L
+      var peak = 0
+      var i = from
+      while (i < until) {
+        val s = (((b(45 + 2 * i) & 0xFF) << 8) | (b(44 + 2 * i) & 0xFF)).toShort
+        acc += s.toLong * s.toLong
+        val a = math.abs(s.toInt)
+        if (a > peak) peak = a
+        i += 1
+      }
+      rows(f) = InternalRow(f, until - from, acc, peak)
+      f += 1
+    }
+    new GenericArrayData(rows)
+  }
 }
 
 /** `wav_sum_sq(binary) -> bigint` — the WAV sample-energy kernel as a
@@ -239,15 +291,56 @@ case class WavSumSqExpr(child: org.apache.spark.sql.catalyst.expressions.Express
   override def prettyName: String = "wav_sum_sq"
 }
 
+/** `wav_frame_stats(binary, frame_len) -> array<struct<frame, fr_n,
+  * fr_sum_sq, fr_peak>>` — fixed-length frame extraction over WAV
+  * samples as one native codegen'd pass ([[WavMath.frameStats]]): one
+  * array allocation per row, no per-frame re-scan, no HOF pipeline.
+  * `frame_len` must be a foldable positive integer (it shapes the
+  * result, so a per-row value would make the schema data-dependent).
+  */
+case class WavFrameStatsExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY payload, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal INT frame length")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = WavMath.frameStatsType
+  override protected def nullSafeEval(payload: Any, frameLen: Any): Any =
+    WavMath.frameStats(payload.asInstanceOf[Array[Byte]], frameLen.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, fl) => s"graft.multimodal.WavMath.frameStats($p, $fl)")
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): WavFrameStatsExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "wav_frame_stats"
+}
+
 /** Session registration for the media kernels (the `FiscalFunctions`
   * pattern — idempotent, callable from any query path).
   */
 object MediaFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("wav_sum_sq"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WavSumSqExpr].getName, "wav_sum_sq"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WavSumSqExpr(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("wav_frame_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WavFrameStatsExpr].getName, "wav_frame_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WavFrameStatsExpr(children.head, children(1)))
+  }
 }

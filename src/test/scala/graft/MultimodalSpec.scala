@@ -64,4 +64,45 @@ class MultimodalSpec extends SparkSpec {
     val w = (1 + 3 % 16); val h = (1 + 3 * 7 % 12)
     assert(m == h * (1 + w * 3), "inflated scanlines must match height*(1+3*width)")
   }
+
+  test("wav frame stats partition the file: energies sum to wav_sum_sq, sizes to n") {
+    import graft.multimodal.{MediaFunctions, WavMath}
+    MediaFunctions.register(spark)
+    val ids = Seq(0L, 7L, 49L, 123L) // n = 100, 107, 149, 123
+    val df = spark.createDataFrame(ids.map(id => (id, Multimodal.wavFixture(id))))
+      .toDF("doc_id", "payload")
+    val rows = df.selectExpr("doc_id", "wav_sum_sq(payload) AS total",
+        "explode(wav_frame_stats(payload, 25)) AS fr")
+      .selectExpr("doc_id", "total", "fr.frame", "fr.fr_n", "fr.fr_sum_sq", "fr.fr_peak")
+      .collect()
+    ids.foreach { id =>
+      val mine = rows.filter(_.getLong(0) == id).sortBy(_.getInt(2))
+      val n = (100 + id % 50).toInt
+      assert(mine.map(_.getInt(3)).sum == n, s"id=$id frame sizes must tile n")
+      assert(mine.map(_.getLong(4)).sum == WavMath.sumSq(Multimodal.wavFixture(id)),
+        s"id=$id frame energies must sum to the whole-file energy")
+      assert(mine.map(_.getInt(2)).toSeq == (0 until (n + 24) / 25),
+        s"id=$id frames must be contiguous from 0")
+      mine.foreach { r =>
+        assert(r.getInt(5) >= 0 && r.getInt(5) <= 32768)
+        assert(r.getLong(4) <= r.getInt(3).toLong * 32768L * 32768L)
+      }
+    }
+    // short frames only in the LAST frame
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      sorted.dropRight(1).foreach(r => assert(r.getInt(3) == 25, s"id=$id interior frame short"))
+    }
+  }
+
+  test("wav frame stats guard: garbage/short payloads yield no frames") {
+    import graft.multimodal.MediaFunctions
+    MediaFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+        (1L, Array[Byte](1, 2, 3)),
+        (2L, Array.fill[Byte](10)(0))))
+      .toDF("doc_id", "payload")
+    val n = df.selectExpr("size(wav_frame_stats(payload, 25)) AS k").collect()
+    assert(n.forall(_.getInt(0) == 0))
+  }
 }
