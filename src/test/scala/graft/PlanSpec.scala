@@ -148,4 +148,23 @@ class PlanSpec extends SparkSpec {
     assert(keys.nonEmpty && keys.forall(k => k.contains("l_returnflag") && !k.contains("h#")),
       s"partial aggregate keyed on the hash — shuffle is per-distinct: keys=$keys")
   }
+
+  test("t12: per-source totals broadcast; the keep decision never shuffles the corpus") {
+    val p = planOf("t12_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+    // exactly one data-shuffle: the per-source aggregate feeding the
+    // broadcast (its exchange + the broadcast exchange); the corpus side
+    // joins map-side
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus side must not shuffle for the rate join:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q17: top-k aggregates partially map-side; no Window sort of the revenue rows") {
+    val p = planOf("q17_topk_per_group")
+    assert(!p.contains("Window"), "top-k must not window-sort every group row")
+    assert(p.toLowerCase.contains("partial_topkaggregator"),
+      "top-k partial (map-side) aggregation missing:\n" +
+        p.linesIterator.take(25).mkString("\n"))
+  }
 }
