@@ -338,5 +338,146 @@ object SimilarityQueries {
       WHERE rnk <= 5
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  /** Incremental ANN: the s03 trained index built over a BASE corpus
+    * (vec_id % 5 != 0), then the remaining fifth appended via
+    * `IvfIndex.append` — batch vectors assigned to the PUBLISHED frozen
+    * centroids and landed in a one-rename `delta` dir, O(batch) I/O
+    * with the base `vectors/` untouched (the store cadence of d07/d08,
+    * applied to embeddings). The probe then answers top-5 over base +
+    * delta with the same probed-cell partition pruning in every vector
+    * dir.
+    *
+    * The oracle replays the WHOLE lifecycle in SQL: sampled-Lloyd
+    * training on the base, base assignment + member-mean centroids
+    * (what `build` publishes), the batch's frozen-centroid assignment
+    * (what `append` computes), and the probe over the union — so a
+    * drifted append (re-training, wrong centroid table, lost delta)
+    * hash-mismatches.
+    */
+  val s05: QueryDef = {
+    val nlist = 8; val iters = 2; val sampleMod = 2
+    def lloydIter(k: Int): String = s"""
+      n${k - 1} AS (
+        SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM c${k - 1} GROUP BY 1),
+      d$k AS (
+        SELECT e.vec_id, c.cell, ${O.dsum("e.val * c.cval", 12)} AS dot
+        FROM smp e JOIN c${k - 1} c ON c.pos = e.pos GROUP BY 1, 2),
+      a$k AS (
+        SELECT vec_id, cell FROM (
+          SELECT d.vec_id, d.cell,
+            ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY n.cns - 2 * d.dot, d.cell) AS rn
+          FROM d$k d JOIN n${k - 1} n USING (cell)) WHERE rn = 1),
+      c$k AS (
+        SELECT a.cell, e.pos, ${O.dsum("e.val", 12)} / COUNT(e.val) AS cval
+        FROM smp e JOIN a$k a ON a.vec_id = e.vec_id GROUP BY 1, 2),"""
+    def ensureIndex(s: SparkSession, dir: String): String = {
+      import graft.similarity.IvfIndex
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        s"graft_s05_ivf_append_${OncePerJvm.slug(dir)}")
+      OncePerJvm("graft_s05_ivf_append", OncePerJvm.slug(dir)) {
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        val emb = Tables.embeddings(s, dir)
+        IvfIndex.buildTrained(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", root.toString,
+          nlist = nlist, iters = iters, sampleMod = sampleMod)
+        IvfIndex.append(emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", root.toString)
+      }
+      root.toString
+    }
+    QueryDef(
+      "s05_ivf_append_topk",
+      (s, dir) => {
+        import graft.similarity.IvfIndex
+        val root = ensureIndex(s, dir)
+        IvfIndex.topK(s, root,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, probes = 2)
+      },
+      Some(s"""
+        WITH ex0 AS (
+          SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
+          FROM embeddings),
+        ex AS (
+          SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
+          FROM ex0),
+        bex AS (
+          SELECT * FROM ex WHERE vec_id % 5 <> 0),
+        smp AS (
+          SELECT * FROM bex
+          WHERE ('0x' || substr(md5('ivf' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % $sampleMod = 0),
+        seeds AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id,
+              ROW_NUMBER() OVER (ORDER BY md5('seed' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+            FROM (SELECT DISTINCT vec_id FROM smp)) WHERE cell < $nlist),
+        c0 AS (
+          SELECT s.cell, e.pos, e.val AS cval
+          FROM smp e JOIN seeds s ON s.vec_id = e.vec_id),
+        ${(1 to iters).map(lloydIter).mkString("\n")}
+        nf AS (
+          SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM c$iters GROUP BY 1),
+        df AS (
+          SELECT e.vec_id, c.cell, ${O.dsum("e.val * c.cval", 12)} AS dot
+          FROM bex e JOIN c$iters c ON c.pos = e.pos GROUP BY 1, 2),
+        af AS (
+          SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+              ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY n.cns - 2 * d.dot, d.cell) AS rn
+            FROM df d JOIN nf n USING (cell)) WHERE rn = 1),
+        cent AS (
+          SELECT a.cell, e.pos, ${O.dsum("e.val", 12)} / COUNT(e.val) AS cval
+          FROM bex e JOIN af a ON a.vec_id = e.vec_id GROUP BY 1, 2),
+        centn AS (
+          SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM cent GROUP BY 1),
+        bd AS (
+          SELECT e.vec_id, c.cell, ${O.dsum("e.val * c.cval", 12)} AS dot
+          FROM ex e JOIN cent c ON c.pos = e.pos
+          WHERE e.vec_id % 5 = 0 GROUP BY 1, 2),
+        ab AS (
+          SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+              ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY n.cns - 2 * d.dot, d.cell) AS rn
+            FROM bd d JOIN centn n USING (cell)) WHERE rn = 1),
+        members AS (
+          SELECT vec_id, cell FROM af UNION ALL SELECT vec_id, cell FROM ab),
+        vn AS (
+          SELECT vec_id, ${O.dsum("val * val", 12)} AS vns FROM ex GROUP BY 1),
+        qc AS (
+          SELECT q.vec_id AS q_id, c.cell, ${O.dsum("q.val * c.cval", 12)} AS dot
+          FROM ex q JOIN cent c ON q.pos = c.pos
+          WHERE q.vec_id < 8
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT q_id, cell FROM (
+            SELECT q_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY dot / (sqrt(vns) * sqrt(cns)) DESC, cell) AS rn
+            FROM qc
+            JOIN vn ON vn.vec_id = q_id
+            JOIN centn USING (cell))
+          WHERE rn <= 2),
+        cand AS (
+          SELECT p.q_id, m.vec_id AS n_id
+          FROM probes p JOIN members m ON m.cell = p.cell AND m.vec_id != p.q_id),
+        dots AS (
+          SELECT c.q_id, c.n_id, ${O.dsum("qe.val * ne.val", 12)} AS dot
+          FROM cand c
+          JOIN ex qe ON qe.vec_id = c.q_id
+          JOIN ex ne ON ne.vec_id = c.n_id AND ne.pos = qe.pos
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q_id, n_id, dot / (sqrt(a.vns) * sqrt(b.vns)) AS cosine
+          FROM dots JOIN vn a ON a.vec_id = q_id JOIN vn b ON b.vec_id = n_id)
+        SELECT q_id, n_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+          FROM scored)
+        WHERE rn <= 5
+      """.stripMargin.trim),
+      prepare = Some((s, dir) => { ensureIndex(s, dir); () }))
+  }
+
+  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }

@@ -106,6 +106,67 @@ object IvfIndex {
     next
   }
 
+  /** Incremental append — the O(batch)/day growth path that makes the
+    * index a store, not a snapshot: batch vectors are assigned to the
+    * PUBLISHED (frozen) centroids — classic IVF ingest; centroids drift
+    * only at the next rebuild/compaction — and land in a `delta-<n>`
+    * dir beside `vectors/`, cell-partitioned the same way. The delta is
+    * staged to a tmp dir and published by ONE rename (the `build`
+    * contract), so readers never see a partial append and a crash
+    * leaves the index exactly as it was. Pre-existing files are never
+    * touched: dropping the delta dir restores the prior state
+    * bit-for-bit (the SignatureStore rollback property).
+    *
+    * Probe cost after appends is unchanged — [[topK]] prunes the same
+    * probed-cell partitions in every vector dir — and the accumulated
+    * deltas fold into one `vectors/` at the next [[build]].
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String, root: String): Int = {
+    val spark = batch.sparkSession
+    val ver = newestVersion(spark, root)
+    require(ver > 0, s"no published index at $root to append to")
+    val vd = new org.apache.hadoop.fs.Path(versionDir(root, ver))
+    val fs = vd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val centEx = spark.read.parquet(centroidsPath(root, ver))
+      .select(col("cell"), posexplode(col("cent")).as(Seq("pos", "cval")))
+    val ex = batch.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "val0")))
+      .withColumn("val", col("val0").cast("double")).drop("val0")
+    val v = batch.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+      .join(assign(ex, centEx), "vec_id")
+      .withColumn("ns", Similarity.normSq(col("emb")))
+      .select("vec_id", "cell", "emb", "ns")
+    val DeltaRe = raw"delta-(\d{5})".r
+    val next = fs.listStatus(vd).flatMap(_.getPath.getName match {
+      case DeltaRe(n) => Some(n.toInt)
+      case _ => None
+    }).foldLeft(0)(math.max) + 1
+    val tmp = new org.apache.hadoop.fs.Path(vd, s"tmp-${java.util.UUID.randomUUID()}")
+    // cluster by cell before the partitioned write (the build rule):
+    // one file per touched cell, not one per (task, cell)
+    v.repartition(col("cell")).write.partitionBy("cell").parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(vd, f"delta-$next%05d")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      sys.error(s"concurrent append: delta $next already published at $vd")
+    }
+    next
+  }
+
+  /** All vector dirs of a version — the base `vectors/` plus any
+    * published `delta-<n>` appends, in publish order.
+    */
+  private def vectorDirs(spark: SparkSession, root: String, ver: Int): Seq[String] = {
+    val vd = new org.apache.hadoop.fs.Path(versionDir(root, ver))
+    val fs = vd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val DeltaRe = raw"delta-(\d{5})".r
+    fs.listStatus(vd).map(_.getPath).collect {
+      case p if p.getName == "vectors" => (0, p.toString)
+      case p if DeltaRe.findFirstIn(p.getName).contains(p.getName) =>
+        (p.getName.drop(6).toInt, p.toString)
+    }.sortBy(_._1).map(_._2).toSeq
+  }
+
   /** Deterministic sampled-Lloyd's coarse quantizer — the in-engine
     * k-means that replaces a caller-provided cell column. Returns the
     * full corpus assignment `(vec_id, cell)` with `cell` in
@@ -232,9 +293,12 @@ object IvfIndex {
       .select(col("q_id"), col("q_emb"), col("q_ns"), col("cell"))
     val cells = probed.select("cell").distinct().collect().map(_.get(0))
     // the isin filter prunes whole cell partitions at the file index —
-    // IvfIndexSpec pins PartitionFilters on this scan
-    val corpus = spark.read.parquet(vectorsPath(root, ver))
-      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    // IvfIndexSpec pins PartitionFilters on this scan. Each vector dir
+    // (base + appended deltas) is its own pruned scan; the union is
+    // scan-only, no shuffle.
+    val corpus = vectorDirs(spark, root, ver)
+      .map(d => spark.read.parquet(d).filter(col("cell").isin(cells.toIndexedSeq: _*)))
+      .reduce(_ unionByName _)
     val scored = broadcast(probed).join(corpus, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", Similarity.cosine(

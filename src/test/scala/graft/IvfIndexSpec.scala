@@ -117,4 +117,64 @@ class IvfIndexSpec extends SparkSpec {
       .listFiles().count(f => f.getName.endsWith(".parquet"))
     assert(centFiles == 1, s"$centFiles centroid files")
   }
+
+  test("append: frozen-centroid assignment, base files untouched, probe sees the delta") {
+    import graft.similarity.Similarity
+    import graft.functions.StableAgg._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString + "/idx"
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.buildTrained(base, "vec_id", "embedding", root,
+      nlist = 8, iters = 2, sampleMod = 2)
+    def baseFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/v00001/vectors"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = baseFiles()
+    assert(IvfIndex.append(batch, "vec_id", "embedding", root) == 1)
+    // append is purely additive: every pre-existing base file survives
+    // byte-identical (same path, same mtime) — dropping the delta dir
+    // would restore the prior index exactly
+    assert(baseFiles() == before, "append touched base vector files")
+    val delta = new java.io.File(s"$root/v00001/delta-00001")
+    assert(delta.isDirectory && delta.listFiles().exists(_.getName.startsWith("cell=")))
+
+    // the delta's cell assignment is the argmin over the PUBLISHED
+    // centroids (cns − 2·dot, cell tie-break), computed independently
+    val cent = spark.read.parquet(s"$root/v00001/centroids")
+      .select(col("cell"), posexplode(col("cent")).as(Seq("pos", "cval")))
+    val ex = batch.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .withColumn("v", col("v0").cast("double"))
+    val cns = cent.groupBy("cell").agg(dsum(col("cval") * col("cval"), 12).as("cns"))
+    val want = ex.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cell").agg(dsum(col("v") * col("cval"), 12).as("dot"))
+      .join(broadcast(cns), "cell")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy((col("cns") - lit(2) * col("dot")).asc, col("cell"))))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSet
+    val stored = spark.read.parquet(s"$root/v00001/delta-00001")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(stored == want, "delta cells are not the frozen-centroid argmin")
+
+    // the probe reads base + delta: an appended vector must be findable
+    // (its own query returns itself... excluded; so check coverage: the
+    // union of scanned ids across a full-probe query equals base+batch)
+    val all = IvfIndex.topK(spark, root, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, probes = 8)
+    val neighborIds = all.select("n_id").as[Long].collect().toSet
+    assert(neighborIds.exists(_ % 5 == 0), "no appended vector ever surfaced in top-k")
+    // pruning still pinned with delta dirs in the union
+    val got2 = IvfIndex.topK(spark, root, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, probes = 2)
+    val plan = got2.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n"))
+    got2.collect() // executes end-to-end over base + delta
+  }
 }
