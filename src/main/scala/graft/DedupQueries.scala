@@ -530,5 +530,35 @@ object DedupQueries {
       GROUP BY 1
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  /** Asymmetric containment dedup: pairs where one document's shingle
+    * set is (mostly) swallowed by the other's — the quote/subset
+    * duplication that symmetric Jaccard under-scores when the sizes
+    * differ (|A∩B|/|A∪B| stays small for a snippet inside a long doc,
+    * but |A∩B|/|A| is ~1). Candidates come from the same df-capped
+    * inverted index as d02 — never all-pairs — and both directions are
+    * published so the dedup policy (drop the contained doc) is a plain
+    * filter downstream.
+    */
+  val d10 = QueryDef(
+    "d10_containment",
+    (s, dir) =>
+      Dedup.containmentPairs(
+        Dedup.shingleIndex(Tables.documents(s, dir)).localCheckpoint(true),
+        threshold = 0.6),
+    Some(s"""
+      WITH $shingleCtes,
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common,
+        n_common * 1.0 / sa.n_sh AS c_a_in_b,
+        n_common * 1.0 / sb.n_sh AS c_b_in_a
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE GREATEST(n_common * 1.0 / sa.n_sh, n_common * 1.0 / sb.n_sh) >= 0.6
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

@@ -78,6 +78,31 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Asymmetric containment over the inverted index: pairs sharing ≥1
+    * surviving shingle, scored in BOTH directions (|A∩B|/|A| and
+    * |A∩B|/|B|), thresholded on the larger. Catches quote/subset
+    * duplication — a document swallowed whole by a larger one — which
+    * symmetric Jaccard under-scores (|A∩B|/|A∪B| stays small when
+    * |B| ≫ |A|). Same candidate discipline as [[jaccardPairs]]: pairs
+    * come only from the df-capped index, never all-pairs.
+    * Returns (doc_a, doc_b, n_common, c_a_in_b, c_b_in_a).
+    */
+  def containmentPairs(index: DataFrame, threshold: Double): DataFrame = {
+    val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = index.as("a"); val b = index.as("b")
+    val common = a.join(b,
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("c_a_in_b", col("n_common") / col("n_a"))
+      .withColumn("c_b_in_a", col("n_common") / col("n_b"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("doc_a", "doc_b", "n_common", "c_a_in_b", "c_b_in_a")
+  }
+
   /** MinHash prime modulus (2^31 − 1) and the i-th permutation
     * (a·h + b) mod P of a shingle's 60-bit md5-prefix base hash. One
     * md5 per shingle, then integer arithmetic for every permutation —

@@ -36,6 +36,23 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 1), (2L, 1L, 1L, 1), (3L, 3L, 0L, 0)))
   }
 
+  test("containment flags a swallowed snippet that Jaccard misses") {
+    // doc 1 is a verbatim snippet inside doc 2 (plus 2's own tail):
+    // shingles(1) ⊂ shingles(2), so c_a_in_b = 1.0 while jaccard =
+    // |A|/|B| stays small. doc 3 shares nothing.
+    val snippet = "alpha beta gamma delta epsilon" // 3 3-shingles
+    val tail = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, snippet), (2L, s"$snippet $tail"), (3L, "x y z q r s t"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(docs)
+    val cont = Dedup.containmentPairs(idx, threshold = 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 3L, 1.0, 3.0 / 33)))
+    // the same pair is invisible to symmetric Jaccard at any useful bar
+    assert(Dedup.jaccardPairs(idx, threshold = 0.5).count() == 0)
+  }
+
   test("simhash banding equals brute-force hamming scan (pigeonhole)") {
     val docs = Tables.documents(spark, sfDir).limit(200)
     val banded = Dedup.simhashPairs(docs)
