@@ -236,13 +236,20 @@ object Bench {
 
   /** The single-line JSON artifact. Pure so `BenchSpec` can pin the
     * contract: the whole line must fit in the driver's bounded
-    * output-tail capture (~2 KB) or the leading keys — including the
-    * headline metric — get truncated away and the artifact is
-    * unparseable. Hence: millisecond precision (sub-ms is noise at
-    * these run times anyway), load as a compact [loadavg_before,
-    * loadavg_after, mem_avail_mib_before, mem_avail_mib_after] array,
-    * error text capped, and at most 8 spelled-out error entries (the
-    * rest is a count under `_more`).
+    * output-tail capture or the LEADING keys — including the headline
+    * metric — get truncated away. The budget is measured, not guessed:
+    * the driver stores the last 2000 chars, which must hold the
+    * "[info] " prefix (7), the line, AND sbt's trailing
+    * "[success] Total time: …" (~75 chars; BENCH_r08's line ran 1923 and
+    * survived with 3 chars to spare) — so the clamp targets ≤ 1915.
+    * Hence: precision shedding (sub-ms is noise at these run times),
+    * load as a compact [loadavg_before, loadavg_after,
+    * mem_avail_mib_before, mem_avail_mib_after] array, error text
+    * capped, at most 8 spelled-out error entries (the rest a count
+    * under `_more`), and — the registry outgrew full per-query maps at
+    * ~75 queries — a FAST-QUERY ROLLUP: sub-`minSpell` timings collapse
+    * into `fast_n`/`fast_sec` while every slow query (the ones a plan
+    * audit reads) keeps its spelled timing.
     *
     * When the line would still blow the cap (catastrophic run: dozens of
     * failures), diagnostics shed in a fixed order that SACRIFICES
@@ -271,12 +278,20 @@ object Bench {
     def sec(t: Double): String = f"$t%.3f"
     val allErrs = runs.collect { case (k, Left(err)) => k -> err }
     def render(errCap: Int, errLen: Int, slimLoad: Boolean, slimUnstable: Boolean,
-        dropFailedTimings: Boolean, prec: Int): String = {
+        dropFailedTimings: Boolean, prec: Int, minSpell: Double): String = {
+      // sub-minSpell successes roll up into fast_n/fast_sec: at 76+
+      // queries the per-query map alone outgrows the tail, and the
+      // sub-half-second timings are machine noise the plan audit never
+      // reads — the slow queries keep their spelled timings
+      val fast = runs.collect { case (_, Right(t)) if t < minSpell => t }
       val qs = runs.collect {
-        case (k, Right(t)) =>
+        case (k, Right(t)) if t >= minSpell =>
           s"\"${esc(k)}\":" + String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(t))
         case (k, Left(_)) if !dropFailedTimings => s"\"${esc(k)}\":-1"
       }.mkString("{", ",", "}")
+      val fastJson =
+        if (fast.isEmpty) ""
+        else f""","fast_n":${fast.size},"fast_sec":${fast.sum}%.1f"""
       val errs = (allErrs.take(errCap).map { case (k, err) =>
         s"\"${esc(k)}\":\"${esc(err.take(errLen))}\""
       } ++ (if (allErrs.size > errCap) Seq(s"\"_more\":${allErrs.size - errCap}") else Nil))
@@ -292,39 +307,39 @@ object Bench {
       val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
         .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
       val waitJson = if (waitedSec > 0) f""","wait":${waitedSec}%.0f""" else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,$unstableJson,$loadJson$waitJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$fastJson,"errors":$errs,"failed":$nFailed,$unstableJson,$loadJson$waitJson,"sf":$sfNum}"""
     }
-    // Self-clamp ladder: shed side-channel diagnostics (unstable array,
-    // memory columns), error-text length, and per-query timing PRECISION
-    // before error count, and never spell fewer than 4 errors. The
-    // healthy 63-query line already runs ~1.93 KB at 3 decimals against
-    // a 2 KB tail capture that also swallows a "[info] " prefix, so the
-    // threshold is 1990 and mixed runs (timings + failures) shed ms→cs→ds
-    // precision on successes — sub-0.1 s is machine noise at these run
-    // times. Successful timings themselves are never dropped; failed
-    // queries' "-1" placeholders go last (they carry nothing that
-    // `errors`+`failed` don't already record), which buys full-length
-    // reason text back: the round-7 artifact spent its whole budget on
-    // placeholders and an `{"_more":14}` with zero reasons.
+    // Self-clamp ladder: shed timing precision, then memory columns,
+    // then the fast-query rollup, then unstable names, then error-text
+    // length — and never spell fewer than 4 errors. Slow-query timings
+    // are the last successes to go (the 1e9 minSpell floor rungs);
+    // failed queries' "-1" placeholders go before reason text (they
+    // carry nothing that `errors`+`failed` don't already record): the
+    // round-7 artifact spent its whole budget on placeholders and an
+    // `{"_more":14}` with zero reasons.
     val ladder = Seq(
-      (8, 60, false, false, false, 3), // full detail
-      (8, 60, false, false, false, 2), // centisecond timings FIRST: cheapest
-                                       // shed (sub-10 ms is noise)
-      (8, 60, true, false, false, 2),  // drop memory columns, KEEP unstable
-                                       // names — a healthy all-green 71-query
-                                       // line lands here
-      (8, 60, true, false, false, 1),  // decisecond timings, still named
-      (8, 60, true, true, false, 3),   // only now collapse unstable to count
-      (8, 40, true, true, false, 3),   // shorten error text
-      (6, 32, true, true, false, 3),
-      (4, 24, true, true, false, 2),   // centisecond timings + slim
-      (8, 60, true, true, true, 2),    // drop -1 placeholders, restore reasons
-      (4, 24, true, true, true, 2),
-      (4, 12, true, true, true, 1)     // floor: ≥4 named failures, always
+      (8, 60, false, false, false, 3, 0.0), // full detail
+      (8, 60, false, false, false, 2, 0.0), // centisecond timings FIRST:
+                                            // cheapest shed (sub-10 ms is noise)
+      (8, 60, true, false, false, 2, 0.0),  // drop memory columns
+      (8, 60, true, false, false, 1, 0.0),  // decisecond timings
+      (8, 60, true, false, false, 1, 0.3),  // roll up sub-0.3 s queries —
+                                            // unstable names still spelled; a
+                                            // healthy 76-query line lands here
+      (8, 60, true, false, false, 1, 0.6),
+      (8, 60, true, true, false, 1, 0.6),   // only now collapse unstable to count
+      (8, 40, true, true, false, 2, 1.0),   // shorten error text
+      (6, 32, true, true, false, 2, 1.0),
+      (4, 24, true, true, false, 2, 2.0),
+      (8, 60, true, true, true, 2, 2.0),    // drop -1 placeholders, restore reasons
+      (6, 32, true, true, true, 2, 1.0),    // placeholders gone, slow spelled
+      (4, 24, true, true, true, 2, 1.0),    // tighter reasons, slow still spelled
+      (4, 24, true, true, true, 2, 1e9),    // roll up every success
+      (4, 12, true, true, true, 1, 1e9)     // floor: ≥4 named failures, always
     )
     ladder.iterator.map((render _).tupled)
-      .find(_.length <= 1990)
+      .find(_.length <= 1915)
       .getOrElse(render(4, 12, slimLoad = true, slimUnstable = true,
-        dropFailedTimings = true, prec = 1))
+        dropFailedTimings = true, prec = 1, minSpell = 1e9))
   }
 }

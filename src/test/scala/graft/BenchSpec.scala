@@ -16,11 +16,17 @@ class BenchSpec extends SparkSpec {
 
   private def names = (1 to 60).map(i => f"q$i%02d_some_operator_name")
 
+  // the driver keeps the LAST 2000 chars of output: that window must
+  // hold the "[info] " prefix, the line, and sbt's trailing
+  // "[success] Total time: …" (~75 chars) — so every artifact must
+  // render at or under 1915 bytes (BENCH_r08: 1923 survived by 3)
+  private val TailBudget = 1915
+
   test("healthy artifact: parses, sums, stays under the tail cap") {
     val runs = names.map(n => n -> (Right(1.2345678): Either[String, Double]))
     val line = Bench.renderLine(runs, Seq("q03_some_operator_name"),
       (1.25, 3.96, 126220L, 121148L), 0.0, "/root/testdata/sf0.1")
-    assert(line.length < 2048, s"${line.length} bytes")
+    assert(line.length <= TailBudget, s"${line.length} bytes")
     assert(!line.contains("\n"))
     val row = parse(line)
     assert(row.getAs[String]("metric") == "total")
@@ -31,34 +37,41 @@ class BenchSpec extends SparkSpec {
     assert(row.getAs[Double]("sf") == 0.1)
   }
 
-  test("the REAL suite's healthy line keeps every timing at >=0.1s precision") {
-    // The registry has grown past the size where ANY spelled unstable
-    // list fits the tail cap next to 74 per-query timings, so the
-    // scale-proof contract is: every query's timing survives (>=
-    // decisecond precision — the judge reads these), the artifact
-    // parses, and instability stays visible at least as a count (the
-    // per-query run spreads are on stderr regardless). Pinned against
-    // the actual query names: if the suite grows past even THIS, the
-    // failure lands here, not in a truncated round artifact.
+  test("the REAL suite's healthy line spells every slow timing; fast ones roll up") {
+    // The registry outgrew full per-query maps (76 names alone overrun
+    // the tail budget), so the scale-proof contract is: every SLOW
+    // query — the ones a plan audit reads — keeps a spelled timing at
+    // >= decisecond precision, the sub-threshold rest rolls up into
+    // fast_n/fast_sec (nothing silently dropped: n + spelled = all),
+    // the artifact parses, and unstable names survive a healthy run.
+    // Timing mix approximates a real sf0.1 round (2/3 sub-second).
     val real = Queries.all.map(_.name)
-    val runs = real.map(n => n -> (Right(1.2345678): Either[String, Double]))
+    val runs = real.zipWithIndex.map { case (n, i) =>
+      n -> (Right(if (i % 3 == 0) 2.345678 else 0.2123): Either[String, Double])
+    }
+    val slow = runs.collect { case (n, Right(t)) if t > 1 => n }
     val line = Bench.renderLine(runs, real.take(2),
       (1.25, 3.96, 126220L, 121148L), 0.0, "/root/testdata/sf0.1")
-    assert(line.length <= 1990, s"${line.length} bytes for ${real.size} queries")
+    assert(line.length <= TailBudget, s"${line.length} bytes for ${real.size} queries")
     val row = parse(line)
     assert(row.getAs[Long]("failed") == 0)
     val qs = row.getAs[org.apache.spark.sql.Row]("queries")
-    assert(qs.schema.fieldNames.length == real.size, "every query timed in the artifact")
-    real.foreach(n => assert(math.abs(qs.getAs[Double](n) - 1.2345678) < 0.06, n))
-    assert(line.contains("\"unstable\":[") || line.contains("\"unstable_n\":2"),
-      "instability must stay visible, named or counted")
+    slow.foreach(n => assert(math.abs(qs.getAs[Double](n) - 2.345678) < 0.06, n))
+    assert(qs.schema.fieldNames.length + row.getAs[Long]("fast_n") == real.size,
+      "spelled + rolled-up must cover every query")
+    assert(math.abs(row.getAs[Double]("fast_sec") - (real.size - slow.size) * 0.2123) < 0.1)
+    // headline total still sums ALL raw times, spelled or rolled
+    assert(math.abs(row.getAs[Double]("value") -
+      (slow.size * 2.345678 + (real.size - slow.size) * 0.2123)) < 0.001)
+    assert(line.contains(s""""unstable":["${real.head}""""),
+      "a healthy run keeps its unstable names once fast queries roll up")
   }
 
   test("worst case: 60 failures with hostile text still parse under the cap") {
     val nasty = "java.lang.RuntimeException: \"quoted\"\\backslash\n" + "x" * 300
     val runs = names.map(n => n -> (Left(nasty): Either[String, Double]))
     val line = Bench.renderLine(runs, Nil, (9.9, 9.9, 1L, 1L), 88.0, "/weird dir/no-sf")
-    assert(line.length < 2048, s"${line.length} bytes — would truncate the artifact")
+    assert(line.length <= TailBudget, s"${line.length} bytes — would truncate the artifact")
     val row = parse(line)
     assert(row.getAs[Long]("failed") == 60)
     // error detail self-clamps (≤8 spelled out, fewer if the line would
@@ -82,7 +95,7 @@ class BenchSpec extends SparkSpec {
     val runs = names63.map(n => n -> (Left(nasty): Either[String, Double]))
     val line = Bench.renderLine(runs,
       names63.take(5), (9.9, 9.9, 126220L, 121148L), 88.0, "/root/testdata/sf0.1")
-    assert(line.length < 2048, s"${line.length} bytes — would truncate the artifact")
+    assert(line.length <= TailBudget, s"${line.length} bytes — would truncate the artifact")
     val row = parse(line)
     assert(row.getAs[Long]("failed") == 63)
     val errs = row.getAs[org.apache.spark.sql.Row]("errors")
@@ -102,7 +115,7 @@ class BenchSpec extends SparkSpec {
     }
     val line = Bench.renderLine(runs, names63.slice(20, 30),
       (4.5, 4.4, 126220L, 121148L), 0.0, "/root/testdata/sf0.1")
-    assert(line.length < 2048, s"${line.length} bytes")
+    assert(line.length <= TailBudget, s"${line.length} bytes")
     val row = parse(line)
     assert(row.getAs[Long]("failed") == 14)
     val errs = row.getAs[org.apache.spark.sql.Row]("errors")
