@@ -333,5 +333,54 @@ object EtlQueries {
       FROM customer
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e20, e21)
+  /** Type-2 SCD merge ([[graft.sinks.Scd2]]): one update wave against
+    * the supplier dimension — changed keys (suppkey % 7 = 0, balance
+    * bumped) close their open row at the effective date and open a new
+    * version; no-op updates (suppkey % 5 = 0, identical values) must
+    * NOT create spurious versions; untouched keys pass through. The
+    * result is the full history table a point-in-time fact join needs —
+    * the history the reference's overwrite-style Dataverse upsert
+    * discards.
+    */
+  val e24 = QueryDef(
+    "e24_scd2_history",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val dim = sup.select(col("s_suppkey"), col("s_acctbal"))
+        .withColumn("valid_from", lit("2024-01-01").cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(1))
+      val updates = sup.filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), (col("s_acctbal") + 100).as("s_acctbal"))
+        .unionByName(
+          sup.filter(col("s_suppkey") % 5 === 0 && col("s_suppkey") % 7 =!= 0)
+            .select(col("s_suppkey"), col("s_acctbal")))
+      graft.sinks.Scd2.merge(dim, updates, "s_suppkey",
+        Seq("s_acctbal"), lit("2024-06-01"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT s_suppkey, s_acctbal, DATE '2024-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+        FROM supplier),
+      u AS (
+        SELECT s_suppkey, s_acctbal + 100 AS s_acctbal
+        FROM supplier WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT s_suppkey, s_acctbal
+        FROM supplier WHERE s_suppkey % 5 = 0 AND s_suppkey % 7 <> 0),
+      chg AS (
+        SELECT d.s_suppkey FROM dim d JOIN u ON u.s_suppkey = d.s_suppkey
+        WHERE u.s_acctbal <> d.s_acctbal)
+      SELECT d.s_suppkey, d.s_acctbal, d.valid_from,
+        CASE WHEN c.s_suppkey IS NOT NULL THEN DATE '2024-06-01' END AS valid_to,
+        CAST(CASE WHEN c.s_suppkey IS NOT NULL THEN 0 ELSE 1 END AS INTEGER) AS is_current
+      FROM dim d LEFT JOIN chg c USING (s_suppkey)
+      UNION ALL
+      SELECT u.s_suppkey, u.s_acctbal, DATE '2024-06-01' AS valid_from,
+        CAST(NULL AS DATE) AS valid_to, CAST(1 AS INTEGER) AS is_current
+      FROM u JOIN chg USING (s_suppkey)
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e20, e21, e24)
 }

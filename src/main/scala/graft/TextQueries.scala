@@ -520,5 +520,51 @@ object TextQueries {
       """.stripMargin.trim))
   }
 
-  def all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+  /** Passage chunking: every document cut into fixed-size token windows
+    * with overlap (size 50, stride 40 — 10 tokens of context shared
+    * between neighbors), each chunk carrying its offset, actual length,
+    * text, and content fingerprint — the retrieval/embedding unit a
+    * RAG or pretraining pipeline feeds downstream. Narrow per-row work:
+    * the token array materializes ONCE (HOF-hygiene rule), chunk ids
+    * explode from a sequence, and each chunk is a slice — no shuffle
+    * anywhere, linear in corpus size.
+    */
+  val t13: QueryDef = {
+    val size = 50; val stride = 40
+    QueryDef(
+      "t13_chunking",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+        d.withColumn("chunk_id_l", explode(sequence(lit(0), expr(s"(n - 1) div $stride"))))
+          .withColumn("chunk_id", col("chunk_id_l").cast("int"))
+          .withColumn("start_tok", (col("chunk_id") * stride).cast("int"))
+          .withColumn("chunk_len", least(lit(size), col("n") - col("start_tok")))
+          .withColumn("chunk_text",
+            concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(size))))
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            col("chunk_len"), col("chunk_text"),
+            md5(col("chunk_text")).as("chunk_fp"))
+      },
+      Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n,
+          CAST(unnest(range(0, (len(toks) - 1) // $stride + 1)) AS INTEGER) AS chunk_id
+        FROM d)
+      SELECT doc_id, chunk_id,
+        chunk_id * $stride AS start_tok,
+        CAST(LEAST($size, n - chunk_id * $stride) AS INTEGER) AS chunk_len,
+        array_to_string(toks[chunk_id * $stride + 1 : chunk_id * $stride + $size], ' ') AS chunk_text,
+        md5(array_to_string(toks[chunk_id * $stride + 1 : chunk_id * $stride + $size], ' ')) AS chunk_fp
+      FROM c
+      """.stripMargin.trim))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }

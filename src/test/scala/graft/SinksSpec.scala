@@ -61,6 +61,37 @@ class SinksSpec extends SparkSpec {
     assert(stats.updated == 50)
     assert(SinksSpec.attempts.get() >= 5) // 2 partitions x 2 batches, +1 retried
   }
+
+  test("Scd2.merge: change closes+opens, no-op is silent, insert opens, history frozen") {
+    import graft.sinks.Scd2
+    def row(k: Long, v: Double, from: String, to: Option[String], cur: Int) =
+      (k, v, java.sql.Date.valueOf(from), to.map(java.sql.Date.valueOf).orNull, cur)
+    val dim = Seq(
+      row(1L, 10.0, "2024-01-01", None, 1),             // will change
+      row(2L, 20.0, "2024-01-01", None, 1),             // no-op update
+      row(3L, 30.0, "2024-01-01", None, 1),             // untouched
+      row(1L, 5.0, "2023-01-01", Some("2024-01-01"), 0) // closed history
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, 11.0), (2L, 20.0), (9L, 90.0)).toDF("k", "v")
+    val out = Scd2.merge(dim, updates, "k", Seq("v"), lit("2024-06-01"))
+      .as[(Long, Double, java.sql.Date, Option[java.sql.Date], Int)]
+      .collect().toSet
+    assert(out == Set(
+      row(1L, 10.0, "2024-01-01", Some("2024-06-01"), 0), // closed at asOf
+      row(1L, 11.0, "2024-06-01", None, 1),               // new version
+      row(2L, 20.0, "2024-01-01", None, 1),               // no spurious version
+      row(3L, 30.0, "2024-01-01", None, 1),               // untouched
+      row(9L, 90.0, "2024-06-01", None, 1),               // brand-new key
+      row(1L, 5.0, "2023-01-01", Some("2024-01-01"), 0)   // history frozen
+    ).map { case (k, v, f, t, c) => (k, v, f, Option(t), c) })
+    // a second identical wave is fully idempotent: every update is now a no-op
+    val again = Scd2.merge(
+      Scd2.merge(dim, updates, "k", Seq("v"), lit("2024-06-01")),
+      updates, "k", Seq("v"), lit("2024-07-01"))
+      .as[(Long, Double, java.sql.Date, Option[java.sql.Date], Int)]
+      .collect().toSet
+    assert(again == out)
+  }
 }
 
 object SinksSpec {
