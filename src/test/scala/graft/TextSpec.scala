@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * provides), so the exact production plan is what's asserted.
   */
 class TextSpec extends SparkSpec {
+  import spark.implicits._
 
   private def withDocs[A](rows: Seq[(Long, String)])(f: String => A): A = {
     val dir = java.nio.file.Files.createTempDirectory("graft_textspec").toFile
@@ -68,6 +69,68 @@ class TextSpec extends SparkSpec {
       assert(got(2L) == ((0, 0, 1, 1)))
       assert(got(3L) == ((1, 0, 1, 2)))
       assert(got(4L) == ((0, 0, 0, 0)))
+    }
+  }
+
+  test("t11: two-level prefix sum equals a naive global cumsum, any partitioning") {
+    // doc lengths 1..25 tokens, doc_ids crossing bucket boundaries
+    // (bucket = doc_id div 100): ids 90..114 span two buckets
+    val rows = (90L to 114L).map(id => id -> (1 to (id % 25 + 1).toInt).map(i => s"w$i").mkString(" "))
+    withDocs(rows) { dir =>
+      val got = TextQueries.t11.query(spark, dir)
+        .select("doc_id", "n_tokens", "tok_offset", "seq_id", "straddles")
+        .as[(Long, Int, Long, Long, Int)].collect().sortBy(_._1)
+      var off = 0L
+      rows.sortBy(_._1).zip(got).foreach { case ((id, text), g) =>
+        val n = text.split(" ").length
+        assert(g._1 == id && g._2 == n)
+        assert(g._3 == off, s"doc $id offset")
+        assert(g._4 == off / 2048)
+        assert(g._5 == (if (off / 2048 != (off + n - 1) / 2048) 1 else 0))
+        off += n
+      }
+    }
+  }
+
+  test("t12: rates bound to (0,1]; keep flag is a pure function of doc_id") {
+    val rows = (0L to 59L).map(id => id -> (1 to 40).map(i => s"t$i").mkString(" "))
+    withDocs(rows) { dir =>
+      val a = TextQueries.t12.query(spark, dir)
+        .select("doc_id", "rate", "keep").as[(Long, Double, Int)].collect().sortBy(_._1)
+      assert(a.forall { case (_, r, _) => r > 0.0 && r <= 1.0 })
+      // 60 docs x 40 tokens = 2400 tokens in src0, budget 1300 → rate
+      // 1300/2400, some kept and some dropped
+      assert(a.exists(_._3 == 1) && a.exists(_._3 == 0))
+      assert(math.abs(a.head._2 - 1300.0 / 2400.0) < 1e-12)
+      // the keep decision replays identically on a re-read (salted hash
+      // of doc_id, nothing positional)
+      val b = TextQueries.t12.query(spark, dir)
+        .select("doc_id", "rate", "keep").as[(Long, Double, Int)].collect().sortBy(_._1)
+      assert(a.toSeq == b.toSeq)
+    }
+  }
+
+  test("t13: chunks tile the document — strip the overlap and the text reassembles") {
+    val text = (1 to 137).map(i => s"tok$i").mkString(" ")
+    withDocs(Seq(42L -> text)) { dir =>
+      val chunks = TextQueries.t13.query(spark, dir)
+        .select("chunk_id", "start_tok", "chunk_len", "chunk_text")
+        .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+      assert(chunks.map(_._1).toSeq == chunks.indices.toSeq)
+      // each chunk starts stride tokens after the previous; interior
+      // chunks are full-size
+      chunks.foreach { case (id, start, len, t) =>
+        assert(start == id * 40)
+        assert(t.split(" ").length == len)
+      }
+      chunks.dropRight(1).foreach { case (_, _, len, _) => assert(len == 50) }
+      // drop each chunk's 10-token overlap prefix (except the first) and
+      // the concatenation is the original document, token for token
+      val reassembled = chunks.map { case (id, _, _, t) =>
+        val toks = t.split(" ")
+        if (id == 0) toks else toks.drop(10)
+      }.flatten
+      assert(reassembled.toSeq == text.split(" ").toSeq)
     }
   }
 
