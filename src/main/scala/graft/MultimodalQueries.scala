@@ -131,5 +131,52 @@ object MultimodalQueries {
       FROM s
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(m01, m02, m03)
+  /** Image resize: nearest-neighbor 2× downsample over the REAL pixel
+    * bytes (the PNG fixtures' IDAT is an uncompressed zlib stored
+    * block, so scanlines are byte-addressable) — resized dims,
+    * sampled-pixel count, exact integer intensity sum, and mean
+    * channel intensity, all from one native codegen'd pass
+    * (`png_resize_stats`). The oracle replays the closed-form pixel
+    * recipe arithmetically, so a kernel that misreads the scanline
+    * layout (filter bytes, row stride) hash-mismatches.
+    */
+  val m04 = QueryDef(
+    "m04_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .as[Long].collect().sorted.toIndexedSeq
+      val payloads = s.createDataFrame(ids.map(id => (id, Multimodal.pngFixture(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.MediaFunctions.register(s)
+      payloads.withColumn("rs", expr("png_resize_stats(payload, 2)"))
+        .select(col("doc_id"), col("rs.rw").as("rw"), col("rs.rh").as("rh"),
+          col("rs.n_px").as("n_px"), col("rs.sum_intensity").as("sum_intensity"))
+        .withColumn("mean_intensity",
+          col("sum_intensity").cast("double") / (col("n_px") * 3))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(1 + doc_id % 16 AS INTEGER) AS w,
+          CAST(1 + (doc_id * 7) % 12 AS INTEGER) AS h
+        FROM documents),
+      r AS (SELECT doc_id, w, h, unnest(range(0, h, 2)) AS rr FROM d),
+      c AS (SELECT doc_id, w, h, rr, unnest(range(0, w, 2)) AS cc FROM r),
+      px AS (
+        SELECT doc_id, w, h,
+          (doc_id + rr * (1 + 3 * w) + 1 + 3 * cc) % 251
+          + (doc_id + rr * (1 + 3 * w) + 2 + 3 * cc) % 251
+          + (doc_id + rr * (1 + 3 * w) + 3 + 3 * cc) % 251 AS s
+        FROM c)
+      SELECT doc_id,
+        CAST((w + 1) // 2 AS INTEGER) AS rw,
+        CAST((h + 1) // 2 AS INTEGER) AS rh,
+        CAST(((w + 1) // 2) * ((h + 1) // 2) AS INTEGER) AS n_px,
+        CAST(SUM(s) AS BIGINT) AS sum_intensity,
+        CAST(SUM(s) AS DOUBLE) / (((w + 1) // 2) * ((h + 1) // 2) * 3) AS mean_intensity
+      FROM px GROUP BY doc_id, w, h
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 }

@@ -291,6 +291,100 @@ case class WavSumSqExpr(child: org.apache.spark.sql.catalyst.expressions.Express
   override def prettyName: String = "wav_sum_sq"
 }
 
+/** Shared pixel math for the PNG resize kernel — one implementation for
+  * the interpreted eval and the generated code (the `WavMath` pattern).
+  */
+object PngMath {
+  private val resizeStruct = StructType(Seq(
+    StructField("rw", IntegerType, nullable = false),
+    StructField("rh", IntegerType, nullable = false),
+    StructField("n_px", IntegerType, nullable = false),
+    StructField("sum_intensity", LongType, nullable = false)))
+
+  val resizeStatsType: DataType = resizeStruct
+
+  /** Nearest-neighbor downsample of the minimal stored-block PNG this
+    * engine's fixtures encode (RGB-8, filter-0 scanlines, one
+    * uncompressed zlib stored block): sample every `factor`-th pixel in
+    * both axes and report the resized dims, sampled-pixel count, and
+    * the exact integer sum of all sampled channel bytes — the resize +
+    * intensity-stat step of an image pipeline, as one pass over the raw
+    * bytes. Raw scanlines start at byte 48 (sig 8 + IHDR chunk 25 +
+    * IDAT len/type 8 + zlib hdr 2 + stored-block hdr 5); row r's filter
+    * byte sits at 48 + r·(1+3w).
+    *
+    * For general deflate-compressed PNGs the same plumbing applies with
+    * an Inflater call in place of the direct slice — the stored block
+    * keeps the kernel allocation-free and codegen-friendly here.
+    */
+  def resizeStats(b: Array[Byte], factor: Int): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    if (b == null || b.length < 48 || factor <= 0) return null
+    def be(off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    val w = be(16); val h = be(20)
+    val rowBytes = 1 + 3 * w
+    if (b.length < 48 + h * rowBytes) return null
+    val rw = (w + factor - 1) / factor
+    val rh = (h + factor - 1) / factor
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val rowOff = 48 + r * rowBytes
+      var c = 0
+      while (c < w) {
+        val px = rowOff + 1 + 3 * c
+        sum += (b(px) & 0xFF) + (b(px + 1) & 0xFF) + (b(px + 2) & 0xFF)
+        c += factor
+      }
+      r += factor
+    }
+    InternalRow(rw, rh, rw * rh, sum)
+  }
+}
+
+/** `png_resize_stats(binary, factor) -> struct<rw, rh, n_px,
+  * sum_intensity>` — the nearest-neighbor downsample kernel as a native
+  * codegen'd expression ([[PngMath.resizeStats]]).
+  */
+case class PngResizeStatsExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY payload, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal INT factor")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = PngMath.resizeStatsType
+  // the kernel returns null for garbage payloads even when inputs are
+  // non-null, so the expression must declare nullability
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(payload: Any, factor: Any): Any =
+    PngMath.resizeStats(payload.asInstanceOf[Array[Byte]], factor.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ecode = nullSafeCodeGen(ctx, ev, (p, f) => {
+      s"""
+         Object r = graft.multimodal.PngMath.resizeStats($p, $f);
+         if (r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """
+    })
+    ecode
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): PngResizeStatsExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "png_resize_stats"
+}
+
 /** `wav_frame_stats(binary, frame_len) -> array<struct<frame, fr_n,
   * fr_sum_sq, fr_peak>>` — fixed-length frame extraction over WAV
   * samples as one native codegen'd pass ([[WavMath.frameStats]]): one
@@ -342,5 +436,11 @@ object MediaFunctions {
         classOf[WavFrameStatsExpr].getName, "wav_frame_stats"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WavFrameStatsExpr(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("png_resize_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PngResizeStatsExpr].getName, "png_resize_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PngResizeStatsExpr(children.head, children(1)))
   }
 }

@@ -95,6 +95,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("png resize: kernel sum equals an independent Inflater-decoded resample") {
+    import graft.multimodal.MediaFunctions
+    MediaFunctions.register(spark)
+    val ids = Seq(1L, 3L, 10L, 47L) // incl. a corrupt-IHDR-CRC fixture (10)
+    val df = spark.createDataFrame(ids.map(id => (id, Multimodal.pngFixture(id))))
+      .toDF("doc_id", "payload")
+    val got = df.selectExpr("doc_id", "png_resize_stats(payload, 2) AS rs")
+      .selectExpr("doc_id", "rs.rw", "rs.rh", "rs.n_px", "rs.sum_intensity")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      // independently inflate the IDAT and resample on the JVM side
+      val png = Multimodal.pngFixture(id)
+      val idatLen = java.nio.ByteBuffer.wrap(png.slice(33, 37)).getInt
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(png.slice(41, 41 + idatLen))
+      val raw = new Array[Byte](1 << 16)
+      val m = inf.inflate(raw); inf.end()
+      val w = (1 + id % 16).toInt; val h = (1 + id * 7 % 12).toInt
+      assert(m == h * (1 + 3 * w))
+      var sum = 0L
+      for (r <- 0 until h by 2; c <- 0 until w by 2; ch <- 0 until 3)
+        sum += raw(r * (1 + 3 * w) + 1 + 3 * c + ch) & 0xFF
+      assert(got(id) == (((w + 1) / 2, (h + 1) / 2, ((w + 1) / 2) * ((h + 1) / 2), sum)), s"id=$id")
+    }
+  }
+
   test("wav frame stats guard: garbage/short payloads yield no frames") {
     import graft.multimodal.MediaFunctions
     MediaFunctions.register(spark)
