@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("e24: SCD2 merge is a keyed full-outer join — no cartesian anywhere") {
+    val p = planOf("e24_scd2_history")
+    assert(p.contains("FullOuter"), "update-vs-open must be a keyed full-outer join:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SCD2 merge leaked a pair space")
+  }
+
   test("q17: top-k aggregates partially map-side; no Window sort of the revenue rows") {
     val p = planOf("q17_topk_per_group")
     assert(!p.contains("Window"), "top-k must not window-sort every group row")
