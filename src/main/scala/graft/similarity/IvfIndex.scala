@@ -120,6 +120,10 @@ object IvfIndex {
     * Probe cost after appends is unchanged — [[topK]] prunes the same
     * probed-cell partitions in every vector dir — and the accumulated
     * deltas fold into one `vectors/` at the next [[build]].
+    *
+    * Returns the published delta number, or 0 when the batch is empty
+    * (nothing is published — a file-less delta dir would break the
+    * probe's schema inference).
     */
   def append(batch: DataFrame, idCol: String, vecCol: String, root: String): Int = {
     val spark = batch.sparkSession
@@ -136,6 +140,9 @@ object IvfIndex {
       .join(assign(ex, centEx), "vec_id")
       .withColumn("ns", Similarity.normSq(col("emb")))
       .select("vec_id", "cell", "emb", "ns")
+    // an empty batch must not publish a file-less delta dir — the next
+    // probe's multi-dir read would fail schema inference on it
+    if (v.isEmpty) return 0
     val DeltaRe = raw"delta-(\d{5})".r
     val next = fs.listStatus(vd).flatMap(_.getPath.getName match {
       case DeltaRe(n) => Some(n.toInt)

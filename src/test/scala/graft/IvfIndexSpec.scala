@@ -176,5 +176,12 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"), plan.linesIterator
       .filter(_.contains("PartitionFilters")).mkString("\n"))
     got2.collect() // executes end-to-end over base + delta
+
+    // an empty batch publishes nothing (a file-less delta dir would
+    // break the probe's schema inference) and the probe still answers
+    assert(IvfIndex.append(batch.limit(0), "vec_id", "embedding", root) == 0)
+    assert(!new java.io.File(s"$root/v00001/delta-00002").exists())
+    assert(IvfIndex.topK(spark, root, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, probes = 2).count() > 0)
   }
 }
