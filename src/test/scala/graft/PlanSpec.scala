@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("t13/m03: chunking and frame extraction are pure narrow plans (no shuffle)") {
+    for (q <- Seq("t13_chunking", "m03_audio_frames")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+  }
+
   test("e24: SCD2 merge is a keyed full-outer join — no cartesian anywhere") {
     val p = planOf("e24_scd2_history")
     assert(p.contains("FullOuter"), "update-vs-open must be a keyed full-outer join:\n" +
