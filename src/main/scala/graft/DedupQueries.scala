@@ -560,5 +560,43 @@ object DedupQueries {
       WHERE GREATEST(n_common * 1.0 / sa.n_sh, n_common * 1.0 / sb.n_sh) >= 0.6
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  /** Boilerplate share: for every document, the fraction of its
+    * distinct 3-shingles that appear in at least one OTHER document —
+    * the corpus-level template/header/footer signal a web-scale
+    * pipeline uses to separate boilerplate-heavy pages from original
+    * prose (pair-free complement to d02/d10, which score specific
+    * pairs). Cost is linear: one df aggregate on the shingle key and
+    * one equi-join back — no pair space; the df table's hot keys are
+    * exactly what AQE skew-splitting is for at corpus scale. Docs
+    * under 3 tokens carry no shingles and are absent, matching the
+    * short-doc guard of d09.
+    */
+  val d11 = QueryDef(
+    "d11_boilerplate",
+    (s, dir) => {
+      val sh = Dedup.shingles(Tables.documents(s, dir)).distinct()
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).as("n_shared"))
+        .withColumn("shared_frac", col("n_shared") / col("n_shingles"))
+        .withColumn("boilerplate_heavy",
+          when(col("shared_frac") >= 0.5, 1).otherwise(0))
+    },
+    Some(s"""
+      WITH $shingleCtes,
+      dfx AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+      SELECT s.doc_id,
+        CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) AS shared_frac,
+        CAST(CASE WHEN SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5
+             THEN 1 ELSE 0 END AS INTEGER) AS boilerplate_heavy
+      FROM sh0 s JOIN dfx d USING (shingle)
+      GROUP BY 1
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }
