@@ -28,9 +28,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    `skipped:deadline` — the artifact always parses, whatever the
   *    machine does;
   *  - machine load (/proc/loadavg) and available memory are recorded
-  *    before and after, and if the machine is visibly contended at start
-  *    (another build's sbt/JVM) the bench waits — bounded at 90 s — for
-  *    load to fall before timing anything;
+  *    before and after; the bench waits (bounded) for two load bars
+  *    before timing anything: ownership (load < 0.75·cores, 90 s cap —
+  *    another JVM owning the machine makes numbers garbage) and quiet
+  *    (1-min load < 1.0, further 240 s cap — round-9's load-4.31 start
+  *    inflated d05 4× and flagged two stable queries unstable);
   *  - the session timezone is pinned UTC like Runner/Verify so timing
   *    runs execute the same plans the correctness gate verified.
   */
@@ -63,14 +65,26 @@ object Bench {
 
     // If another JVM owns the machine right now (concurrent sbt — the
     // round-4/round-6 artifact killer), timing anything is garbage-in.
-    // Wait, bounded, for 1-min load to drop below the core count; record
-    // how long we waited so the artifact shows it.
+    // Two bars, both bounded so the bench always eventually runs:
+    //  1. ownership (load > 0.75·cores): wait up to 90 s — a competing
+    //     build makes every number garbage;
+    //  2. quiet (1-min load > 1.0): wait up to a further 240 s — the r9
+    //     artifact was cut at load 4.31, which passed bar 1 but inflated
+    //     d05 3.7 s → 15.6 s and flagged q01/q16 unstable on pure
+    //     background contention. The artifact records how long we waited
+    //     and the load actually seen at start, so a bench that timed out
+    //     of the wait is self-describing rather than silently pessimistic.
     val nCpu = Runtime.getRuntime.availableProcessors()
     val waitStart = System.nanoTime()
     var waitedSec = 0.0
     while (machineLoad()._1 > nCpu * 0.75 && waitedSec < 90.0) {
       System.err.println(f"[bench] machine contended (load=${machineLoad()._1}%.1f, cpus=$nCpu) — waiting")
       Thread.sleep(5000)
+      waitedSec = (System.nanoTime() - waitStart) / 1e9
+    }
+    while (machineLoad()._1 > 1.0 && waitedSec < 330.0) {
+      System.err.println(f"[bench] machine not quiet (load=${machineLoad()._1}%.1f > 1.0) — waiting for quiet bar")
+      Thread.sleep(10000)
       waitedSec = (System.nanoTime() - waitStart) / 1e9
     }
 
@@ -100,6 +114,17 @@ object Bench {
     // at ~3 s, tripping the instability detector on compile noise.
     graft.dedup.Dedup.minhashLshPairs(
       spark.read.parquet(s"$sfDir/documents.parquet").limit(256))
+      .write.mode("overwrite").format("noop").save()
+    // Fourth warmup: a 64-vector miniature through the embedding-LSH
+    // pair pipeline (posexplode → broadcast hyperplane join → decimal
+    // projection agg → band bucket join → zip_with/aggregate cosine
+    // re-verify) — d05's kernels share none of the shingle family's hot
+    // loops, and its HOF re-verify path is CodegenFallback (interpreted),
+    // the documented JIT-profile-sensitive mode (SURVEY note 3). r10
+    // quiet-machine probe: 8.2 s cold vs 2.7–3.7 s steady.
+    graft.similarity.Similarity.lshCosinePairs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64),
+      "vec_id", "embedding", threshold = 0.9)
       .write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 

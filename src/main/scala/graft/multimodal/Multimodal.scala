@@ -239,9 +239,11 @@ object WavMath {
       while (i >= 0) { v = (v << 8) | (b(off + i) & 0xFF); i -= 1 }
       v
     }
-    val channels = math.max(1L, le(22, 2))
-    val bytesPer = math.max(1L, le(34, 2) / 8)
-    val nSamples = math.min((le(40, 4) / (channels * bytesPer)).toInt, (b.length - 44) / 2)
+    // only canonical mono 16-bit PCM decodes below; anything else would
+    // silently interleave channels or slice garbage sample widths —
+    // reject like the other malformed-payload guards (empty array)
+    if (le(22, 2) != 1L || le(34, 2) != 16L) return new GenericArrayData(Array.empty[Any])
+    val nSamples = math.min((le(40, 4) / 2L).toInt, (b.length - 44) / 2)
     val nFrames = (nSamples + frameLen - 1) / frameLen
     val rows = new Array[Any](nFrames)
     var f = 0

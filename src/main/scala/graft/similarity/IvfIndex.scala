@@ -157,6 +157,21 @@ object IvfIndex {
       fs.delete(tmp, true)
       sys.error(s"concurrent append: delta $next already published at $vd")
     }
+    // rename-returned-true is NOT proof we won: POSIX/HDFS rename of a
+    // directory onto an EXISTING directory moves the source INSIDE it
+    // and still returns true, so a lost race would silently nest our
+    // staged tmp dir under the winner's delta and break partition
+    // discovery for every subsequent probe. Verify the published dir
+    // holds only the partitioned-write layout (cell=* dirs + _SUCCESS);
+    // a nested tmp-* means a concurrent writer took this delta number —
+    // withdraw our nested copy and fail loudly instead of corrupting.
+    val children = fs.listStatus(dst).map(_.getPath.getName)
+    if (!children.forall(n => n.startsWith("cell=") || n.startsWith("_"))) {
+      val nested = new org.apache.hadoop.fs.Path(dst, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      sys.error(s"concurrent append: lost publish race for delta $next at $vd " +
+        s"(found non-partition children: ${children.filterNot(n => n.startsWith("cell=") || n.startsWith("_")).mkString(",")})")
+    }
     next
   }
 

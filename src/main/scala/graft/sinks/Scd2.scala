@@ -34,8 +34,16 @@ object Scd2 {
     val cols = Seq(key) ++ tracked ++ Seq("valid_from", "valid_to", "is_current")
     val closed = dim.filter(col("is_current") === 0)
     val open = dim.filter(col("is_current") === 1)
+    // PRECONDITION: at most one update row per key. Duplicate keys would
+    // fan out the full-outer join — duplicate closed copies of the open
+    // row plus multiple identical new open versions. Enforced here with a
+    // deterministic pick (max of the tracked-struct under Spark's struct
+    // ordering) so a sloppy upstream batch degrades to a defined answer,
+    // never a corrupted dimension; callers with a real recency column
+    // should pre-select latest-per-key themselves.
     val u = updates.select(col(key).as("__k"),
-      struct(tracked.map(col): _*).as("__new"))
+        struct(tracked.map(col): _*).as("__new"))
+      .groupBy("__k").agg(max(col("__new")).as("__new"))
     val j = open.join(u, col(key) === col("__k"), "full_outer")
     val changed = col("__k").isNotNull && col(key).isNotNull &&
       struct(tracked.map(col): _*) =!= col("__new")

@@ -47,10 +47,15 @@ object HeavyHitters {
       .limit(topN)
       .withColumn("corpus_frac", col("n_exact") / lit(nTotal))
 
-    val verified = ranked(
+    // ≤topN rows after the limit — control-plane. Collecting here and
+    // re-publishing via createDataFrame means the returned frame is a
+    // LocalRelation: a caller materializing it does NOT re-execute the
+    // tokenize+explode scan and candidate aggregation a second time
+    // (the lazy form re-ran both on every downstream action).
+    def rows(counts: DataFrame): Array[org.apache.spark.sql.Row] = ranked(counts).collect()
+    val verified = rows(
       tok.filter(col("token").isInCollection(cand))
         .groupBy("token").agg(count(lit(1)).as("n_exact")))
-    val top = verified.select("token", "n_exact").collect()
 
     // certified iff no non-candidate could reach the list: every
     // non-candidate has true count ≤ bound (the MG guarantee), so a
@@ -58,8 +63,14 @@ object HeavyHitters {
     // displaced. Anything weaker (short list, ties at the bound) falls
     // back to the full exact aggregation — correct at any distribution.
     val certified =
-      top.length == topN && top.map(_.getLong(1)).min > bound
-    if (certified) verified
-    else ranked(tok.groupBy("token").agg(count(lit(1)).as("n_exact")))
+      verified.length == topN && verified.map(_.getLong(1)).min > bound
+    val finalRows = if (certified) verified
+      else rows(tok.groupBy("token").agg(count(lit(1)).as("n_exact")))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("token", StringType),
+      StructField("n_exact", LongType, nullable = false),
+      StructField("corpus_frac", DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(finalRows: _*), schema)
   }
 }

@@ -132,4 +132,20 @@ class MultimodalSpec extends SparkSpec {
     val n = df.selectExpr("size(wav_frame_stats(payload, 25)) AS k").collect()
     assert(n.forall(_.getInt(0) == 0))
   }
+
+  test("wav frame stats guard: stereo and non-16-bit payloads are rejected, not mis-sliced") {
+    import graft.multimodal.{MediaFunctions, Multimodal}
+    MediaFunctions.register(spark)
+    val mono = Multimodal.wavFixture(7L)
+    val stereo = mono.clone(); stereo(22) = 2 // channels = 2
+    val eightBit = mono.clone(); eightBit(34) = 8 // bits-per-sample = 8
+    val df = spark.createDataFrame(Seq(
+        (1L, mono), (2L, stereo), (3L, eightBit)))
+      .toDF("doc_id", "payload")
+    val got = df.selectExpr("doc_id", "size(wav_frame_stats(payload, 25)) AS k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) > 0, "canonical mono 16-bit must still decode")
+    assert(got(2L) == 0, "stereo must be rejected (channel-interleaved frames otherwise)")
+    assert(got(3L) == 0, "8-bit must be rejected (garbage 16-bit slicing otherwise)")
+  }
 }

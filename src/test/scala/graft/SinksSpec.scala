@@ -92,6 +92,23 @@ class SinksSpec extends SparkSpec {
       .collect().toSet
     assert(again == out)
   }
+
+  test("Scd2.merge: duplicate update keys collapse to one deterministic row, no join fan-out") {
+    import graft.sinks.Scd2
+    val dim = Seq(
+      (1L, 10.0, java.sql.Date.valueOf("2024-01-01"), null.asInstanceOf[java.sql.Date], 1))
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+    // same key three times — a sloppy batch; the merge must not emit
+    // three closed copies of the open row / three new open versions
+    val updates = Seq((1L, 11.0), (1L, 12.0), (1L, 11.5)).toDF("k", "v")
+    val out = Scd2.merge(dim, updates, "k", Seq("v"), lit("2024-06-01"))
+      .as[(Long, Double, java.sql.Date, Option[java.sql.Date], Int)]
+      .collect().toSeq
+    assert(out.size == 2, s"expected exactly closed+open, got $out")
+    assert(out.count(_._5 == 0) == 1 && out.count(_._5 == 1) == 1)
+    // deterministic pick = max tracked struct (12.0), under any partitioning
+    assert(out.find(_._5 == 1).get._2 == 12.0)
+  }
 }
 
 object SinksSpec {
