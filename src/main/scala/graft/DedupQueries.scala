@@ -597,6 +597,47 @@ object DedupQueries {
       GROUP BY 1
     """.stripMargin.trim))
 
+  /** Exact substring-level dedup (`Dedup.duplicatedSpans`): maximal
+    * ≥15-token spans whose every 5-gram also occurs in another document
+    * — the Lee-et-al "remove any duplicated span" pass, and the only
+    * dedup mode here that is fully LINEAR (gram-hash aggregate +
+    * semi-join + per-doc interval merge; no pair space anywhere). The
+    * oracle replays tokenization, the 60-bit gram hashes, cross-doc
+    * sharedness, and the gaps-and-islands merge position for position.
+    */
+  val d12 = QueryDef(
+    "d12_substring_dedup",
+    (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir)),
+    Some("""
+      WITH toksx AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      pg AS (
+        SELECT doc_id, pos,
+          ('0x' || substr(md5(t[pos+1]||' '||t[pos+2]||' '||t[pos+3]||' '||t[pos+4]||' '||t[pos+5]), 1, 15))::BIGINT AS gh
+        FROM (SELECT doc_id, t, unnest(range(len(t)-4)) AS pos FROM toksx WHERE len(t) >= 5)),
+      sharedx AS (
+        SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pg) GROUP BY gh HAVING count(*) >= 2),
+      dup AS (SELECT doc_id, pos FROM pg JOIN sharedx USING (gh)),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup)),
+      spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+        FROM isl GROUP BY doc_id, island)
+      SELECT sp.doc_id,
+        CAST(s AS INTEGER) AS span_start,
+        CAST(e AS INTEGER) AS span_end,
+        CAST(e - s AS INTEGER) AS span_tokens,
+        md5(array_to_string(t[s+1:e], ' ')) AS span_fp
+      FROM spans sp JOIN toksx USING (doc_id)
+      WHERE e - s >= 15
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }

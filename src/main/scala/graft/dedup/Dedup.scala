@@ -356,4 +356,59 @@ object Dedup {
       .withColumn("contaminated",
         when(col("n_hits") > 0, 1).otherwise(0))
   }
+
+  /** Exact substring-level dedup (the Lee et al. 2021 "deduplicating
+    * training data" pass): per document, the MAXIMAL token intervals
+    * every position of which starts a k-gram that also occurs in at
+    * least one OTHER document — i.e. the spans a substring-dedup pass
+    * would cut. Published per span: 0-based token offsets
+    * `[span_start, span_end)`, the token count, and an md5 fingerprint
+    * of the span's canonical text (so downstream can group identical
+    * cut spans across the corpus without re-reading the documents).
+    *
+    * Semantics: a k-gram occurrence is duplicated iff its gram VALUE
+    * appears in ≥2 distinct documents (within-doc repetition alone is
+    * repetition, not duplication — t07 measures that); duplicated
+    * gram START positions merge into one span while consecutive starts
+    * are ≤ k apart (their k-token coverages overlap or abut), and only
+    * spans of ≥ `minTokens` tokens are kept.
+    *
+    * Scale shape — this pass is LINEAR, unlike any pairwise dedup:
+    * gram sharedness is one aggregate on the 60-bit gram hash (never a
+    * doc-list or pair join; a gram shared by a million docs still
+    * produces ONE row on the build side of the 1:1 semi-join), the
+    * interval merge is a per-document window over that document's
+    * duplicated positions only, and no operator touches a pair space.
+    * Grams travel as 60-bit md5-prefix longs (8 bytes, engine-portable
+    * so the DuckDB oracle replays sharedness bit-for-bit).
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 5, minTokens: Int = 15): DataFrame = {
+    val toks = docs.withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"), col("__toks"))
+    val grams = toks.filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), posexplode(shinglesOf(col("__toks"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+    val shared = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select("gh")
+    val dup = grams.join(shared, "gh").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = dup
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__isl", sum(
+        when(col("__prev").isNull || col("pos") - col("__prev") > k, 1)
+          .otherwise(0)).over(w))
+    val spans = isl.groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + k).as("__e"))
+      .filter(col("__e") - col("__s") >= minTokens)
+    spans.join(toks, "doc_id")
+      .select(col("doc_id"),
+        col("__s").cast("int").as("span_start"),
+        col("__e").cast("int").as("span_end"),
+        (col("__e") - col("__s")).cast("int").as("span_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("__s") + 1, col("__e") - col("__s"))))
+          .as("span_fp"))
+  }
 }

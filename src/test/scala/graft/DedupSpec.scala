@@ -361,6 +361,51 @@ class DedupSpec extends SparkSpec {
     } finally SignatureStore.drop(spark, name)
   }
 
+  test("duplicatedSpans: overlap chains merge, whole-doc dup, within-doc repetition excluded") {
+    // tokens are single letters so offsets are hand-checkable; k=3,
+    // minTokens=5 keeps the arithmetic small
+    val shared = "a b c d e f g" // 7 tokens, all 5 3-gram starts shared
+    val docs = Seq(
+      // doc 1 and 2: identical → whole-doc span [0,7) in both
+      (1L, shared),
+      (2L, shared),
+      // doc 3: the shared text embedded mid-doc → span [2,9), and the
+      // flanks (x y | z w) must NOT extend it (their grams are unique)
+      (3L, s"x y $shared z w"),
+      // doc 4: two copies of the shared text separated by a >k unique
+      // gap → TWO spans, not one merged mega-span
+      (4L, s"$shared q r s t u v w $shared"),
+      // doc 5: within-doc repetition only (no other doc has these
+      // grams) → repetition is not duplication, no spans
+      (5L, "m n o p m n o p m n o p m n o p"),
+      // doc 6: no overlap with anything → no spans
+      (6L, "h i j k l")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 3, minTokens = 5)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 7), (2L, 0, 7),
+      (3L, 2, 9),
+      (4L, 0, 7), (4L, 14, 21)))
+    // span_fp groups identical cut spans across docs: all five spans
+    // above are the same 7-token text, so one distinct fingerprint
+    val fps = Dedup.duplicatedSpans(docs, k = 3, minTokens = 5)
+      .select("span_fp").distinct().count()
+    assert(fps == 1)
+  }
+
+  test("duplicatedSpans: minTokens gate and short-doc guard") {
+    val docs = Seq(
+      (1L, "a b c d"), // 4 tokens, shared with doc 2 → span [0,4) = 4 tokens < 5
+      (2L, "a b c d"),
+      (3L, "x")        // shorter than k → no grams, must not error
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, k = 3, minTokens = 5).count() == 0)
+    assert(Dedup.duplicatedSpans(docs, k = 3, minTokens = 4)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("sign-bit LSH on an empty corpus returns the empty pair set") {
     import graft.similarity.Similarity
     // an empty daily slice is a plausible input — must not NPE on the

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert("HashJoin".r.findAllIn(p).nonEmpty, p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("d12: substring-dedup plan is linear — equi-joins only, no pair operator") {
+    val p = planOf("d12_substring_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair space leaked into the plan")
+    assert(!p.contains("CartesianProduct"), "pair space leaked into the plan")
+    // sharedness is a 1:1 equi-join on the gram hash; the interval
+    // merge is a per-doc window — both keyed, both linear
+    assert(p.contains("Join") && p.contains("Window"), p.linesIterator.take(20).mkString("\n"))
+  }
+
   test("d09: benchmark gram set broadcasts; the train side has one shuffle (its own agg)") {
     val p = planOf("d09_decontamination")
     assert(p.contains("BroadcastHashJoin"),
