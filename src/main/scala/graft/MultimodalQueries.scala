@@ -178,5 +178,44 @@ object MultimodalQueries {
       FROM px GROUP BY doc_id, w, h
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  /** JPEG frame-header decode (`jpeg_sof`): dimensions, sample
+    * precision, and component count pulled from real encoded baseline
+    * JPEG byte streams by walking the marker segments (SOI → APP0 →
+    * DQT → SOF0 here; APPn/EXIF soup in the wild) — rounding out the
+    * image side for the corpora that are mostly JPEG, not PNG. Every
+    * 10th fixture carries a corrupted SOF marker prefix and must come
+    * back null-flagged (`jpg_ok = false`), never misparsed. Narrow
+    * codegen'd map like m01–m04; the oracle replays the fixture's
+    * closed-form dims.
+    */
+  val m05 = QueryDef(
+    "m05_jpeg_header",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .as[Long].collect().sorted.toIndexedSeq // bounded fixture build
+      val payloads = s.createDataFrame(ids.map(id => (id, Multimodal.jpegFixture(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.MediaFunctions.register(s)
+      payloads.withColumn("sof", expr("jpeg_sof(payload)"))
+        .select(col("doc_id"),
+          col("sof").isNotNull.as("jpg_ok"),
+          col("sof.sof_marker").as("sof_marker"),
+          col("sof.sof_precision").as("sof_precision"),
+          col("sof.height").as("height"),
+          col("sof.width").as("width"),
+          col("sof.n_components").as("n_components"))
+    },
+    Some("""
+      SELECT doc_id,
+        doc_id % 10 <> 0 AS jpg_ok,
+        CASE WHEN doc_id % 10 <> 0 THEN 192 END AS sof_marker,
+        CASE WHEN doc_id % 10 <> 0 THEN 8 END AS sof_precision,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(1 + (doc_id * 13) % 150 AS INTEGER) END AS height,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(1 + doc_id % 200 AS INTEGER) END AS width,
+        CASE WHEN doc_id % 10 <> 0 THEN 3 END AS n_components
+      FROM documents
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 }

@@ -179,6 +179,47 @@ object Multimodal {
     if (id % 10 == 0) png(32) = (png(32) ^ 0x01).toByte // corrupt IHDR CRC
     png
   }
+
+  /** Minimal real baseline JPEG header stream: SOI → APP0/JFIF → a
+    * deterministic DQT stub → SOF0 at (1+id%200) × (1+(id*13)%150),
+    * precision 8, 3 components → SOS → 8 entropy bytes → EOI. The
+    * segment chain is real (every marker/length parses), so the SOF
+    * decoder must genuinely WALK variable-length segments to find the
+    * frame header — the property a real camera JPEG (APPn/EXIF soup
+    * before SOF) exercises. Every 10th id's SOF marker prefix byte is
+    * zeroed — a corrupt-marker fixture the walker must reject loudly
+    * (null), never misparse.
+    */
+  def jpegFixture(id: Long): Array[Byte] = {
+    val w = (1 + id % 200).toInt
+    val h = (1 + (id * 13) % 150).toInt
+    val bb = java.nio.ByteBuffer.allocate(132)
+    def m(x: Int): Unit = { bb.put(0xFF.toByte); bb.put(x.toByte) }
+    m(0xD8) // SOI
+    m(0xE0) // APP0, len 16: JFIF 1.1, unit 0, density 1x1, no thumb
+    bb.putShort(16.toShort).put("JFIF".getBytes).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(1.toShort).putShort(1.toShort).put(0.toByte).put(0.toByte)
+    m(0xDB) // DQT, len 67: pq/tq byte + 64 deterministic table bytes
+    bb.putShort(67.toShort).put(0.toByte)
+    (0 until 64).foreach(k => bb.put((((id + k) % 99) + 1).toByte))
+    m(0xC0) // SOF0, len 17: precision 8, h, w, 3 components
+    bb.putShort(17.toShort).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(1.toByte).put(0x22.toByte).put(0.toByte)  // Y  2x2, table 0
+      .put(2.toByte).put(0x11.toByte).put(1.toByte)  // Cb 1x1, table 1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte)  // Cr 1x1, table 1
+    m(0xDA) // SOS, len 12: 3 components + spectral selection
+    bb.putShort(12.toShort).put(3.toByte)
+      .put(1.toByte).put(0x00.toByte).put(2.toByte).put(0x11.toByte)
+      .put(3.toByte).put(0x11.toByte)
+      .put(0.toByte).put(0x3F.toByte).put(0.toByte)
+    (0 until 8).foreach(k => bb.put(((id + k) % 251).toByte)) // entropy stub
+    m(0xD9) // EOI
+    val out = bb.array()
+    if (id % 10 == 0) out(89) = 0 // corrupt the SOF marker's 0xFF prefix
+    out
+  }
 }
 
 /** Shared sample math for the WAV decoder — one implementation serving
@@ -421,6 +462,99 @@ case class WavFrameStatsExpr(
   override def prettyName: String = "wav_frame_stats"
 }
 
+/** Shared segment-walk math for the JPEG frame-header decoder — one
+  * implementation serving both the interpreted eval and the generated
+  * code (the `WavMath`/`PngMath` pattern).
+  */
+object JpegMath {
+  private val sofStruct = StructType(Seq(
+    StructField("sof_marker", IntegerType, nullable = false),
+    StructField("sof_precision", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("n_components", IntegerType, nullable = false)))
+
+  /** Result type of [[sof]]. */
+  val sofType: DataType = sofStruct
+
+  /** Decode the first SOF frame header of a JPEG stream by walking the
+    * marker segments from SOI (the only way to reach SOF — real files
+    * carry a variable-length APPn/EXIF/DQT/DHT prefix): big-endian
+    * height/width, sample precision, component count, and which SOF
+    * marker carried them (0xC0 baseline … 0xCF, excluding the
+    * non-frame 0xC4/0xC8/0xCC). Returns null — never a misparse — on
+    * any malformed structure: missing SOI, a marker without its 0xFF
+    * prefix, a segment length overrunning the buffer, SOS/EOI before
+    * any SOF, or a SOF payload whose length doesn't match its
+    * component count.
+    */
+  def sof(b: Array[Byte]): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    if (b == null || b.length < 4) return null
+    if (b(0) != 0xFF.toByte || b(1) != 0xD8.toByte) return null // no SOI
+    var i = 2
+    while (i + 3 < b.length) {
+      if (b(i) != 0xFF.toByte) return null // marker desync
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) { // fill byte padding before a marker
+        i += 1
+      } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i += 2 // standalone marker, no length
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return null // EOI / SOS reached with no frame header seen
+      } else {
+        val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 8) return null
+          val precision = b(i + 4) & 0xFF
+          val h = ((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)
+          val w = ((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)
+          val nComp = b(i + 9) & 0xFF
+          if (len != 8 + 3 * nComp) return null
+          return InternalRow(marker, precision, h, w, nComp)
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+}
+
+/** `jpeg_sof(binary) -> struct<sof_marker, sof_precision, height,
+  * width, n_components>` — the JPEG frame-header walk as a native
+  * codegen'd expression ([[JpegMath.sof]]); null (not a misparse) for
+  * any malformed stream.
+  */
+case class JpegSofExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = JpegMath.sofType
+  // the kernel returns null for malformed streams even when the input
+  // is non-null, so the expression must declare nullability
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    JpegMath.sof(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => s"""
+         Object r = graft.multimodal.JpegMath.sof($p);
+         if (r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """)
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): JpegSofExpr =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_sof"
+}
+
 /** Session registration for the media kernels (the `FiscalFunctions`
   * pattern — idempotent, callable from any query path).
   */
@@ -444,5 +578,11 @@ object MediaFunctions {
         classOf[PngResizeStatsExpr].getName, "png_resize_stats"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PngResizeStatsExpr(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jpeg_sof"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JpegSofExpr].getName, "jpeg_sof"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JpegSofExpr(children.head))
   }
 }

@@ -133,6 +133,37 @@ class MultimodalSpec extends SparkSpec {
     assert(n.forall(_.getInt(0) == 0))
   }
 
+  test("jpeg_sof walks the segment chain; malformed streams are null, never misparsed") {
+    import graft.multimodal.{JpegMath, Multimodal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    def sof(b: Array[Byte]) = Option(JpegMath.sof(b)).map(_.asInstanceOf[InternalRow])
+    // round-trip: the real fixture bytes decode back to the closed form
+    val ok = sof(Multimodal.jpegFixture(7L)).get
+    assert((ok.getInt(0), ok.getInt(1), ok.getInt(2), ok.getInt(3), ok.getInt(4)) ==
+      (0xC0, 8, (1 + 7 * 13 % 150), (1 + 7 % 200), 3))
+    // an EXTRA unknown APPn segment before SOF must be walked over
+    val base = Multimodal.jpegFixture(7L)
+    val extra = Array(0xFF, 0xE7, 0x00, 0x06, 1, 2, 3, 4).map(_.toByte)
+    val padded = base.take(2) ++ extra ++ base.drop(2)
+    assert(sof(padded).get.getInt(3) == 1 + 7 % 200)
+    // fill-byte padding (FF FF FF C0) is legal prefix stuffing
+    val filled = base.take(89) ++ Array(0xFF.toByte, 0xFF.toByte) ++ base.drop(89)
+    assert(sof(filled).get.getInt(2) == 1 + 7 * 13 % 150)
+    // progressive SOF2 is still a frame header
+    val prog = base.clone(); prog(90) = 0xC2.toByte
+    assert(sof(prog).get.getInt(0) == 0xC2)
+    // corrupt SOF marker prefix (the every-10th fixture) → null
+    assert(sof(Multimodal.jpegFixture(10L)).isEmpty)
+    // missing SOI, truncation mid-segment, SOS before any SOF → null
+    assert(sof(base.drop(2)).isEmpty)
+    assert(sof(base.take(95)).isEmpty)
+    val noSof = base.take(89) ++ base.drop(108) // splice the SOF segment out
+    assert(sof(noSof).isEmpty)
+    // a SOF whose declared length disagrees with its component count → null
+    val badLen = base.clone(); badLen(92) = 20.toByte // len 17 → 20
+    assert(sof(badLen).isEmpty)
+  }
+
   test("wav frame stats guard: stereo and non-16-bit payloads are rejected, not mis-sliced") {
     import graft.multimodal.{MediaFunctions, Multimodal}
     MediaFunctions.register(spark)
