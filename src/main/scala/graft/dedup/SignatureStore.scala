@@ -48,6 +48,75 @@ object SignatureStore {
   private def allTables(name: String): Seq[String] =
     Seq(bandsTable(name), shinglesTable(name), sizesTable(name), metaTable(name))
 
+  // ---- concurrent-writer guard ----------------------------------------
+  // The store's mutators assume a single writer: two interleaved ingests
+  // can append conflicting survivor sets, and a rollback taken against a
+  // stale snapshot deletes the OTHER writer's appends. Both failure
+  // modes are made loud instead of corrupting:
+  //  - a lock file (atomic createNewFile, the VersionedTable rename
+  //    idiom) serializes ingest/rollback — a second concurrent writer
+  //    fails fast, never interleaves;
+  //  - a generation marker (`_gen-<n>-<uuid>`, an empty `_`-prefixed
+  //    file in the meta table dir, invisible to parquet readers) is
+  //    bumped by every completed mutation. rollback refuses when the
+  //    on-disk generation has moved past the snapshot AND this JVM did
+  //    not write it — the undo-own-trial-ingest pattern (d08, failed
+  //    batches) keeps working, undoing a foreign writer's work does not.
+
+  private def metaLoc(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(metaTable(name))))
+
+  private val LockName = "_ingest.lock"
+  private val GenRe = raw"_gen-(\d+)-([0-9a-f]+)".r
+
+  /** Generation uuids written by THIS process — the "was that bump
+    * ours?" test rollback uses to allow undoing its own trial ingest.
+    */
+  private val ownGens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Current (generation, uuid) marker of the store, if any. */
+  private def genMarker(spark: SparkSession, name: String): Option[(Int, String)] = {
+    val loc = metaLoc(spark, name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) None
+    else fs.listStatus(loc).map(_.getPath.getName).collectFirst {
+      case GenRe(n, u) => (n.toInt, u)
+    }
+  }
+
+  private def bumpGen(spark: SparkSession, name: String): Unit = {
+    val loc = metaLoc(spark, name)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = genMarker(spark, name).map(_._1).getOrElse(0) + 1
+    fs.listStatus(loc).map(_.getPath)
+      .filter(p => GenRe.pattern.matcher(p.getName).matches())
+      .foreach(fs.delete(_, false))
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(loc, s"_gen-$next-$uuid"))
+    ownGens.add(uuid); ()
+  }
+
+  /** Release a crashed writer's lock (manual recovery — pair with
+    * [[rollback]] to also drop its partial appends).
+    */
+  def unlock(spark: SparkSession, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaLoc(spark, name), LockName)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
+  }
+
+  private def withIngestLock[A](spark: SparkSession, name: String)(f: => A): A = {
+    val p = new org.apache.hadoop.fs.Path(metaLoc(spark, name), LockName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // atomic create-if-absent: exactly one writer wins; a loser fails
+    // FAST with recovery instructions instead of interleaving appends
+    if (!fs.createNewFile(p))
+      sys.error(s"store '$name' is locked by a concurrent writer ($p); " +
+        "if that writer crashed, SignatureStore.unlock(...) then rollback(...) to recover")
+    try f finally fs.delete(p, false)
+  }
+
   /** Drop a store table from the catalog AND clear its default warehouse
     * location. The session catalog is per-process but the warehouse
     * directory is durable, so a table written by a previous JVM is an
@@ -104,6 +173,7 @@ object SignatureStore {
     Seq((spec.k, spec.bands, spec.maxDf, buckets))
       .toDF("k", "bands", "max_df", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+    bumpGen(spark, name) // generation 1 — this build is "ours"
   }
 
   /** Drop the store's tables and their locations (idempotent). */
@@ -125,9 +195,11 @@ object SignatureStore {
       val fs = loc.getFileSystem(conf)
       // store tables are unpartitioned bucketed dirs — one flat
       // listStatus each (recursive listFiles stats every file for block
-      // locations, measured ~0.5 ms/file on Hadoop's local FS)
+      // locations, measured ~0.5 ms/file on Hadoop's local FS). The
+      // transient writer lock is excluded: it is not store state.
       if (!fs.exists(loc)) Nil
-      else fs.listStatus(loc).map(_.getPath.toString).toSeq
+      else fs.listStatus(loc).map(_.getPath)
+        .filterNot(_.getName == LockName).map(_.toString).toSeq
     }.toSet
   }
 
@@ -136,26 +208,49 @@ object SignatureStore {
     * store bit-for-bit (appends never touch pre-existing files), so an
     * aborted batch leaves no trace for the next batch to collide with.
     */
-  def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    allTables(name).foreach { t =>
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)))
-      val fs = loc.getFileSystem(conf)
-      if (fs.exists(loc)) {
-        val added = fs.listStatus(loc).map(_.getPath)
-          .filterNot(p => snap.contains(p.toString))
-        if (added.nonEmpty) {
-          // recursive: an ABORTED append leaves a non-empty _temporary
-          // staging dir — a non-recursive delete would throw on it,
-          // abort the rollback partway, and mask the original failure
-          added.foreach(fs.delete(_, true))
-          spark.catalog.refreshTable(t)
+  def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit =
+    withIngestLock(spark, name) { // serializes against a live ingest
+      // STALENESS GATE: if the store's generation moved past the
+      // snapshot and the bump was not written by this process, the
+      // files added since `snap` belong to ANOTHER writer — deleting
+      // them here would corrupt that writer's completed ingest. Undoing
+      // our own trial/failed ingest (marker unchanged, or bumped by us)
+      // proceeds as before.
+      genMarker(spark, name).foreach { case (n, uuid) =>
+        val markerInSnap = snap.exists(_.endsWith(s"_gen-$n-$uuid"))
+        if (!markerInSnap && !ownGens.contains(uuid))
+          sys.error(s"stale snapshot for store '$name': generation $n ($uuid) " +
+            "was written by another process since the snapshot was taken — " +
+            "rolling back would delete that writer's appends")
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      allTables(name).foreach { t =>
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)))
+        val fs = loc.getFileSystem(conf)
+        if (fs.exists(loc)) {
+          val added = fs.listStatus(loc).map(_.getPath)
+            .filterNot(_.getName == LockName) // held by THIS rollback
+            .filterNot(p => snap.contains(p.toString))
+          if (added.nonEmpty) {
+            // recursive: an ABORTED append leaves a non-empty _temporary
+            // staging dir — a non-recursive delete would throw on it,
+            // abort the rollback partway, and mask the original failure
+            added.foreach(fs.delete(_, true))
+            spark.catalog.refreshTable(t)
+          }
+          // restore the snapshot's generation marker (the only snap
+          // file a bump DELETES — data appends never touch old files);
+          // markers are empty, their names carry the state
+          snap.filter(_.startsWith(loc.toString)).foreach { s =>
+            val p = new org.apache.hadoop.fs.Path(s)
+            if (GenRe.pattern.matcher(p.getName).matches() && !fs.exists(p))
+              fs.createNewFile(p)
+          }
         }
       }
     }
-  }
 
   /** Append an (already deduplicated) document set's signatures to the
     * store — bucketed `mode("append")` writes, so each ingest adds at
@@ -252,7 +347,8 @@ object SignatureStore {
     */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       threshold: Double = 0.5,
-      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame =
+    withIngestLock(spark, name) { // single-writer: a concurrent ingest fails fast
     def staged[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -305,6 +401,7 @@ object SignatureStore {
         Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true), // 2 writes read it
         name, buckets)
     }
+    bumpGen(spark, name) // completed mutation — stale snapshots now refuse
     flags
   }
 

@@ -361,6 +361,47 @@ class DedupSpec extends SparkSpec {
     } finally SignatureStore.drop(spark, name)
   }
 
+  test("writer guard: concurrent ingest fails fast; rollback refuses a stale snapshot") {
+    import graft.dedup.SignatureStore
+    def doc(i: Int): String = (0 until 24).map(w => s"g${i}_$w").mkString(" ")
+    val hist = Seq((1L, doc(1))).toDF("doc_id", "text")
+    val batch = Seq((21L, doc(21))).toDF("doc_id", "text")
+    val name = "graft_guard_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, hist, name)
+    val metaLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(SignatureStore.metaTable(name))))
+    val fs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // a held lock (another writer mid-ingest) must fail FAST, not
+      // interleave appends — and the error must name the recovery path
+      fs.createNewFile(new org.apache.hadoop.fs.Path(metaLoc, "_ingest.lock"))
+      val e = intercept[RuntimeException](SignatureStore.ingest(spark, batch, name))
+      assert(e.getMessage.contains("locked by a concurrent writer"))
+      SignatureStore.unlock(spark, name)
+      // after recovery the same ingest proceeds
+      val snap = SignatureStore.snapshot(spark, name)
+      SignatureStore.ingest(spark, batch, name)
+      // our OWN completed trial ingest stays undoable (the d08 pattern)…
+      SignatureStore.rollback(spark, name, snap)
+      assert(SignatureStore.snapshot(spark, name) == snap)
+      // …but a FOREIGN writer's completed generation bump (simulated by
+      // swapping the marker for one this process never wrote) must make
+      // rollback refuse: deleting files since snap would delete the
+      // other writer's appends
+      val marker = fs.listStatus(metaLoc).map(_.getPath)
+        .find(_.getName.startsWith("_gen-")).get
+      val gen = marker.getName.split("-")(1).toInt
+      fs.delete(marker, false)
+      fs.createNewFile(new org.apache.hadoop.fs.Path(metaLoc, s"_gen-${gen + 1}-feedf00d"))
+      val stale = intercept[RuntimeException](SignatureStore.rollback(spark, name, snap))
+      assert(stale.getMessage.contains("stale snapshot"))
+      // and the refusal must not leave the lock behind
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(metaLoc, "_ingest.lock")))
+    } finally SignatureStore.drop(spark, name)
+  }
+
   test("duplicatedSpans: overlap chains merge, whole-doc dup, within-doc repetition excluded") {
     // tokens are single letters so offsets are hand-checkable; k=3,
     // minTokens=5 keeps the arithmetic small
