@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --query all --sf ... --out /tmp/results
   *   runMain graft.Runner --pipeline daily_sales --length 2wk --sf ...
   *   runMain graft.Runner --pipeline all --fy 1995 --fp 3 --sf ...
+  *   runMain graft.Runner --corpus-init mystore --sf ...
+  *   runMain graft.Runner --corpus-ingest mystore --batch-mod 7 --batch-rem 0 --sf ...
   *   runMain graft.Runner --full-refresh daily_sales --fy-from 1995 --fy-to 1997 \
   *     --confirm-delete --confirm-fy [--dry-run] --sf ...
   */
@@ -81,6 +83,41 @@ object Runner {
           println(f"[maintain] $pl%-14s no published version at ${r.root} — skipped")
         else println(f"[maintain] $pl%-14s compacted ${r.compactedPartitions}%2d " +
           f"partitions, retained $retain newest versions  (${r.root})")
+      }
+      spark.stop()
+      return
+    }
+
+    if (opts.contains("corpus-init") || opts.contains("corpus-ingest")) {
+      // training-corpus dedup through the same ops surface as the five
+      // reference pipelines: --corpus-init <store> creates the empty
+      // signature store; --corpus-ingest <store> [--batch-mod N
+      // --batch-rem R] dedupes the selected documents slice against the
+      // store + within itself, appends survivors, lands per-doc flags
+      // in the versioned sink, and prints the survivor/dup accounting.
+      // (--batch-mod/-rem carve deterministic daily batches out of the
+      // synthetic corpus; a production deployment filters by ingest
+      // date instead.)
+      import graft.ops.Orchestrator
+      opts.get("corpus-init").foreach { store =>
+        Orchestrator.corpusInit(spark, store)
+        println(s"[corpus] initialized empty signature store '$store'")
+      }
+      opts.get("corpus-ingest").foreach { store =>
+        val docs = Tables.documents(spark, sfDir)
+        val batch = (opts.get("batch-mod"), opts.get("batch-rem")) match {
+          case (Some(m), Some(r)) =>
+            docs.filter(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
+          case _ => docs
+        }
+        val res = Orchestrator.corpusIngest(spark, store, batch)
+        res.error match {
+          case Some(e) => println(s"[corpus] $store INGEST FAILED: $e"); sys.exit(1)
+          case None => println(f"[corpus] $store batch=${res.batchRows}%d " +
+            f"dups=${res.dups}%d survivors=${res.survivors}%d ${res.elapsedSec}%.1f s")
+        }
       }
       spark.stop()
       return

@@ -98,6 +98,53 @@ object SignatureStore {
     ownGens.add(uuid); ()
   }
 
+  /** Re-register the store's tables from their durable warehouse
+    * locations into THIS session's catalog. The catalog is per-process
+    * (in-memory) while the bucketed table dirs are durable, so a store
+    * built by yesterday's JVM is invisible to today's until re-declared
+    * — exactly the daily Runner-CLI cadence (`--corpus-init` one day,
+    * `--corpus-ingest` the next). Schemas come from the parquet files
+    * when any exist and fall back to the store's canonical layout for
+    * a still-empty table (a freshly initialized store has no data
+    * files to infer from); the bucket spec is re-declared from the
+    * meta row so re-registered reads keep their shuffle-free bucketed
+    * joins. No-op when the tables are already registered.
+    */
+  def ensureRegistered(spark: SparkSession, name: String): Unit = {
+    if (allTables(name).forall(spark.catalog.tableExists)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    def loc(t: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val metaP = loc(metaTable(name))
+    require(metaP.getFileSystem(conf).exists(metaP),
+      s"no signature store '$name' on disk at $metaP — build/corpusInit it first")
+    def register(t: String, bucketCol: Option[String], fallback: String,
+        buckets: => Int): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        val p = loc(t)
+        val cols =
+          try spark.read.parquet(p.toString).schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          catch { case e: Exception if e.getMessage != null &&
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => fallback }
+        val cluster = bucketCol
+          .map(c => s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $buckets BUCKETS")
+          .getOrElse("")
+        spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet $cluster LOCATION '$p'")
+      }
+    register(metaTable(name), None,
+      "`k` INT, `bands` INT, `max_df` INT, `buckets` INT", 0)
+    lazy val buckets = spark.table(metaTable(name)).head().getAs[Int]("buckets")
+    register(bandsTable(name), Some("band_key"),
+      "`doc_id` BIGINT, `band` INT, `band_hash` STRING, `band_key` STRING", buckets)
+    register(shinglesTable(name), Some("doc_id"),
+      "`shingle` STRING, `doc_id` BIGINT", buckets)
+    register(sizesTable(name), Some("doc_id"),
+      "`doc_id` BIGINT, `n_sh` BIGINT", buckets)
+  }
+
   /** Release a crashed writer's lock (manual recovery — pair with
     * [[rollback]] to also drop its partial appends).
     */

@@ -383,4 +383,83 @@ object Orchestrator {
       MaintainResult(pipeline, root, compacted, retainVersions, skipped = false)
     }
   }
+
+  // ---- training-corpus dedup as an orchestrated op (SURVEY §2.H) -----
+
+  final case class CorpusResult(store: String, batchRows: Long, dups: Long,
+      survivors: Long, elapsedSec: Double, error: Option[String])
+
+  /** Sink pipeline name for a corpus store's flag table. */
+  def corpusPipeline(store: String): String = s"corpus_$store"
+
+  /** Create an EMPTY signature store so EVERY batch — including the
+    * first — flows through the one [[corpusIngest]] path: the first
+    * ingest dedupes the day-one batch within itself against the empty
+    * history and appends its survivors, exactly like day two will.
+    */
+  def corpusInit(spark: SparkSession, store: String,
+      spec: graft.dedup.SignatureStore.Spec = graft.dedup.SignatureStore.Spec()): Unit = {
+    import spark.implicits._
+    graft.dedup.SignatureStore.drop(spark, store)
+    graft.dedup.SignatureStore.build(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), store, spec)
+  }
+
+  /** One corpus-dedup ingest through the SAME ops surface as the five
+    * reference pipelines: dedupe `batch` against the store's history
+    * and within itself ([[graft.dedup.SignatureStore.ingest]]), land
+    * the per-doc flags in the keyed sink (`business_key` = doc id, so
+    * a re-run of the same batch MERGEs idempotently instead of
+    * duplicating flag rows), and notify — created/updated reporting
+    * survivors-appended/dups-flagged. The store append and the flag
+    * merge commit together: any failure rolls the store back to its
+    * pre-ingest snapshot (bit-for-bit file undo), so a crashed batch
+    * leaves neither half-appended signatures nor unflagged appends —
+    * the same no-partial-state discipline the versioned sink gives the
+    * reference pipelines. Daily cost is O(batch) (store history is
+    * read pre-bucketed, never reshuffled); [[maintain]] with
+    * [[corpusPipeline]] covers the flag table's compaction/vacuum like
+    * any other pipeline root.
+    */
+  def corpusIngest(spark: SparkSession, store: String, batch: DataFrame,
+      notifier: Option[Notifier.Config] = None,
+      sink: Sink = VersionedSink()): CorpusResult = {
+    import graft.dedup.SignatureStore
+    val t0 = System.nanoTime()
+    val result =
+      try {
+        // durable store dirs, per-process catalog: re-declare the
+        // tables when this JVM hasn't seen the store yet (daily CLI)
+        SignatureStore.ensureRegistered(spark, store)
+        val snap = SignatureStore.snapshot(spark, store)
+        try {
+          val flags = SignatureStore.ingest(spark, batch, store)
+          val batchRows = flags.count()
+          if (batchRows == 0) sys.error("Empty batch — nothing to ingest")
+          val dups = flags.filter(col("is_dup")).count()
+          val out = flags.select(
+            col("doc_id").cast("string").as("business_key"),
+            col("doc_id"), col("is_dup"), col("dup_of"))
+            .withColumn("refreshed_at", current_timestamp())
+          sink.merge(spark, corpusPipeline(store), out)
+          CorpusResult(store, batchRows, dups, batchRows - dups,
+            (System.nanoTime() - t0) / 1e9, None)
+        } catch {
+          case e: Throwable =>
+            SignatureStore.rollback(spark, store, snap) // store unchanged
+            throw e
+        }
+      } catch {
+        case e: Exception =>
+          CorpusResult(store, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    notifier.foreach { cfg =>
+      val (subject, body) = Notifier.format(Notifier.RunSummary(
+        s"corpus-ingest $store", result.survivors, result.dups,
+        if (result.error.isDefined) 1 else 0, result.elapsedSec, result.error))
+      Notifier.send(cfg, subject, body) // never fails the run
+    }
+    result
+  }
 }

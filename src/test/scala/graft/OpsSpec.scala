@@ -242,6 +242,63 @@ class OpsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == r1.rows)
   }
 
+  test("corpus dedup through the ops surface: init, two ingests, flags land, store grows, failed batch fully undone (E1/H)") {
+    import graft.ops.Orchestrator
+    import graft.dedup.SignatureStore
+    import graft.sinks.VersionedTable
+    val store = "graft_corpus_spec"
+    val pipeline = Orchestrator.corpusPipeline(store)
+    val sink = Orchestrator.VersionedSink()
+    val root = sink.rootOf(spark, pipeline)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root.stripPrefix("file:")))
+    SignatureStore.drop(spark, store)
+    def doc(i: Int): String = (0 until 24).map(w => s"c${i}_$w").mkString(" ")
+    def nearDup(of: Int): String =
+      doc(of).split(" ").dropRight(1).mkString(" ") + " mutated"
+    try {
+      Orchestrator.corpusInit(spark, store)
+      // day 1: one within-batch near-dup pair — the dup is flagged, the
+      // survivor's signatures append, flags land in the versioned sink
+      val day1 = Seq((1L, doc(1)), (2L, doc(2)), (3L, nearDup(1)))
+        .toDF("doc_id", "text")
+      val r1 = Orchestrator.corpusIngest(spark, store, day1, None, sink)
+      assert(r1.error.isEmpty && r1.batchRows == 3 && r1.dups == 1 && r1.survivors == 2, r1)
+      val f1 = VersionedTable.read(spark, root)
+        .select("doc_id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])]
+        .collect().map { case (k, v, d) => k -> ((v, d)) }.toMap
+      assert(f1 == Map(1L -> ((false, None)), 2L -> ((false, None)), 3L -> ((true, Some(1L)))), f1)
+      assert(spark.table(SignatureStore.sizesTable(store)).count() == 2)
+      // day 2: a cross-batch dup against day 1's survivor + a fresh doc
+      val day2 = Seq((11L, nearDup(2)), (12L, doc(12))).toDF("doc_id", "text")
+      val r2 = Orchestrator.corpusIngest(spark, store, day2, None, sink)
+      assert(r2.error.isEmpty && r2.dups == 1 && r2.survivors == 1, r2)
+      val f2 = VersionedTable.read(spark, root)
+      assert(f2.count() == 5)
+      assert(f2.filter(col("doc_id") === 11L).select("dup_of").as[Long].head() == 2L)
+      assert(spark.table(SignatureStore.sizesTable(store)).count() == 3)
+      // a batch that crashes at the flag publish must undo BOTH halves:
+      // the store snapshot and the flag table are exactly as before
+      val preSnap = SignatureStore.snapshot(spark, store)
+      val preVer = VersionedTable.version(spark, root)
+      val crashing = Orchestrator.VersionedSink(
+        onBeforePublish = () => sys.error("crash before publish"))
+      val r3 = Orchestrator.corpusIngest(spark, store,
+        Seq((21L, doc(21))).toDF("doc_id", "text"), None, crashing)
+      assert(r3.error.isDefined, r3)
+      assert(SignatureStore.snapshot(spark, store) == preSnap)
+      assert(VersionedTable.version(spark, root) == preVer)
+      // and the day after the crash ingests cleanly against the intact store
+      val r4 = Orchestrator.corpusIngest(spark, store,
+        Seq((21L, doc(21))).toDF("doc_id", "text"), None, sink)
+      assert(r4.error.isEmpty && r4.survivors == 1, r4)
+    } finally {
+      SignatureStore.drop(spark, store)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.stripPrefix("file:")))
+    }
+  }
+
   test("orchestrator maintenance: sync, compact clustered by key, vacuum, still readable (E1/D6)") {
     import graft.ops.Orchestrator
     import graft.sinks.VersionedTable
