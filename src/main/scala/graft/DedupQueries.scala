@@ -605,11 +605,13 @@ object DedupQueries {
     * oracle replays tokenization, the 60-bit gram hashes, cross-doc
     * sharedness, and the gaps-and-islands merge position for position.
     */
-  val d12 = QueryDef(
-    "d12_substring_dedup",
-    (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir)),
-    Some("""
-      WITH toksx AS (
+  /** The positional-gram → shared-gram → gaps-and-islands CTE chain of
+    * the substring-dedup recipe, ending in `fspans(doc_id, s, e)` — the
+    * ≥15-token maximal duplicated intervals. Shared by d12 (publishes
+    * the spans) and d13 (cuts them). Mirrors `Dedup.duplicatedSpans`.
+    */
+  private val substringCtes = """
+      toksx AS (
         SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
         FROM documents),
       pg AS (
@@ -626,18 +628,54 @@ object DedupQueries {
         FROM (SELECT doc_id, pos,
                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
               FROM dup)),
-      spans AS (
+      spansx AS (
         SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
-        FROM isl GROUP BY doc_id, island)
+        FROM isl GROUP BY doc_id, island),
+      fspans AS (SELECT doc_id, s, e FROM spansx WHERE e - s >= 15)"""
+
+  val d12 = QueryDef(
+    "d12_substring_dedup",
+    (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir)),
+    Some(s"""
+      WITH $substringCtes
       SELECT sp.doc_id,
         CAST(s AS INTEGER) AS span_start,
         CAST(e AS INTEGER) AS span_end,
         CAST(e - s AS INTEGER) AS span_tokens,
         md5(array_to_string(t[s+1:e], ' ')) AS span_fp
-      FROM spans sp JOIN toksx USING (doc_id)
-      WHERE e - s >= 15
+      FROM fspans sp JOIN toksx USING (doc_id)
+    """.stripMargin.trim))
+
+  /** The cut applied (`Dedup.cutSpans`): every document's cleaned-text
+    * manifest after removing all duplicated ≥15-token spans — the
+    * operator a training pipeline actually runs after d12's audit.
+    * Wholly-cut documents surface with n_kept = 0 and the empty-text
+    * fingerprint rather than disappearing.
+    */
+  val d13 = QueryDef(
+    "d13_substring_cut",
+    (s, dir) => Dedup.cutSpans(Tables.documents(s, dir)),
+    Some(s"""
+      WITH $substringCtes,
+      posx AS (
+        SELECT doc_id, pos, t[pos+1] AS tok
+        FROM (SELECT doc_id, t, unnest(range(len(t))) AS pos FROM toksx)),
+      keptx AS (
+        SELECT p.doc_id, p.pos, p.tok FROM posx p
+        WHERE NOT EXISTS (SELECT 1 FROM fspans f
+          WHERE f.doc_id = p.doc_id AND p.pos >= f.s AND p.pos < f.e)),
+      ka AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+          string_agg(tok, ' ' ORDER BY pos) AS clean
+        FROM keptx GROUP BY 1),
+      sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans FROM fspans GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+        COALESCE(ka.n_kept, 0) AS n_kept,
+        COALESCE(sc.n_spans, 0) AS n_spans,
+        md5(COALESCE(ka.clean, '')) AS clean_fp
+      FROM toksx t LEFT JOIN ka USING (doc_id) LEFT JOIN sc USING (doc_id)
     """.stripMargin.trim))
 
   def all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }

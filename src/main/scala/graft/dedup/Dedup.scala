@@ -411,4 +411,49 @@ object Dedup {
           slice(col("__toks"), col("__s") + 1, col("__e") - col("__s"))))
           .as("span_fp"))
   }
+
+  /** Apply the substring-dedup cut: each document's canonical text with
+    * every [[duplicatedSpans]] interval removed (ALL copies of a
+    * duplicated span are cut, the Lee-et-al policy — exact-duplicate
+    * whole documents should be handled by [[exact]] first, which keeps
+    * one representative). Publishes per doc the before/after token
+    * counts, span count, and an md5 fingerprint of the cleaned text —
+    * every document appears, cut or not, so the output IS the cleaned
+    * corpus manifest.
+    *
+    * Scale shape: [[duplicatedSpans]]' linear plan, plus one
+    * doc_id-keyed join of token positions to that doc's spans (fan-out
+    * = positions × spans-of-that-doc, spans per doc are few) and one
+    * per-doc aggregation — no pair space, no window over the corpus.
+    */
+  def cutSpans(docs: DataFrame, k: Int = 5, minTokens: Int = 15): DataFrame = {
+    val spans = duplicatedSpans(docs, k, minTokens)
+      .select(col("doc_id"), col("span_start").as("__s"), col("span_end").as("__e"))
+    val toks = docs.withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"), col("__toks"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    // covered = the token position falls inside ANY of its doc's spans;
+    // the doc_id equi-join keys the shuffle, the range test is a filter
+    val covered = pos.join(spans, Seq("doc_id"))
+      .filter(col("pos") >= col("__s") && col("pos") < col("__e"))
+      .select("doc_id", "pos").distinct()
+    val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("__n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("__clean"))
+    // anchor on the full corpus: a WHOLLY-cut document (every token in
+    // a duplicated span) has no kept rows but must still appear — its
+    // clean text is empty, not absent
+    toks.select(col("doc_id"), size(col("__toks")).as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(spans.groupBy("doc_id").agg(count(lit(1)).cast("int").as("__n_spans")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("__n_spans"), lit(0)).as("n_spans"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_fp"))
+  }
 }

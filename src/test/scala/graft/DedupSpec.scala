@@ -436,6 +436,30 @@ class DedupSpec extends SparkSpec {
     assert(fps == 1)
   }
 
+  test("cutSpans: flanks survive, wholly-cut docs surface empty, untouched docs intact") {
+    val shared = "a b c d e f g"
+    val docs = Seq(
+      (1L, shared),                 // wholly cut: every token in the span
+      (2L, shared),                 // wholly cut (the other copy is cut too)
+      (3L, s"x y $shared z w"),     // flanks x y / z w survive
+      (4L, "h i j k l")             // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, k = 3, minTokens = 5)
+      .select("doc_id", "n_tokens", "n_kept", "n_spans", "clean_fp")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString
+    val flankMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y z w".getBytes).map("%02x".format(_)).mkString
+    val fullMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("h i j k l".getBytes).map("%02x".format(_)).mkString
+    assert(out(1L) == ((7, 0, 1, emptyMd5)), out(1L))
+    assert(out(2L) == ((7, 0, 1, emptyMd5)), out(2L))
+    assert(out(3L) == ((11, 4, 1, flankMd5)), out(3L))
+    assert(out(4L) == ((5, 5, 0, fullMd5)), out(4L))
+  }
+
   test("duplicatedSpans: minTokens gate and short-doc guard") {
     val docs = Seq(
       (1L, "a b c d"), // 4 tokens, shared with doc 2 → span [0,4) = 4 tokens < 5
