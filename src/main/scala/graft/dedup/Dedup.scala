@@ -427,8 +427,13 @@ object Dedup {
     * per-doc aggregation — no pair space, no window over the corpus.
     */
   def cutSpans(docs: DataFrame, k: Int = 5, minTokens: Int = 15): DataFrame = {
+    // the span table is consumed twice (position cover + per-doc span
+    // count) and its subtree is the whole gram/sharedness pipeline —
+    // pin it eagerly or every consumer re-runs that pipeline (lesson 20;
+    // the table itself is small: a few spans per affected doc)
     val spans = duplicatedSpans(docs, k, minTokens)
       .select(col("doc_id"), col("span_start").as("__s"), col("span_end").as("__e"))
+      .localCheckpoint(true)
     val toks = docs.withColumn("__toks", tokens(col("text")))
       .select(col("doc_id"), col("__toks"))
     val pos = toks.select(col("doc_id"),
