@@ -676,6 +676,54 @@ object DedupQueries {
       FROM toksx t LEFT JOIN ka USING (doc_id) LEFT JOIN sc USING (doc_id)
     """.stripMargin.trim))
 
+  /** Span-level decontamination (`Dedup.decontaminateSpans`): the
+    * benchmark-overlap intervals inside each training document — d09
+    * tells which docs are contaminated, d14 tells exactly where, so
+    * the remedy can be a surgical cut instead of dropping the doc.
+    * Same broadcast-benchmark shape as d09 (train's only shuffle is
+    * its own per-doc window), same island merge as d12.
+    */
+  val d14 = QueryDef(
+    "d14_decontamination_spans",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateSpans(
+        train = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0"))
+    },
+    Some("""
+      WITH ttoksx AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE source <> 'src0'),
+      bg AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(unnest(list_transform(range(len(t)-4),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))), 1, 15))::BIGINT AS gh
+        FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+              FROM documents WHERE source = 'src0') WHERE len(t) >= 5),
+      pgt AS (
+        SELECT doc_id, pos,
+          ('0x' || substr(md5(t[pos+1]||' '||t[pos+2]||' '||t[pos+3]||' '||t[pos+4]||' '||t[pos+5]), 1, 15))::BIGINT AS gh
+        FROM (SELECT doc_id, t, unnest(range(len(t)-4)) AS pos FROM ttoksx WHERE len(t) >= 5)),
+      dupx AS (SELECT doc_id, pos FROM pgt JOIN bg USING (gh)),
+      islx AS (
+        SELECT doc_id, pos,
+          SUM(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dupx)),
+      spansy AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+        FROM islx GROUP BY doc_id, island)
+      SELECT sp.doc_id,
+        CAST(s AS INTEGER) AS span_start,
+        CAST(e AS INTEGER) AS span_end,
+        CAST(e - s AS INTEGER) AS span_tokens,
+        md5(array_to_string(t[s+1:e], ' ')) AS span_fp
+      FROM spansy sp JOIN ttoksx USING (doc_id)
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
 }

@@ -382,26 +382,43 @@ object Dedup {
     * Grams travel as 60-bit md5-prefix longs (8 bytes, engine-portable
     * so the DuckDB oracle replays sharedness bit-for-bit).
     */
-  def duplicatedSpans(docs: DataFrame, k: Int = 5, minTokens: Int = 15): DataFrame = {
-    val toks = docs.withColumn("__toks", tokens(col("text")))
+  /** Tokenized corpus: (doc_id, __toks) with the canonical token array
+    * materialized (HOF hygiene — see TextFunctions.shinglesOf).
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("__toks", tokens(col("text")))
       .select(col("doc_id"), col("__toks"))
-    val grams = toks.filter(size(col("__toks")) >= k)
+
+  /** Positional k-grams of a tokenized corpus as 60-bit hashes:
+    * (doc_id, pos, gh) where gh hashes tokens[pos, pos+k).
+    */
+  private def positionalGrams(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("__toks")) >= k)
       .select(col("doc_id"), posexplode(shinglesOf(col("__toks"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
-    val shared = grams.select("doc_id", "gh").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= 2).select("gh")
-    val dup = grams.join(shared, "gh").select("doc_id", "pos")
+
+  /** Gaps-and-islands merge of flagged k-gram START positions into
+    * maximal covered token intervals `[__s, __e)`: consecutive starts
+    * ≤ k apart have overlapping/abutting k-token coverage and fuse. A
+    * per-doc window over only that doc's flagged positions — linear.
+    */
+  private def mergePositions(dup: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val isl = dup
+    dup
       .withColumn("__prev", lag(col("pos"), 1).over(w))
       .withColumn("__isl", sum(
         when(col("__prev").isNull || col("pos") - col("__prev") > k, 1)
           .otherwise(0)).over(w))
-    val spans = isl.groupBy(col("doc_id"), col("__isl"))
+      .groupBy(col("doc_id"), col("__isl"))
       .agg(min(col("pos")).as("__s"), (max(col("pos")) + k).as("__e"))
-      .filter(col("__e") - col("__s") >= minTokens)
+  }
+
+  /** (doc_id, span offsets, token count, span-text md5) from merged
+    * intervals + the tokenized corpus — the shared publication shape
+    * of the span operators.
+    */
+  private def publishSpans(spans: DataFrame, toks: DataFrame): DataFrame =
     spans.join(toks, "doc_id")
       .select(col("doc_id"),
         col("__s").cast("int").as("span_start"),
@@ -410,6 +427,45 @@ object Dedup {
         md5(concat_ws(" ",
           slice(col("__toks"), col("__s") + 1, col("__e") - col("__s"))))
           .as("span_fp"))
+
+  def duplicatedSpans(docs: DataFrame, k: Int = 5, minTokens: Int = 15): DataFrame = {
+    val toks = tokenized(docs)
+    val grams = positionalGrams(toks, k)
+    val shared = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select("gh")
+    val dup = grams.join(shared, "gh").select("doc_id", "pos")
+    publishSpans(
+      mergePositions(dup, k).filter(col("__e") - col("__s") >= minTokens),
+      toks)
+  }
+
+  /** Span-level train/eval decontamination — WHERE the benchmark text
+    * sits in each training document, not just whether it does
+    * ([[decontaminate]] flags; this locates, so the fix can be a cut
+    * instead of dropping the whole document): positions whose k-gram
+    * appears in the benchmark's gram set, merged into maximal
+    * contaminated intervals by the same gaps-and-islands pass as
+    * [[duplicatedSpans]]. Every contaminated window is reported
+    * (minTokens defaults to k = no gate — eval text is removed even
+    * when short). The benchmark gram set is broadcast exactly like
+    * [[decontaminate]]'s (eval suites stay KB–MB at any corpus scale),
+    * so the train side's only shuffle is its own per-doc window.
+    */
+  def decontaminateSpans(train: DataFrame, benchmark: DataFrame,
+      k: Int = 5, minTokens: Int = 0): DataFrame = {
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val benchGrams = broadcast(
+      shingles(benchmark, k)
+        .select(gramHash(col("shingle")).as("gh"))
+        .distinct())
+    val toks = tokenized(train)
+    val dup = positionalGrams(toks, k)
+      .join(benchGrams, "gh").select("doc_id", "pos")
+    publishSpans(
+      mergePositions(dup, k).filter(col("__e") - col("__s") >= math.max(minTokens, k)),
+      toks)
   }
 
   /** Apply the substring-dedup cut: each document's canonical text with

@@ -436,6 +436,26 @@ class DedupSpec extends SparkSpec {
     assert(fps == 1)
   }
 
+  test("decontaminateSpans locates benchmark text; train-internal dup is NOT contamination") {
+    val evalText = "q1 q2 q3 q4 q5 q6" // a 6-token benchmark item
+    val bench = Seq((100L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      // benchmark item embedded mid-document → span [2, 8)
+      (1L, s"t1 t2 $evalText t3 t4"),
+      // two train docs sharing text with EACH OTHER but not the
+      // benchmark — that's d12's business, not contamination
+      (2L, "s1 s2 s3 s4 s5 s6 s7"),
+      (3L, "s1 s2 s3 s4 s5 s6 s7"),
+      // a SHORT contaminated window (exactly k tokens at the doc head)
+      // is still reported — eval text is cut even when brief
+      (4L, "q1 q2 q3 q4 q5 u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, bench, k = 5)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out == Set((1L, 2, 8), (4L, 0, 5)), out)
+  }
+
   test("cutSpans: flanks survive, wholly-cut docs surface empty, untouched docs intact") {
     val shared = "a b c d e f g"
     val docs = Seq(

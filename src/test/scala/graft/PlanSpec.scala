@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("Window"), p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("d14: benchmark grams broadcast; span merge is the train side's only wide op") {
+    val p = planOf("d14_decontamination_spans")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "benchmark gram probe must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "contamination probe must not shuffle the train corpus against the benchmark")
+  }
+
   test("d09: benchmark gram set broadcasts; the train side has one shuffle (its own agg)") {
     val p = planOf("d09_decontamination")
     assert(p.contains("BroadcastHashJoin"),
