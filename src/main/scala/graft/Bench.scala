@@ -82,7 +82,8 @@ object Bench {
       Thread.sleep(5000)
       waitedSec = (System.nanoTime() - waitStart) / 1e9
     }
-    while (machineLoad()._1 > 1.0 && waitedSec < 330.0) {
+    val quietDeadline = waitedSec + 240.0 // a further 240 s past bar 1
+    while (machineLoad()._1 > 1.0 && waitedSec < quietDeadline) {
       System.err.println(f"[bench] machine not quiet (load=${machineLoad()._1}%.1f > 1.0) — waiting for quiet bar")
       Thread.sleep(10000)
       waitedSec = (System.nanoTime() - waitStart) / 1e9

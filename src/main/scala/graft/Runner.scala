@@ -110,7 +110,10 @@ object Runner {
             docs.filter(org.apache.spark.sql.functions.pmod(
               org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
-          case _ => docs
+          case (None, None) => docs
+          // a half-specified pair must not silently ingest the WHOLE
+          // corpus as one "day" — that's a wrong-scope store mutation
+          case _ => sys.error("--batch-mod and --batch-rem must be given together")
         }
         val res = Orchestrator.corpusIngest(spark, store, batch)
         res.error match {

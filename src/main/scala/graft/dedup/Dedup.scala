@@ -490,8 +490,7 @@ object Dedup {
     val spans = duplicatedSpans(docs, k, minTokens)
       .select(col("doc_id"), col("span_start").as("__s"), col("span_end").as("__e"))
       .localCheckpoint(true)
-    val toks = docs.withColumn("__toks", tokens(col("text")))
-      .select(col("doc_id"), col("__toks"))
+    val toks = tokenized(docs)
     val pos = toks.select(col("doc_id"),
       posexplode(col("__toks")).as(Seq("pos", "tok")))
     // covered = the token position falls inside ANY of its doc's spans;

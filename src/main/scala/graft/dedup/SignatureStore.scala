@@ -54,27 +54,49 @@ object SignatureStore {
   // stale snapshot deletes the OTHER writer's appends. Both failure
   // modes are made loud instead of corrupting:
   //  - a lock file (atomic createNewFile, the VersionedTable rename
-  //    idiom) serializes ingest/rollback — a second concurrent writer
-  //    fails fast, never interleaves;
+  //    idiom) serializes every mutator — ingest, rollback, build, drop;
+  //    a second concurrent writer fails fast, never interleaves. The
+  //    lock (and the pending-snapshot file below) live as SIBLINGS of
+  //    the meta table dir, not inside it, so build/drop's directory
+  //    reset cannot delete a held lock. The lock is REENTRANT per
+  //    thread, so a caller can take it around a snapshot → ingest →
+  //    publish → rollback-on-failure unit and the inner mutators join
+  //    the same critical section instead of deadlocking;
   //  - a generation marker (`_gen-<n>-<uuid>`, an empty `_`-prefixed
   //    file in the meta table dir, invisible to parquet readers) is
   //    bumped by every completed mutation. rollback refuses when the
   //    on-disk generation has moved past the snapshot AND this JVM did
   //    not write it — the undo-own-trial-ingest pattern (d08, failed
-  //    batches) keeps working, undoing a foreign writer's work does not.
+  //    batches) keeps working, undoing a foreign writer's work does not;
+  //  - ingest persists its pre-ingest snapshot to the pending file for
+  //    the duration of the ingest, so a writer that DIES mid-ingest
+  //    leaves enough on disk for [[recover]] to restore the store from
+  //    a fresh process (the in-memory snapshot died with the writer).
 
   private def metaLoc(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(metaTable(name))))
 
-  private val LockName = "_ingest.lock"
+  private def lockPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val m = metaLoc(spark, name)
+    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".lock")
+  }
+  private def pendingPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val m = metaLoc(spark, name)
+    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pending")
+  }
+
   private val GenRe = raw"_gen-(\d+)-([0-9a-f]+)".r
 
   /** Generation uuids written by THIS process — the "was that bump
     * ours?" test rollback uses to allow undoing its own trial ingest.
     */
   private val ownGens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Lock paths held by the CURRENT thread (reentrancy). */
+  private val heldLocks = ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
+    () => scala.collection.mutable.Set.empty[String])
 
   /** Current (generation, uuid) marker of the store, if any. */
   private def genMarker(spark: SparkSession, name: String): Option[(Int, String)] = {
@@ -96,6 +118,39 @@ object SignatureStore {
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     fs.createNewFile(new org.apache.hadoop.fs.Path(loc, s"_gen-$next-$uuid"))
     ownGens.add(uuid); ()
+  }
+
+  private def writePending(spark: SparkSession, name: String, snap: Set[String]): Unit = {
+    val p = pendingPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(snap.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearPending(spark: SparkSession, name: String): Unit = {
+    val p = pendingPath(spark, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
+  }
+
+  /** Crash recovery: when a writer died mid-ingest it left the lock and
+    * its persisted pre-ingest snapshot behind — restore the store to
+    * that snapshot (the pending file is the on-disk authorization that
+    * those appends belong to the dead writer, so the staleness gate is
+    * bypassed), release the lock, and report whether anything was
+    * recovered. A no-op (false) when there is no pending ingest.
+    */
+  def recover(spark: SparkSession, name: String): Boolean = {
+    val p = pendingPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { unlock(spark, name); return false }
+    val in = fs.open(p)
+    val snap =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    unlock(spark, name) // the dead writer's lock
+    locked(spark, name) { doRollback(spark, name, snap, trusted = true) }
+    fs.delete(p, false)
+    true
   }
 
   /** Re-register the store's tables from their durable warehouse
@@ -145,23 +200,31 @@ object SignatureStore {
       "`doc_id` BIGINT, `n_sh` BIGINT", buckets)
   }
 
-  /** Release a crashed writer's lock (manual recovery — pair with
-    * [[rollback]] to also drop its partial appends).
+  /** Release a crashed writer's lock (manual step; [[recover]] does
+    * this AND restores the pre-ingest snapshot in one call).
     */
   def unlock(spark: SparkSession, name: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(metaLoc(spark, name), LockName)
+    val p = lockPath(spark, name)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
   }
 
-  private def withIngestLock[A](spark: SparkSession, name: String)(f: => A): A = {
-    val p = new org.apache.hadoop.fs.Path(metaLoc(spark, name), LockName)
+  /** Run `f` as the store's single writer. Reentrant within a thread —
+    * composite units (snapshot → ingest → publish → rollback-on-fail)
+    * take the lock once and the inner mutators join it. A concurrent
+    * writer fails FAST with recovery instructions instead of
+    * interleaving appends.
+    */
+  def locked[A](spark: SparkSession, name: String)(f: => A): A = {
+    val p = lockPath(spark, name)
+    val key = p.toString
+    if (heldLocks.get.contains(key)) return f
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // atomic create-if-absent: exactly one writer wins; a loser fails
-    // FAST with recovery instructions instead of interleaving appends
+    fs.mkdirs(p.getParent) // first-ever build: the warehouse dir may not exist yet
     if (!fs.createNewFile(p))
       sys.error(s"store '$name' is locked by a concurrent writer ($p); " +
-        "if that writer crashed, SignatureStore.unlock(...) then rollback(...) to recover")
-    try f finally fs.delete(p, false)
+        "if that writer crashed, SignatureStore.recover(...) restores the store and releases the lock")
+    heldLocks.get += key
+    try f finally { heldLocks.get -= key; fs.delete(p, false) }
   }
 
   /** Drop a store table from the catalog AND clear its default warehouse
@@ -186,7 +249,10 @@ object SignatureStore {
     * not re-shingle the corpus.
     */
   def build(spark: SparkSession, history: DataFrame, name: String,
-      spec: Spec = Spec(), buckets: Int = 16): Unit = {
+      spec: Spec = Spec(), buckets: Int = 16): Unit = locked(spark, name) {
+    // locked like every mutator: a rebuild racing a live ingest would
+    // delete the tables out from under its appends (the lock file is a
+    // SIBLING of the table dirs, so the reset below cannot remove it)
     import spark.implicits._
     allTables(name).foreach(reset(spark, _))
     // repartition onto the bucket key before every bucketed write:
@@ -224,8 +290,10 @@ object SignatureStore {
   }
 
   /** Drop the store's tables and their locations (idempotent). */
-  def drop(spark: SparkSession, name: String): Unit =
+  def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(reset(spark, _))
+    clearPending(spark, name) // a dropped store has nothing to recover
+  }
 
   /** File-level snapshot of the store: every data file currently under
     * its tables' locations. Because [[ingest]] only ever APPENDS files
@@ -243,10 +311,10 @@ object SignatureStore {
       // store tables are unpartitioned bucketed dirs — one flat
       // listStatus each (recursive listFiles stats every file for block
       // locations, measured ~0.5 ms/file on Hadoop's local FS). The
-      // transient writer lock is excluded: it is not store state.
+      // writer lock and pending file are siblings of the table dirs,
+      // so the listing is pure store state.
       if (!fs.exists(loc)) Nil
-      else fs.listStatus(loc).map(_.getPath)
-        .filterNot(_.getName == LockName).map(_.toString).toSeq
+      else fs.listStatus(loc).map(_.getPath.toString).toSeq
     }.toSet
   }
 
@@ -256,14 +324,21 @@ object SignatureStore {
     * aborted batch leaves no trace for the next batch to collide with.
     */
   def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit =
-    withIngestLock(spark, name) { // serializes against a live ingest
+    locked(spark, name) { doRollback(spark, name, snap, trusted = false) }
+
+  /** `trusted = true` ([[recover]] only): the pending file proved the
+    * post-snapshot appends belong to a writer that died — skip the
+    * foreign-generation gate. Caller holds the lock.
+    */
+  private def doRollback(spark: SparkSession, name: String, snap: Set[String],
+      trusted: Boolean): Unit = {
       // STALENESS GATE: if the store's generation moved past the
       // snapshot and the bump was not written by this process, the
       // files added since `snap` belong to ANOTHER writer — deleting
       // them here would corrupt that writer's completed ingest. Undoing
       // our own trial/failed ingest (marker unchanged, or bumped by us)
       // proceeds as before.
-      genMarker(spark, name).foreach { case (n, uuid) =>
+      if (!trusted) genMarker(spark, name).foreach { case (n, uuid) =>
         val markerInSnap = snap.exists(_.endsWith(s"_gen-$n-$uuid"))
         if (!markerInSnap && !ownGens.contains(uuid))
           sys.error(s"stale snapshot for store '$name': generation $n ($uuid) " +
@@ -278,7 +353,6 @@ object SignatureStore {
         val fs = loc.getFileSystem(conf)
         if (fs.exists(loc)) {
           val added = fs.listStatus(loc).map(_.getPath)
-            .filterNot(_.getName == LockName) // held by THIS rollback
             .filterNot(p => snap.contains(p.toString))
           if (added.nonEmpty) {
             // recursive: an ABORTED append leaves a non-empty _temporary
@@ -297,7 +371,7 @@ object SignatureStore {
           }
         }
       }
-    }
+  }
 
   /** Append an (already deduplicated) document set's signatures to the
     * store — bucketed `mode("append")` writes, so each ingest adds at
@@ -395,7 +469,12 @@ object SignatureStore {
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       threshold: Double = 0.5,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame =
-    withIngestLock(spark, name) { // single-writer: a concurrent ingest fails fast
+    locked(spark, name) { // single-writer: a concurrent ingest fails fast
+    // persist the pre-ingest snapshot for the duration: if this WRITER
+    // dies (not merely throws — a live failure clears it below), a
+    // fresh process can restore the store via [[recover]]
+    writePending(spark, name, snapshot(spark, name))
+    try {
     def staged[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -450,6 +529,8 @@ object SignatureStore {
     }
     bumpGen(spark, name) // completed mutation — stale snapshots now refuse
     flags
+    } finally clearPending(spark, name) // a LIVE failure is the caller's
+    // to roll back with its own snapshot; pending is only for dead writers
   }
 
   /** Cross-corpus near-dup pairs of a new batch against the store:

@@ -240,9 +240,11 @@ object WavMath {
       while (i >= 0) { v = (v << 8) | (b(off + i) & 0xFF); i -= 1 }
       v
     }
-    val channels = math.max(1L, le(22, 2))
-    val bytesPer = math.max(1L, le(34, 2) / 8)
-    val nSamples = (le(40, 4) / (channels * bytesPer)).toInt
+    // same canonical-layout guard as frameStats: anything but mono
+    // 16-bit would sum channel-interleaved or mis-sliced values — the
+    // kernel's malformed-payload convention is 0, never a wrong energy
+    if (le(22, 2) != 1L || le(34, 2) != 16L) return 0L
+    val nSamples = (le(40, 4) / 2L).toInt
     var acc = 0L
     var i = 0
     while (i < nSamples && 45 + 2 * i < b.length) {

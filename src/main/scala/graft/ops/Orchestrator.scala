@@ -431,28 +431,43 @@ object Orchestrator {
         // durable store dirs, per-process catalog: re-declare the
         // tables when this JVM hasn't seen the store yet (daily CLI)
         SignatureStore.ensureRegistered(spark, store)
-        val snap = SignatureStore.snapshot(spark, store)
-        try {
-          val flags = SignatureStore.ingest(spark, batch, store)
-          val batchRows = flags.count()
-          if (batchRows == 0) sys.error("Empty batch — nothing to ingest")
-          val dups = flags.filter(col("is_dup")).count()
-          val out = flags.select(
-            col("doc_id").cast("string").as("business_key"),
-            col("doc_id"), col("is_dup"), col("dup_of"))
-            .withColumn("refreshed_at", current_timestamp())
-          sink.merge(spark, corpusPipeline(store), out)
-          CorpusResult(store, batchRows, dups, batchRows - dups,
-            (System.nanoTime() - t0) / 1e9, None)
-        } catch {
-          case e: Throwable =>
-            SignatureStore.rollback(spark, store, snap) // store unchanged
-            throw e
+        // the WHOLE snapshot → ingest → publish → rollback-on-failure
+        // unit runs as the store's single writer (the lock is
+        // reentrant, so the inner ingest/rollback join this critical
+        // section): a snapshot taken outside the lock could bracket
+        // another writer's completed ingest, and rolling back to it
+        // would delete that writer's appends
+        SignatureStore.locked(spark, store) {
+          val snap = SignatureStore.snapshot(spark, store)
+          try {
+            val flags = SignatureStore.ingest(spark, batch, store)
+            val batchRows = flags.count()
+            if (batchRows == 0) sys.error("Empty batch — nothing to ingest")
+            val dups = flags.filter(col("is_dup")).count()
+            val out = flags.select(
+              col("doc_id").cast("string").as("business_key"),
+              col("doc_id"), col("is_dup"), col("dup_of"))
+              .withColumn("refreshed_at", current_timestamp())
+            sink.merge(spark, corpusPipeline(store), out)
+            CorpusResult(store, batchRows, dups, batchRows - dups,
+              (System.nanoTime() - t0) / 1e9, None)
+          } catch {
+            case e: Throwable =>
+              // the ROOT CAUSE must surface; a rollback failure rides
+              // along as suppressed instead of replacing it (and the
+              // partial appends then still exist — the error says so)
+              try SignatureStore.rollback(spark, store, snap) // store unchanged
+              catch { case rb: Throwable => e.addSuppressed(rb) }
+              throw e
+          }
         }
       } catch {
         case e: Exception =>
+          val rbNote = e.getSuppressed.headOption
+            .map(rb => s" (ROLLBACK ALSO FAILED — partial appends remain: ${rb.getMessage})")
+            .getOrElse("")
           CorpusResult(store, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
-            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}$rbNote"))
       }
     notifier.foreach { cfg =>
       val (subject, body) = Notifier.format(Notifier.RunSummary(

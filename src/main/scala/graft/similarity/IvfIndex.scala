@@ -143,11 +143,27 @@ object IvfIndex {
     // an empty batch must not publish a file-less delta dir — the next
     // probe's multi-dir read would fail schema inference on it
     if (v.isEmpty) return 0
+    // RESERVE the delta number before staging any data: an atomic
+    // create-if-absent marker (`_delta-N.reserved`, ignored by parquet
+    // reads and by vectorDirs' exact-name match) makes each writer's
+    // destination unique, so the rename below publishes onto a
+    // never-existing path. Without the reservation, two racing writers
+    // compute the same `next` and the loser's rename MOVES ITS STAGED
+    // DIR INSIDE the winner's delta (POSIX/HDFS rename onto an existing
+    // directory returns true) — and any after-the-fact layout check is
+    // itself racy: the winner can observe the loser's nested dir (or a
+    // cleanup can delete the loser's data after the loser validated),
+    // so detection cannot distinguish winner from loser reliably.
+    // Reservation removes the race instead of detecting it.
     val DeltaRe = raw"delta-(\d{5})".r
-    val next = fs.listStatus(vd).flatMap(_.getPath.getName match {
+    val ResRe = raw"_delta-(\d{5})\.reserved".r
+    var next = fs.listStatus(vd).flatMap(_.getPath.getName match {
       case DeltaRe(n) => Some(n.toInt)
+      case ResRe(n) => Some(n.toInt)
       case _ => None
     }).foldLeft(0)(math.max) + 1
+    while (!fs.createNewFile(new org.apache.hadoop.fs.Path(vd, f"_delta-$next%05d.reserved")))
+      next += 1 // another writer holds this number — take the next one
     val tmp = new org.apache.hadoop.fs.Path(vd, s"tmp-${java.util.UUID.randomUUID()}")
     // cluster by cell before the partitioned write (the build rule):
     // one file per touched cell, not one per (task, cell)
@@ -155,23 +171,16 @@ object IvfIndex {
     val dst = new org.apache.hadoop.fs.Path(vd, f"delta-$next%05d")
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, true)
-      sys.error(s"concurrent append: delta $next already published at $vd")
+      sys.error(s"failed to publish delta $next at $vd (rename refused)")
     }
-    // rename-returned-true is NOT proof we won: POSIX/HDFS rename of a
-    // directory onto an EXISTING directory moves the source INSIDE it
-    // and still returns true, so a lost race would silently nest our
-    // staged tmp dir under the winner's delta and break partition
-    // discovery for every subsequent probe. Verify the published dir
-    // holds only the partitioned-write layout (cell=* dirs + _SUCCESS);
-    // a nested tmp-* means a concurrent writer took this delta number —
-    // withdraw our nested copy and fail loudly instead of corrupting.
+    // belt-and-suspenders: with the number reserved, dst cannot have
+    // pre-existed, so the published dir must hold exactly the
+    // partitioned-write layout — anything else is an FS anomaly worth
+    // failing loudly over rather than serving corrupt partitions
     val children = fs.listStatus(dst).map(_.getPath.getName)
-    if (!children.forall(n => n.startsWith("cell=") || n.startsWith("_"))) {
-      val nested = new org.apache.hadoop.fs.Path(dst, tmp.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
-      sys.error(s"concurrent append: lost publish race for delta $next at $vd " +
-        s"(found non-partition children: ${children.filterNot(n => n.startsWith("cell=") || n.startsWith("_")).mkString(",")})")
-    }
+    require(children.forall(n => n.startsWith("cell=") || n.startsWith("_")),
+      s"delta $next at $vd has non-partition children after publish: " +
+        children.filterNot(n => n.startsWith("cell=") || n.startsWith("_")).mkString(","))
     next
   }
 

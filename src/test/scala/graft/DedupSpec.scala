@@ -373,12 +373,15 @@ class DedupSpec extends SparkSpec {
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(SignatureStore.metaTable(name))))
     val fs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockFile = new org.apache.hadoop.fs.Path(
+      metaLoc.getParent, metaLoc.getName + ".lock")
     try {
       // a held lock (another writer mid-ingest) must fail FAST, not
       // interleave appends — and the error must name the recovery path
-      fs.createNewFile(new org.apache.hadoop.fs.Path(metaLoc, "_ingest.lock"))
+      fs.createNewFile(lockFile)
       val e = intercept[RuntimeException](SignatureStore.ingest(spark, batch, name))
       assert(e.getMessage.contains("locked by a concurrent writer"))
+      assert(e.getMessage.contains("recover"))
       SignatureStore.unlock(spark, name)
       // after recovery the same ingest proceeds
       val snap = SignatureStore.snapshot(spark, name)
@@ -398,7 +401,45 @@ class DedupSpec extends SparkSpec {
       val stale = intercept[RuntimeException](SignatureStore.rollback(spark, name, snap))
       assert(stale.getMessage.contains("stale snapshot"))
       // and the refusal must not leave the lock behind
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(metaLoc, "_ingest.lock")))
+      assert(!fs.exists(lockFile))
+    } finally SignatureStore.drop(spark, name)
+  }
+
+  test("recover restores a DEAD writer's partial ingest from the persisted pending snapshot") {
+    import graft.dedup.SignatureStore
+    def doc(i: Int): String = (0 until 24).map(w => s"r${i}_$w").mkString(" ")
+    val name = "graft_recover_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, Seq((1L, doc(1))).toDF("doc_id", "text"), name)
+    val metaLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(SignatureStore.metaTable(name))))
+    val fs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockFile = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
+    val pendFile = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".pending")
+    try {
+      val preSnap = SignatureStore.snapshot(spark, name)
+      // simulate a writer that appended then DIED: run a real ingest
+      // (grows the store), then re-stage its crash artifacts — the held
+      // lock and the persisted pre-ingest snapshot
+      SignatureStore.ingest(spark, Seq((2L, doc(2))).toDF("doc_id", "text"), name)
+      assert(SignatureStore.snapshot(spark, name) != preSnap)
+      fs.createNewFile(lockFile)
+      val out = fs.create(pendFile, true)
+      out.write(preSnap.mkString("\n").getBytes("UTF-8")); out.close()
+      // a live writer cannot get in while the corpse holds the lock
+      intercept[RuntimeException](
+        SignatureStore.ingest(spark, Seq((3L, doc(3))).toDF("doc_id", "text"), name))
+      // recover: restores the pre-ingest file set (even though this
+      // "writer's" generation bump is unknown to ownGens in a fresh
+      // JVM — the pending file authorizes it), releases the lock
+      assert(SignatureStore.recover(spark, name))
+      assert(SignatureStore.snapshot(spark, name) == preSnap)
+      assert(!fs.exists(lockFile) && !fs.exists(pendFile))
+      // and the store works again
+      SignatureStore.ingest(spark, Seq((3L, doc(3))).toDF("doc_id", "text"), name)
+      // recover with nothing pending is a no-op
+      assert(!SignatureStore.recover(spark, name))
     } finally SignatureStore.drop(spark, name)
   }
 

@@ -173,10 +173,11 @@ class MultimodalSpec extends SparkSpec {
     val df = spark.createDataFrame(Seq(
         (1L, mono), (2L, stereo), (3L, eightBit)))
       .toDF("doc_id", "payload")
-    val got = df.selectExpr("doc_id", "size(wav_frame_stats(payload, 25)) AS k")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got(1L) > 0, "canonical mono 16-bit must still decode")
-    assert(got(2L) == 0, "stereo must be rejected (channel-interleaved frames otherwise)")
-    assert(got(3L) == 0, "8-bit must be rejected (garbage 16-bit slicing otherwise)")
+    val got = df.selectExpr("doc_id", "size(wav_frame_stats(payload, 25)) AS k",
+        "wav_sum_sq(payload) AS e")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 > 0 && got(1L)._2 > 0, "canonical mono 16-bit must still decode")
+    assert(got(2L) == ((0, 0L)), "stereo must be rejected by BOTH kernels (interleaved otherwise)")
+    assert(got(3L) == ((0, 0L)), "8-bit must be rejected by BOTH kernels (mis-sliced otherwise)")
   }
 }
