@@ -608,12 +608,14 @@ object DedupQueries {
   /** The positional-gram → shared-gram → gaps-and-islands CTE chain of
     * the substring-dedup recipe, ending in `fspans(doc_id, s, e)` — the
     * ≥15-token maximal duplicated intervals. Shared by d12 (publishes
-    * the spans) and d13 (cuts them). Mirrors `Dedup.duplicatedSpans`.
+    * the spans), d13 (cuts them), and d15 (cuts within the exact-dedup
+    * survivor corpus — `base` parameterizes the corpus). Mirrors
+    * `Dedup.duplicatedSpans`.
     */
-  private val substringCtes = """
+  private def substringCtes(base: String): String = s"""
       toksx AS (
-        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-        FROM documents),
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM $base),
       pg AS (
         SELECT doc_id, pos,
           ('0x' || substr(md5(t[pos+1]||' '||t[pos+2]||' '||t[pos+3]||' '||t[pos+4]||' '||t[pos+5]), 1, 15))::BIGINT AS gh
@@ -637,7 +639,7 @@ object DedupQueries {
     "d12_substring_dedup",
     (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir)),
     Some(s"""
-      WITH $substringCtes
+      WITH ${substringCtes("documents")}
       SELECT sp.doc_id,
         CAST(s AS INTEGER) AS span_start,
         CAST(e AS INTEGER) AS span_end,
@@ -646,17 +648,12 @@ object DedupQueries {
       FROM fspans sp JOIN toksx USING (doc_id)
     """.stripMargin.trim))
 
-  /** The cut applied (`Dedup.cutSpans`): every document's cleaned-text
-    * manifest after removing all duplicated ≥15-token spans — the
-    * operator a training pipeline actually runs after d12's audit.
-    * Wholly-cut documents surface with n_kept = 0 and the empty-text
-    * fingerprint rather than disappearing.
+  /** The cut-application CTE tail (positions not covered by any fspan →
+    * ordered re-join → per-doc manifest), ending in `cutman(doc_id,
+    * n_tokens, n_kept, n_spans, clean_fp)`. Shared by d13 and d15;
+    * mirrors `Dedup.cutSpans`.
     */
-  val d13 = QueryDef(
-    "d13_substring_cut",
-    (s, dir) => Dedup.cutSpans(Tables.documents(s, dir)),
-    Some(s"""
-      WITH $substringCtes,
+  private val cutCtes = """
       posx AS (
         SELECT doc_id, pos, t[pos+1] AS tok
         FROM (SELECT doc_id, t, unnest(range(len(t))) AS pos FROM toksx)),
@@ -668,12 +665,27 @@ object DedupQueries {
         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
           string_agg(tok, ' ' ORDER BY pos) AS clean
         FROM keptx GROUP BY 1),
-      sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans FROM fspans GROUP BY 1)
-      SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
-        COALESCE(ka.n_kept, 0) AS n_kept,
-        COALESCE(sc.n_spans, 0) AS n_spans,
-        md5(COALESCE(ka.clean, '')) AS clean_fp
-      FROM toksx t LEFT JOIN ka USING (doc_id) LEFT JOIN sc USING (doc_id)
+      sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans FROM fspans GROUP BY 1),
+      cutman AS (
+        SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+          COALESCE(ka.n_kept, 0) AS n_kept,
+          COALESCE(sc.n_spans, 0) AS n_spans,
+          md5(COALESCE(ka.clean, '')) AS clean_fp
+        FROM toksx t LEFT JOIN ka USING (doc_id) LEFT JOIN sc USING (doc_id))"""
+
+  /** The cut applied (`Dedup.cutSpans`): every document's cleaned-text
+    * manifest after removing all duplicated ≥15-token spans — the
+    * operator a training pipeline actually runs after d12's audit.
+    * Wholly-cut documents surface with n_kept = 0 and the empty-text
+    * fingerprint rather than disappearing.
+    */
+  val d13 = QueryDef(
+    "d13_substring_cut",
+    (s, dir) => Dedup.cutSpans(Tables.documents(s, dir)),
+    Some(s"""
+      WITH ${substringCtes("documents")},
+      $cutCtes
+      SELECT doc_id, n_tokens, n_kept, n_spans, clean_fp FROM cutman
     """.stripMargin.trim))
 
   /** Span-level decontamination (`Dedup.decontaminateSpans`): the
@@ -724,6 +736,69 @@ object DedupQueries {
       FROM spansy sp JOIN ttoksx USING (doc_id)
     """.stripMargin.trim))
 
+  /** The composed corpus-cleaning manifest — the operators a real
+    * preprocessing run chains, as ONE disposition table over the whole
+    * corpus: exact dedup first (cheapest, removes identical docs so
+    * the substring pass never "cuts" whole-file duplicates), then the
+    * substring cut within the survivors, then a min-length quality
+    * gate on what remains. Every document gets a status —
+    * `dup_exact` (an identical earlier doc survives), `too_short`
+    * (fewer than 20 tokens survive the cut), or `kept` — plus the cut
+    * manifest columns, so the cleaned corpus is one filter + one join
+    * away. Each stage is an operator this registry already verifies in
+    * isolation (d01, d12/d13); this query verifies their COMPOSITION —
+    * the survivor corpus feeding the gram pass changes which grams are
+    * "shared", so the composite is not derivable from the parts.
+    */
+  val d15 = QueryDef(
+    "d15_corpus_manifest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val flagged = docs
+        .withColumn("__fp", graft.text.TextFunctions.fingerprint(col("text")))
+        .withColumn("__keeper", min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
+      val survivors = flagged.filter(col("doc_id") === col("__keeper"))
+        .select("doc_id", "text")
+      val cut = Dedup.cutSpans(survivors)
+      flagged
+        .withColumn("__toks", graft.text.TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), col("__keeper"), size(col("__toks")).as("__nt"))
+        .join(cut.drop("n_tokens"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("__keeper"), lit("dup_exact"))
+            .when(col("n_kept") < 20, lit("too_short"))
+            .otherwise(lit("kept")).as("status"),
+          col("__nt").as("n_tokens"),
+          col("n_kept"), col("n_spans"), col("clean_fp"))
+    },
+    Some(s"""
+      WITH basex AS (
+        SELECT doc_id, text,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+      keepx AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM basex),
+      sdocs AS (
+        SELECT b.doc_id, b.text FROM basex b JOIN keepx k USING (doc_id)
+        WHERE k.doc_id = k.keeper),
+      ${substringCtes("sdocs")},
+      $cutCtes,
+      alltoks AS (
+        SELECT doc_id, CAST(len(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS INTEGER) AS n_tokens
+        FROM documents)
+      SELECT a.doc_id,
+        CASE WHEN k.doc_id <> k.keeper THEN 'dup_exact'
+             WHEN cm.n_kept < 20 THEN 'too_short'
+             ELSE 'kept' END AS status,
+        a.n_tokens,
+        cm.n_kept, cm.n_spans, cm.clean_fp
+      FROM alltoks a
+      JOIN keepx k USING (doc_id)
+      LEFT JOIN cutman cm USING (doc_id)
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15)
 }

@@ -521,6 +521,56 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((5, 5, 0, fullMd5)), out(4L))
   }
 
+  test("corpus manifest composes the stages: exact dedup FIRST changes what the cut sees") {
+    import graft.DedupQueries
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20 tokens
+    val docs = Seq(
+      // 1 and 2 identical: 2 is dup_exact; doc 3 below still shares
+      // 1's text, so survivor 1 remains substring-cut material
+      (1L, shared),
+      (2L, shared),
+      // 3 embeds the shared text (not identical → survives exact
+      // dedup) → 1 and 3 DO share grams post-dedup: both get cut;
+      // 3's flanks leave it too_short (< 20 kept)
+      (3L, s"x1 x2 $shared x3 x4"),
+      // 4: unique and long → kept untouched
+      (4L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      // 5 and 6 identical, text found NOWHERE else — THE composition
+      // property: after exact dedup removes 6, survivor 5's grams are
+      // unique in the survivor corpus, so 5 is kept UNCUT (a raw-corpus
+      // substring pass would have cut both 5 and 6 to nothing)
+      (5L, (1 to 25).map(i => s"v$i").mkString(" ")),
+      (6L, (1 to 25).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // drive the registry query's Spark side on an in-memory corpus by
+    // replaying its exact composition via the public operators
+    import org.apache.spark.sql.expressions.Window
+    val flagged = docs
+      .withColumn("__fp", graft.text.TextFunctions.fingerprint(col("text")))
+      .withColumn("__keeper", min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
+    val survivors = flagged.filter(col("doc_id") === col("__keeper")).select("doc_id", "text")
+    val cut = Dedup.cutSpans(survivors, k = 5, minTokens = 15)
+    val status = flagged.select(col("doc_id"), col("__keeper"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("__keeper"), lit("dup_exact"))
+          .when(col("n_kept") < 20, lit("too_short"))
+          .otherwise(lit("kept")).as("status"),
+        col("n_spans"))
+      .as[(Long, String, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(status(2L) == (("dup_exact", None)), status(2L))
+    // doc 1 and 3 share the 20-token span within the SURVIVOR corpus:
+    // both cut; 1 is cut to nothing (too_short), 3 keeps only 4 flanks
+    assert(status(1L) == (("too_short", Some(1))), status(1L))
+    assert(status(3L) == (("too_short", Some(1))), status(3L))
+    assert(status(4L) == (("kept", Some(0))), status(4L))
+    // the composition property: 6 drops as dup_exact and survivor 5 is
+    // kept UNCUT — a raw-corpus cut would have destroyed both
+    assert(status(6L) == (("dup_exact", None)), status(6L))
+    assert(status(5L) == (("kept", Some(0))), status(5L))
+  }
+
   test("duplicatedSpans: minTokens gate and short-doc guard") {
     val docs = Seq(
       (1L, "a b c d"), // 4 tokens, shared with doc 2 → span [0,4) = 4 tokens < 5
