@@ -85,7 +85,13 @@ object SourceQueries {
           (k % 3 + 1).cast("int")).as("Channel"),
         (k % 1000).cast("string").as("Qty"))
       val tmp = s"/tmp/graft_csv_${Integer.toHexString(dir.hashCode)}"
-      ev.write.mode("overwrite").option("header", "true").csv(tmp)
+      // the CSV fixture is the query's INPUT, not its work — stage it
+      // once per (JVM, dir) so the bench's timed runs measure the CSV
+      // read pipeline (note 22's lifecycle rule), while a fresh Verify
+      // process still self-ensures its own fixture
+      OncePerJvm("graft_e08_csv", dir) {
+        ev.write.mode("overwrite").option("header", "true").csv(tmp)
+      }
       val raw = Connectors.csv(s, tmp)
       val spec = PipelineSpec(
         name = "csv_load",
