@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --pipeline all --fy 1995 --fp 3 --sf ...
   *   runMain graft.Runner --corpus-init mystore --sf ...
   *   runMain graft.Runner --corpus-ingest mystore --batch-mod 7 --batch-rem 0 --sf ...
+  *   runMain graft.Runner --corpus-recover mystore --sf ...   (crashed-ingest undo)
   *   runMain graft.Runner --full-refresh daily_sales --fy-from 1995 --fy-to 1997 \
   *     --confirm-delete --confirm-fy [--dry-run] --sf ...
   */
@@ -84,6 +85,20 @@ object Runner {
         else println(f"[maintain] $pl%-14s compacted ${r.compactedPartitions}%2d " +
           f"partitions, retained $retain newest versions  (${r.root})")
       }
+      spark.stop()
+      return
+    }
+
+    if (opts.contains("corpus-recover")) {
+      // crashed-ingest recovery: restore the store to the dead writer's
+      // persisted pre-ingest snapshot and release its lock (no-op when
+      // nothing is pending)
+      val store = opts("corpus-recover")
+      graft.dedup.SignatureStore.ensureRegistered(spark, store)
+      val recovered = graft.dedup.SignatureStore.recover(spark, store)
+      println(if (recovered)
+        s"[corpus] $store: crashed ingest rolled back, lock released"
+      else s"[corpus] $store: nothing pending — store is clean")
       spark.stop()
       return
     }
