@@ -49,109 +49,17 @@ object SignatureStore {
     Seq(bandsTable(name), shinglesTable(name), sizesTable(name), metaTable(name))
 
   // ---- concurrent-writer guard ----------------------------------------
-  // The store's mutators assume a single writer: two interleaved ingests
-  // can append conflicting survivor sets, and a rollback taken against a
-  // stale snapshot deletes the OTHER writer's appends. Both failure
-  // modes are made loud instead of corrupting:
-  //  - a lock file (atomic createNewFile, the VersionedTable rename
-  //    idiom) serializes every mutator — ingest, rollback, build, drop;
-  //    a second concurrent writer fails fast, never interleaves. The
-  //    lock (and the pending-snapshot file below) live as SIBLINGS of
-  //    the meta table dir, not inside it, so build/drop's directory
-  //    reset cannot delete a held lock. The lock is REENTRANT per
-  //    thread, so a caller can take it around a snapshot → ingest →
-  //    publish → rollback-on-failure unit and the inner mutators join
-  //    the same critical section instead of deadlocking;
-  //  - a generation marker (`_gen-<n>-<uuid>`, an empty `_`-prefixed
-  //    file in the meta table dir, invisible to parquet readers) is
-  //    bumped by every completed mutation. rollback refuses when the
-  //    on-disk generation has moved past the snapshot AND this JVM did
-  //    not write it — the undo-own-trial-ingest pattern (d08, failed
-  //    batches) keeps working, undoing a foreign writer's work does not;
-  //  - ingest persists its pre-ingest snapshot to the pending file for
-  //    the duration of the ingest, so a writer that DIES mid-ingest
-  //    leaves enough on disk for [[recover]] to restore the store from
-  //    a fresh process (the in-memory snapshot died with the writer).
+  // The single-writer discipline (lock file, generation markers,
+  // pending-snapshot crash recovery) lives in [[StoreGuard]] so every
+  // mutating store pays the same guarantees; this store's public
+  // API below delegates per name.
 
-  private def metaLoc(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(metaTable(name))))
+  private def guard(name: String): StoreGuard =
+    StoreGuard(metaTable(name), allTables(name))
 
-  private def lockPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
-    val m = metaLoc(spark, name)
-    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".lock")
-  }
-  private def pendingPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
-    val m = metaLoc(spark, name)
-    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pending")
-  }
-
-  private val GenRe = raw"_gen-(\d+)-([0-9a-f]+)".r
-
-  /** Generation uuids written by THIS process — the "was that bump
-    * ours?" test rollback uses to allow undoing its own trial ingest.
-    */
-  private val ownGens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Lock paths held by the CURRENT thread (reentrancy). */
-  private val heldLocks = ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
-    () => scala.collection.mutable.Set.empty[String])
-
-  /** Current (generation, uuid) marker of the store, if any. */
-  private def genMarker(spark: SparkSession, name: String): Option[(Int, String)] = {
-    val loc = metaLoc(spark, name)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) None
-    else fs.listStatus(loc).map(_.getPath.getName).collectFirst {
-      case GenRe(n, u) => (n.toInt, u)
-    }
-  }
-
-  private def bumpGen(spark: SparkSession, name: String): Unit = {
-    val loc = metaLoc(spark, name)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = genMarker(spark, name).map(_._1).getOrElse(0) + 1
-    fs.listStatus(loc).map(_.getPath)
-      .filter(p => GenRe.pattern.matcher(p.getName).matches())
-      .foreach(fs.delete(_, false))
-    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    fs.createNewFile(new org.apache.hadoop.fs.Path(loc, s"_gen-$next-$uuid"))
-    ownGens.add(uuid); ()
-  }
-
-  private def writePending(spark: SparkSession, name: String, snap: Set[String]): Unit = {
-    val p = pendingPath(spark, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(snap.mkString("\n").getBytes("UTF-8")) finally out.close()
-  }
-
-  private def clearPending(spark: SparkSession, name: String): Unit = {
-    val p = pendingPath(spark, name)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
-  }
-
-  /** Crash recovery: when a writer died mid-ingest it left the lock and
-    * its persisted pre-ingest snapshot behind — restore the store to
-    * that snapshot (the pending file is the on-disk authorization that
-    * those appends belong to the dead writer, so the staleness gate is
-    * bypassed), release the lock, and report whether anything was
-    * recovered. A no-op (false) when there is no pending ingest.
-    */
-  def recover(spark: SparkSession, name: String): Boolean = {
-    val p = pendingPath(spark, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) { unlock(spark, name); return false }
-    val in = fs.open(p)
-    val snap =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
-      finally in.close()
-    unlock(spark, name) // the dead writer's lock
-    locked(spark, name) { doRollback(spark, name, snap, trusted = true) }
-    fs.delete(p, false)
-    true
-  }
+  /** Crash recovery — see [[StoreGuard.recover]]. */
+  def recover(spark: SparkSession, name: String): Boolean =
+    guard(name).recover(spark)
 
   /** Re-register the store's tables from their durable warehouse
     * locations into THIS session's catalog. The catalog is per-process
@@ -200,32 +108,13 @@ object SignatureStore {
       "`doc_id` BIGINT, `n_sh` BIGINT", buckets)
   }
 
-  /** Release a crashed writer's lock (manual step; [[recover]] does
-    * this AND restores the pre-ingest snapshot in one call).
-    */
-  def unlock(spark: SparkSession, name: String): Unit = {
-    val p = lockPath(spark, name)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
-  }
+  /** Release a crashed writer's lock — see [[StoreGuard.unlock]]. */
+  def unlock(spark: SparkSession, name: String): Unit =
+    guard(name).unlock(spark)
 
-  /** Run `f` as the store's single writer. Reentrant within a thread —
-    * composite units (snapshot → ingest → publish → rollback-on-fail)
-    * take the lock once and the inner mutators join it. A concurrent
-    * writer fails FAST with recovery instructions instead of
-    * interleaving appends.
-    */
-  def locked[A](spark: SparkSession, name: String)(f: => A): A = {
-    val p = lockPath(spark, name)
-    val key = p.toString
-    if (heldLocks.get.contains(key)) return f
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent) // first-ever build: the warehouse dir may not exist yet
-    if (!fs.createNewFile(p))
-      sys.error(s"store '$name' is locked by a concurrent writer ($p); " +
-        "if that writer crashed, SignatureStore.recover(...) restores the store and releases the lock")
-    heldLocks.get += key
-    try f finally { heldLocks.get -= key; fs.delete(p, false) }
-  }
+  /** Run `f` as the store's single writer — see [[StoreGuard.locked]]. */
+  def locked[A](spark: SparkSession, name: String)(f: => A): A =
+    guard(name).locked(spark)(f)
 
   /** Drop a store table from the catalog AND clear its default warehouse
     * location. The session catalog is per-process but the warehouse
@@ -234,14 +123,8 @@ object SignatureStore {
     * CREATE over it (LOCATION_ALREADY_EXISTS). A store rebuild must own
     * both halves.
     */
-  private def reset(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
+  private def reset(spark: SparkSession, table: String): Unit =
+    StoreGuard.resetTable(spark, table)
 
   /** Hash, band, and index the historical corpus into the store's
     * bucketed tables. One pass over `history` for signatures and one for
@@ -286,92 +169,25 @@ object SignatureStore {
     Seq((spec.k, spec.bands, spec.maxDf, buckets))
       .toDF("k", "bands", "max_df", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
-    bumpGen(spark, name) // generation 1 — this build is "ours"
+    guard(name).bumpGen(spark) // generation 1 — this build is "ours"
   }
 
   /** Drop the store's tables and their locations (idempotent). */
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(reset(spark, _))
-    clearPending(spark, name) // a dropped store has nothing to recover
+    guard(name).clearPending(spark) // a dropped store has nothing to recover
   }
 
-  /** File-level snapshot of the store: every data file currently under
-    * its tables' locations. Because [[ingest]] only ever APPENDS files
-    * (bucketed `mode("append")` — never rewrites or deletes), the
-    * snapshot plus [[rollback]] gives a cheap undo for a failed or
-    * trial ingest: O(#files) driver-side listings, no data copied.
-    */
-  def snapshot(spark: SparkSession, name: String): Set[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    allTables(name).flatMap { t =>
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)))
-      val fs = loc.getFileSystem(conf)
-      // store tables are unpartitioned bucketed dirs — one flat
-      // listStatus each (recursive listFiles stats every file for block
-      // locations, measured ~0.5 ms/file on Hadoop's local FS). The
-      // writer lock and pending file are siblings of the table dirs,
-      // so the listing is pure store state.
-      if (!fs.exists(loc)) Nil
-      else fs.listStatus(loc).map(_.getPath.toString).toSeq
-    }.toSet
-  }
+  /** File-level snapshot of the store — see [[StoreGuard.snapshot]]. */
+  def snapshot(spark: SparkSession, name: String): Set[String] =
+    guard(name).snapshot(spark)
 
-  /** Undo every append since `snap` was taken: delete files not in the
-    * snapshot and refresh the tables' cached file listings. Restores the
-    * store bit-for-bit (appends never touch pre-existing files), so an
-    * aborted batch leaves no trace for the next batch to collide with.
+  /** Undo every append since `snap` — see [[StoreGuard.rollback]]
+    * (stale-snapshot refusal, generation-marker restore, recursive
+    * delete of aborted `_temporary` staging dirs).
     */
   def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit =
-    locked(spark, name) { doRollback(spark, name, snap, trusted = false) }
-
-  /** `trusted = true` ([[recover]] only): the pending file proved the
-    * post-snapshot appends belong to a writer that died — skip the
-    * foreign-generation gate. Caller holds the lock.
-    */
-  private def doRollback(spark: SparkSession, name: String, snap: Set[String],
-      trusted: Boolean): Unit = {
-      // STALENESS GATE: if the store's generation moved past the
-      // snapshot and the bump was not written by this process, the
-      // files added since `snap` belong to ANOTHER writer — deleting
-      // them here would corrupt that writer's completed ingest. Undoing
-      // our own trial/failed ingest (marker unchanged, or bumped by us)
-      // proceeds as before.
-      if (!trusted) genMarker(spark, name).foreach { case (n, uuid) =>
-        val markerInSnap = snap.exists(_.endsWith(s"_gen-$n-$uuid"))
-        if (!markerInSnap && !ownGens.contains(uuid))
-          sys.error(s"stale snapshot for store '$name': generation $n ($uuid) " +
-            "was written by another process since the snapshot was taken — " +
-            "rolling back would delete that writer's appends")
-      }
-      val conf = spark.sparkContext.hadoopConfiguration
-      allTables(name).foreach { t =>
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(t)))
-        val fs = loc.getFileSystem(conf)
-        if (fs.exists(loc)) {
-          val added = fs.listStatus(loc).map(_.getPath)
-            .filterNot(p => snap.contains(p.toString))
-          if (added.nonEmpty) {
-            // recursive: an ABORTED append leaves a non-empty _temporary
-            // staging dir — a non-recursive delete would throw on it,
-            // abort the rollback partway, and mask the original failure
-            added.foreach(fs.delete(_, true))
-            spark.catalog.refreshTable(t)
-          }
-          // restore the snapshot's generation marker (the only snap
-          // file a bump DELETES — data appends never touch old files);
-          // markers are empty, their names carry the state
-          snap.filter(_.startsWith(loc.toString)).foreach { s =>
-            val p = new org.apache.hadoop.fs.Path(s)
-            if (GenRe.pattern.matcher(p.getName).matches() && !fs.exists(p))
-              fs.createNewFile(p)
-          }
-        }
-      }
-  }
+    guard(name).rollback(spark, snap)
 
   /** Append an (already deduplicated) document set's signatures to the
     * store — bucketed `mode("append")` writes, so each ingest adds at
@@ -473,7 +289,7 @@ object SignatureStore {
     // persist the pre-ingest snapshot for the duration: if this WRITER
     // dies (not merely throws — a live failure clears it below), a
     // fresh process can restore the store via [[recover]]
-    writePending(spark, name, snapshot(spark, name))
+    guard(name).writePending(spark, snapshot(spark, name))
     try {
     def staged[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -527,9 +343,9 @@ object SignatureStore {
         Dedup.indexFromShingles(ksh, spec.maxDf).localCheckpoint(true), // 2 writes read it
         name, buckets)
     }
-    bumpGen(spark, name) // completed mutation — stale snapshots now refuse
+    guard(name).bumpGen(spark) // completed mutation — stale snapshots now refuse
     flags
-    } finally clearPending(spark, name) // a LIVE failure is the caller's
+    } finally guard(name).clearPending(spark) // a LIVE failure is the caller's
     // to roll back with its own snapshot; pending is only for dead writers
   }
 

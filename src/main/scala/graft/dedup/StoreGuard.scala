@@ -1,0 +1,218 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer discipline for a mutating, append-only table store
+  * (the signature store, the embedding store): every mutator runs under
+  * an atomic lock file, every completed mutation bumps a generation
+  * marker, and an in-flight ingest persists its pre-ingest snapshot so
+  * a writer that DIES can be recovered from a fresh process. Extracted
+  * from [[SignatureStore]] so every store pays the same guarantees:
+  *
+  *  - the lock file (atomic createNewFile, the VersionedTable rename
+  *    idiom) serializes ingest/rollback/build/drop — a second
+  *    concurrent writer fails fast, never interleaves. The lock and
+  *    pending file live as SIBLINGS of the meta table dir so a
+  *    build/drop reset cannot delete a held lock. The lock is REENTRANT
+  *    per thread, so a caller can bracket snapshot → ingest → publish →
+  *    rollback-on-failure as one critical section;
+  *  - a generation marker (`_gen-<n>-<uuid>`, an empty `_`-prefixed
+  *    file in the meta dir, invisible to parquet readers) is bumped by
+  *    every completed mutation; [[rollback]] refuses when the on-disk
+  *    generation moved past the snapshot AND this JVM did not write it
+  *    (undoing a foreign writer's completed work would corrupt it),
+  *    while the undo-own-trial-ingest pattern keeps working;
+  *  - [[writePending]]/[[clearPending]] persist the pre-ingest snapshot
+  *    for the ingest's duration; [[recover]] restores a dead writer's
+  *    store from it and releases the lock.
+  */
+private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String]) {
+  import StoreGuard.{GenRe, heldLocks, ownGens}
+
+  private def tableLoc(spark: SparkSession, t: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+
+  private def metaLoc(spark: SparkSession): org.apache.hadoop.fs.Path =
+    tableLoc(spark, metaTable)
+
+  private def lockPath(spark: SparkSession): org.apache.hadoop.fs.Path = {
+    val m = metaLoc(spark)
+    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".lock")
+  }
+  private def pendingPath(spark: SparkSession): org.apache.hadoop.fs.Path = {
+    val m = metaLoc(spark)
+    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pending")
+  }
+
+  /** Current (generation, uuid) marker of the store, if any. */
+  private def genMarker(spark: SparkSession): Option[(Int, String)] = {
+    val loc = metaLoc(spark)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) None
+    else fs.listStatus(loc).map(_.getPath.getName).collectFirst {
+      case GenRe(n, u) => (n.toInt, u)
+    }
+  }
+
+  def bumpGen(spark: SparkSession): Unit = {
+    val loc = metaLoc(spark)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = genMarker(spark).map(_._1).getOrElse(0) + 1
+    fs.listStatus(loc).map(_.getPath)
+      .filter(p => GenRe.pattern.matcher(p.getName).matches())
+      .foreach(fs.delete(_, false))
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(loc, s"_gen-$next-$uuid"))
+    ownGens.add(uuid); ()
+  }
+
+  def writePending(spark: SparkSession, snap: Set[String]): Unit = {
+    val p = pendingPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(snap.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  def clearPending(spark: SparkSession): Unit = {
+    val p = pendingPath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
+  }
+
+  /** Release a crashed writer's lock (manual step; [[recover]] does
+    * this AND restores the pre-ingest snapshot in one call).
+    */
+  def unlock(spark: SparkSession): Unit = {
+    val p = lockPath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
+  }
+
+  /** Run `f` as the store's single writer. Reentrant within a thread —
+    * composite units (snapshot → ingest → publish → rollback-on-fail)
+    * take the lock once and the inner mutators join it. A concurrent
+    * writer fails FAST with recovery instructions instead of
+    * interleaving appends.
+    */
+  def locked[A](spark: SparkSession)(f: => A): A = {
+    val p = lockPath(spark)
+    val key = p.toString
+    if (heldLocks.get.contains(key)) return f
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent) // first-ever build: the warehouse dir may not exist yet
+    if (!fs.createNewFile(p))
+      sys.error(s"store '$metaTable' is locked by a concurrent writer ($p); " +
+        "if that writer crashed, recover(...) restores the store and releases the lock")
+    heldLocks.get += key
+    try f finally { heldLocks.get -= key; fs.delete(p, false) }
+  }
+
+  /** File-level snapshot of the store: every file currently under its
+    * tables' locations (one flat listStatus each — the lock/pending
+    * files are siblings, so the listing is pure store state). Because
+    * mutators only ever APPEND files, snapshot + [[rollback]] is a
+    * cheap undo: O(#files) driver-side listings, no data copied.
+    */
+  def snapshot(spark: SparkSession): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.flatMap { t =>
+      val loc = tableLoc(spark, t)
+      val fs = loc.getFileSystem(conf)
+      if (!fs.exists(loc)) Nil
+      else fs.listStatus(loc).map(_.getPath.toString).toSeq
+    }.toSet
+  }
+
+  /** Undo every append since `snap`: delete files not in the snapshot,
+    * restore its generation marker, refresh the tables' cached
+    * listings. Refuses a STALE snapshot (see class doc).
+    */
+  def rollback(spark: SparkSession, snap: Set[String]): Unit =
+    locked(spark) { doRollback(spark, snap, trusted = false) }
+
+  /** `trusted = true` ([[recover]] only): the pending file proved the
+    * post-snapshot appends belong to a writer that died — skip the
+    * foreign-generation gate. Caller holds the lock.
+    */
+  private def doRollback(spark: SparkSession, snap: Set[String], trusted: Boolean): Unit = {
+    if (!trusted) genMarker(spark).foreach { case (n, uuid) =>
+      val markerInSnap = snap.exists(_.endsWith(s"_gen-$n-$uuid"))
+      if (!markerInSnap && !ownGens.contains(uuid))
+        sys.error(s"stale snapshot for store '$metaTable': generation $n ($uuid) " +
+          "was written by another process since the snapshot was taken — " +
+          "rolling back would delete that writer's appends")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { t =>
+      val loc = tableLoc(spark, t)
+      val fs = loc.getFileSystem(conf)
+      if (fs.exists(loc)) {
+        val added = fs.listStatus(loc).map(_.getPath)
+          .filterNot(p => snap.contains(p.toString))
+        if (added.nonEmpty) {
+          // recursive: an ABORTED append leaves a non-empty _temporary
+          // staging dir — a non-recursive delete would throw on it,
+          // abort the rollback partway, and mask the original failure
+          added.foreach(fs.delete(_, true))
+          spark.catalog.refreshTable(t)
+        }
+        // restore the snapshot's generation marker (the only snap file
+        // a bump DELETES — data appends never touch old files); markers
+        // are empty, their names carry the state
+        snap.filter(_.startsWith(loc.toString)).foreach { s =>
+          val p = new org.apache.hadoop.fs.Path(s)
+          if (GenRe.pattern.matcher(p.getName).matches() && !fs.exists(p))
+            fs.createNewFile(p)
+        }
+      }
+    }
+  }
+
+  /** Crash recovery: when a writer died mid-ingest it left the lock and
+    * its persisted pre-ingest snapshot behind — restore the store to
+    * that snapshot (the pending file is the on-disk authorization that
+    * those appends belong to the dead writer, so the staleness gate is
+    * bypassed), release the lock, and report whether anything was
+    * recovered. A no-op (false) when there is no pending ingest.
+    */
+  def recover(spark: SparkSession): Boolean = {
+    val p = pendingPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { unlock(spark); return false }
+    val in = fs.open(p)
+    val snap =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    unlock(spark) // the dead writer's lock
+    locked(spark) { doRollback(spark, snap, trusted = true) }
+    fs.delete(p, false)
+    true
+  }
+}
+
+private[graft] object StoreGuard {
+  private val GenRe = raw"_gen-(\d+)-([0-9a-f]+)".r
+
+  /** Generation uuids written by THIS process — the "was that bump
+    * ours?" test rollback uses to allow undoing its own trial ingest.
+    */
+  private val ownGens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Lock paths held by the CURRENT thread (reentrancy). */
+  private val heldLocks = ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
+    () => scala.collection.mutable.Set.empty[String])
+
+  /** Drop a store table from the catalog AND clear its default
+    * warehouse location (the session catalog is per-process but the
+    * warehouse dir is durable — `saveAsTable` refuses to CREATE over an
+    * orphaned location).
+    */
+  def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+}

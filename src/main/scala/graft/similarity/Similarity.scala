@@ -85,37 +85,37 @@ object Similarity {
     * duplicates) exactly like the df-cap on the shingle inverted index —
     * cost tracks genuine collisions, never a skew blowup.
     */
-  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 32, bandBits: Int = 8,
-      bucketCap: Int = 1000): DataFrame = {
+  /** Per-vector squared norms of a (vec_id, emb) frame — decimal-exact.
+    * Shared by the pairs operator and the embedding store.
+    */
+  private[similarity] def normsOf(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "val0")))
+      .withColumn("val", col("val0").cast("double"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("val") * col("val")).cast(Dec)).cast("double").as("ns"))
+
+  /** Banded sign-bit signatures of a (vec_id, emb) frame:
+    * (vec_id, band, band_hash). Signatures via explode + broadcast
+    * weight table + codegen'd decimal hash aggregation — NOT per-plane
+    * array-HOF folds. Higher-order functions are CodegenFallback
+    * (interpreted): measured 8× slower once other queries in the JVM
+    * pollute the shared interpreted-eval JIT profiles (69 s vs 8 s for
+    * the same plan), and never whole-stage-compiled even alone. The
+    * exploded form computes the SAME decimal(28,12) products and exact
+    * order-independent sums — sign bits, buckets, and published
+    * cosines are bit-identical, so the DuckDB oracle is unaffected.
+    * The md5 hyperplane weights are corpus-INDEPENDENT (a pure function
+    * of (plane, pos)), which is what lets a store's history bands and a
+    * later batch's bands agree by construction.
+    */
+  private[similarity] def signBitBands(base: DataFrame, dims: Int,
+      planes: Int, bandBits: Int): DataFrame = {
     require(planes % bandBits == 0, "planes must divide into whole bands")
-    val spark = emb.sparkSession
-    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = emb.repartition(par)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
-    // Signatures via explode + broadcast weight table + codegen'd decimal
-    // hash aggregation — NOT per-plane array-HOF folds. Higher-order
-    // functions are CodegenFallback (interpreted): measured 8× slower
-    // once other queries in the JVM pollute the shared interpreted-eval
-    // JIT profiles (69 s vs 8 s for the same plan), and never
-    // whole-stage-compiled even alone. The exploded form computes the
-    // SAME decimal(28,12) products and exact order-independent sums —
-    // sign bits, buckets, and published cosines are bit-identical, so
-    // the DuckDB oracle is unaffected.
+    val spark = base.sparkSession
     val ex = base.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "val0")))
       .withColumn("val", col("val0").cast("double"))
-    val ns = ex.groupBy(col("vec_id"))
-      .agg(sum((col("val") * col("val")).cast(Dec)).cast("double").as("ns"))
-    val v = base.join(ns, "vec_id")
     // (plane, pos) → md5 weight: a planes×dim control-plane table, each
-    // weight evaluated once and broadcast (vs once per vector element).
-    // An empty corpus (a plausible daily slice) has no max — return the
-    // empty pair set instead of NPE-ing on the null aggregate
-    val dimsRow = base.agg(max(size(col("emb")))).head()
-    if (dimsRow.isNullAt(0))
-      return base.select(col("vec_id").as("va"), col("vec_id").as("vb"),
-        lit(0.0).as("cosine")).limit(0)
-    val dims = dimsRow.getInt(0)
+    // weight evaluated once and broadcast (vs once per vector element)
     val weights = spark.range(planes.toLong * dims).select(
         floor(col("id") / dims).cast("int").as("plane"),
         pmod(col("id"), lit(dims)).cast("int").as("pos"))
@@ -124,12 +124,32 @@ object Similarity {
       .groupBy(col("vec_id"), col("plane"))
       .agg(sum((col("w") * col("val")).cast(Dec)).as("proj"))
     // band hash = the band's sign bits packed little-endian
-    val sig = proj.select(col("vec_id"),
+    proj.select(col("vec_id"),
         floor(col("plane") / bandBits).cast("int").as("band"),
         when(col("proj") >= 0, expr(s"shiftleft(1, plane % $bandBits)"))
           .otherwise(lit(0)).as("bit"))
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("bit")).cast("int").as("band_hash"))
+  }
+
+  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 32, bandBits: Int = 8,
+      bucketCap: Int = 1000): DataFrame = {
+    require(planes % bandBits == 0, "planes must divide into whole bands")
+    val spark = emb.sparkSession
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = emb.repartition(par)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    val ns = normsOf(base)
+    val v = base.join(ns, "vec_id")
+    // An empty corpus (a plausible daily slice) has no max — return the
+    // empty pair set instead of NPE-ing on the null aggregate
+    val dimsRow = base.agg(max(size(col("emb")))).head()
+    if (dimsRow.isNullAt(0))
+      return base.select(col("vec_id").as("va"), col("vec_id").as("vb"),
+        lit(0.0).as("cosine")).limit(0)
+    val dims = dimsRow.getInt(0)
+    val sig = signBitBands(base, dims, planes, bandBits)
     val ok = sig.groupBy("band", "band_hash").count()
       .filter(col("count") <= bucketCap).select("band", "band_hash")
     val sigOk = sig.join(ok, Seq("band", "band_hash"))
