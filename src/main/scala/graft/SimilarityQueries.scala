@@ -479,5 +479,170 @@ object SimilarityQueries {
       prepare = Some((s, dir) => { ensureIndex(s, dir); () }))
   }
 
-  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  /** Build-once/ingest-many lifecycle for the embedding store (the
+    * d07/d08 pattern): ONE history store per JVM per data dir, warmed
+    * by the bench's `prepare` hook so the published number times the
+    * daily ingest; the post-build snapshot restores the store after
+    * every run.
+    */
+  private val estoreSnaps = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  private def embStore(s: SparkSession, dir: String): (String, Set[String]) = {
+    import graft.similarity.EmbeddingStore
+    val slug = OncePerJvm.slug(dir)
+    val name = s"graft_embstore_$slug"
+    OncePerJvm(name, slug) {
+      EmbeddingStore.build(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 3 =!= 0), name)
+      estoreSnaps.put(name, EmbeddingStore.snapshot(s, name)); ()
+    }
+    (name, estoreSnaps.getOrElseUpdate(name, EmbeddingStore.snapshot(s, name)))
+  }
+
+  /** Incremental embedding near-dup against a persisted store
+    * ([[graft.similarity.EmbeddingStore]]): history (vec_id % 3 ≠ 0) is
+    * sign-bit-banded ONCE into bucketed tables; the batch — the
+    * remaining originals plus deterministically perturbed copies of
+    * history vectors (cross-store dups) and of batch vectors
+    * (within-batch dups), the d05 corpus trick — dedupes against it via
+    * a band_key equi-join INTO the store's bucketing + exact decimal
+    * cosine re-verify against the stored full-precision vectors.
+    * Survivors append O(batch); the 100 TB embedding-dedup cadence.
+    * The oracle replays the hyperplanes, both corpora's bands, both
+    * verifies, and the within-batch components bit-for-bit.
+    */
+  val s06 = QueryDef(
+    "s06_embedding_store_ingest",
+    (s, dir) => {
+      import graft.similarity.EmbeddingStore
+      val (name, snap) = embStore(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val fresh = emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"))
+      // same two-select discipline as d05: aliasing vec_id+offset in the
+      // same list as the lambda would desync the perturbation salt
+      def perturbed(cond: org.apache.spark.sql.Column, offset: Long) = emb.filter(cond)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") *
+              (lit(1.0) +
+                ((i.cast("long") * 7919L + col("vec_id") * 104729L) % 11L - 5L)
+                  .cast("double") / lit(128.0)))
+              .cast("float")).as("embedding"))
+        .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      val batch = fresh
+        .unionByName(perturbed(col("vec_id") % 6 === 1, 1000000L))
+        .unionByName(perturbed(col("vec_id") % 9 === 0, 2000000L))
+      // flags are eagerly checkpointed (appends already executed), so
+      // the rollback-in-finally cannot invalidate them — and a failed
+      // run must not leave partial appends for the next run
+      try EmbeddingStore.ingest(s, batch, name)
+      finally EmbeddingStore.rollback(s, name, snap)
+    },
+    Some("""
+      WITH RECURSIVE ex0 AS (
+        SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
+        FROM embeddings),
+      exb AS (
+        SELECT vec_id, pos, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val
+        FROM ex0),
+      hex AS (SELECT vec_id, pos, val FROM exb WHERE vec_id % 3 <> 0),
+      bex AS (
+        SELECT vec_id, pos, val FROM exb WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, pos,
+          CAST(CAST(val * (1.0 + CAST(((pos-1) * 7919 + vec_id * 104729) % 11 - 5 AS DOUBLE) / 128.0)
+            AS REAL) AS DOUBLE) AS val
+        FROM exb WHERE vec_id % 6 = 1
+        UNION ALL
+        SELECT vec_id + 2000000 AS vec_id, pos,
+          CAST(CAST(val * (1.0 + CAST(((pos-1) * 7919 + vec_id * 104729) % 11 - 5 AS DOUBLE) / 128.0)
+            AS REAL) AS DOUBLE) AS val
+        FROM exb WHERE vec_id % 9 = 0),
+      w AS (
+        SELECT p, pos,
+          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 15))::BIGINT
+            % 2000001 - 1000000 AS DOUBLE) AS wt
+        FROM (SELECT unnest(range(0, 32)) AS p)
+        CROSS JOIN (SELECT DISTINCT pos FROM ex0)),
+      hproj AS (
+        SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
+        FROM hex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+      hbands AS (
+        SELECT vec_id, CAST(FLOOR(p / 8) AS INTEGER) AS band,
+          SUM(CASE WHEN pr >= 0 THEN (1 << (CAST(p AS INTEGER) % 8)) ELSE 0 END) AS band_hash
+        FROM hproj GROUP BY 1, 2),
+      bproj AS (
+        SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
+        FROM bex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+      bbands AS (
+        SELECT vec_id, CAST(FLOOR(p / 8) AS INTEGER) AS band,
+          SUM(CASE WHEN pr >= 0 THEN (1 << (CAST(p AS INTEGER) % 8)) ELSE 0 END) AS band_hash
+        FROM bproj GROUP BY 1, 2),
+      hvn AS (
+        SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns
+        FROM hex GROUP BY 1),
+      bvn AS (
+        SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns
+        FROM bex GROUP BY 1),
+      xcand AS (
+        SELECT DISTINCT b.vec_id AS new_id, h.vec_id AS other_id
+        FROM bbands b JOIN hbands h ON h.band = b.band AND h.band_hash = b.band_hash),
+      xdots AS (
+        SELECT c.new_id, c.other_id,
+          CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM xcand c
+        JOIN bex a ON a.vec_id = c.new_id
+        JOIN hex b ON b.vec_id = c.other_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+      histdup AS (
+        SELECT new_id AS vec_id, MIN(other_id) AS hist_dup_of
+        FROM xdots
+        JOIN bvn na ON na.vec_id = new_id
+        JOIN hvn nb ON nb.vec_id = other_id
+        WHERE dot / (sqrt(na.ns) * sqrt(nb.ns)) >= 0.9
+        GROUP BY 1),
+      bids AS (SELECT DISTINCT vec_id FROM bex),
+      surv AS (
+        SELECT vec_id FROM bids
+        WHERE vec_id NOT IN (SELECT vec_id FROM histdup)),
+      scand AS (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM bbands x
+        JOIN surv sx ON sx.vec_id = x.vec_id
+        JOIN bbands y ON y.band = x.band AND y.band_hash = x.band_hash
+          AND x.vec_id < y.vec_id
+        JOIN surv sy ON sy.vec_id = y.vec_id),
+      sdots AS (
+        SELECT c.va, c.vb,
+          CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM scand c
+        JOIN bex a ON a.vec_id = c.va
+        JOIN bex b ON b.vec_id = c.vb AND b.pos = a.pos
+        GROUP BY 1, 2),
+      spairs AS (
+        SELECT va, vb FROM sdots
+        JOIN bvn na ON na.vec_id = va
+        JOIN bvn nb ON nb.vec_id = vb
+        WHERE dot / (sqrt(na.ns) * sqrt(nb.ns)) >= 0.9),
+      edges AS (
+        SELECT va AS u, vb AS v FROM spairs
+        UNION
+        SELECT vb AS u, va AS v FROM spairs),
+      reach(v, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+        UNION
+        SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u AND r.lbl < e.v),
+      comp AS (SELECT v AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY 1)
+      SELECT t.vec_id,
+        (h.vec_id IS NOT NULL) OR (c.cluster IS NOT NULL AND c.cluster <> t.vec_id) AS is_dup,
+        COALESCE(h.hist_dup_of,
+          CASE WHEN c.cluster <> t.vec_id THEN c.cluster END) AS dup_of
+      FROM bids t
+      LEFT JOIN histdup h ON h.vec_id = t.vec_id
+      LEFT JOIN comp c ON c.vec_id = t.vec_id
+    """.stripMargin.trim),
+    prepare = Some((s, dir) => { embStore(s, dir); () }))
+
+  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -1,0 +1,234 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, StoreGuard}
+
+/** Persisted sign-bit LSH store for INCREMENTAL embedding near-dup —
+  * the embedding twin of [[graft.dedup.SignatureStore]], and the only
+  * affordable cadence once the embedded corpus outgrows per-batch
+  * re-banding: the history is banded ONCE into bucketed tables, each
+  * daily batch dedupes against it by shuffling INTO the store's
+  * bucketing (the history side is read pre-partitioned and never moves
+  * again), and survivors append O(batch)/day.
+  *
+  * Two bucketed managed tables per store (plus a one-row spec table so
+  * probes can never drift from the build parameters):
+  *  - `<name>_ebands` (vec_id, band, band_hash, band_key) bucketed by
+  *    `band_key` — the LSH candidate join key;
+  *  - `<name>_evecs`  (vec_id, emb array<double>, ns) bucketed by
+  *    `vec_id` — the exact decimal-cosine re-verify side (vectors kept
+  *    full-precision: LSH proposes, the exact cosine disposes, same
+  *    recall/precision split as [[Similarity.lshCosinePairs]]).
+  *
+  * The md5 hyperplane weights are a pure function of (plane, pos)
+  * ([[Similarity.signBitBands]]), so history bands and any later
+  * batch's bands agree BY CONSTRUCTION — cross-corpus collisions are
+  * exactly what full-corpus LSH would produce, with no stored
+  * projection state beyond the spec row.
+  *
+  * Writer safety is [[StoreGuard]]'s single-writer discipline (lock
+  * file, generation markers, pending-snapshot crash recovery) — the
+  * same guarantees as the signature store.
+  */
+object EmbeddingStore {
+
+  final case class Spec(planes: Int = 32, bandBits: Int = 8)
+
+  def bandsTable(name: String): String = s"${name}_ebands"
+  def vecsTable(name: String): String = s"${name}_evecs"
+  def metaTable(name: String): String = s"${name}_emeta"
+
+  private def allTables(name: String): Seq[String] =
+    Seq(bandsTable(name), vecsTable(name), metaTable(name))
+
+  private def guard(name: String): StoreGuard =
+    StoreGuard(metaTable(name), allTables(name))
+
+  def snapshot(spark: SparkSession, name: String): Set[String] =
+    guard(name).snapshot(spark)
+  def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit =
+    guard(name).rollback(spark, snap)
+  def recover(spark: SparkSession, name: String): Boolean =
+    guard(name).recover(spark)
+  def locked[A](spark: SparkSession, name: String)(f: => A): A =
+    guard(name).locked(spark)(f)
+
+  /** Drop the store's tables and their locations (idempotent). */
+  def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
+    allTables(name).foreach(StoreGuard.resetTable(spark, _))
+    guard(name).clearPending(spark)
+  }
+
+  /** Canonical (vec_id, emb array<double>) projection of a corpus. */
+  private def baseOf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("emb"))
+
+  /** Band + band_key signatures of a canonical base. */
+  private def bandsOf(base: DataFrame, dims: Int, spec: Spec): DataFrame =
+    Similarity.signBitBands(base, dims, spec.planes, spec.bandBits)
+      .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
+
+  /** Band, hash, and store the historical corpus. One banding pass plus
+    * one norm pass; every bucketed write repartitions onto its bucket
+    * key first so a build emits `buckets` files per table, not
+    * W×buckets (the small-files rule of SURVEY note 21).
+    */
+  def build(spark: SparkSession, history: DataFrame, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      spec: Spec = Spec(), buckets: Int = 16): Unit = locked(spark, name) {
+    import spark.implicits._
+    allTables(name).foreach(StoreGuard.resetTable(spark, _))
+    val base = baseOf(history, idCol, vecCol).localCheckpoint(true)
+    val dims = base.agg(max(size(col("emb")))).head() match {
+      case r if r.isNullAt(0) => -1 // empty history: first ingest sets dims
+      case r => r.getInt(0)
+    }
+    if (dims > 0) {
+      bandsOf(base, dims, spec)
+        .repartition(buckets, col("band_key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .saveAsTable(bandsTable(name))
+      base.join(Similarity.normsOf(base), "vec_id")
+        .repartition(buckets, col("vec_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(vecsTable(name))
+    } else {
+      // empty history still needs the table shells so ingest can append
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_hash", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_key", org.apache.spark.sql.types.StringType))))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .saveAsTable(bandsTable(name))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("emb",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+            org.apache.spark.sql.types.StructField("ns", org.apache.spark.sql.types.DoubleType))))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(vecsTable(name))
+    }
+    Seq((spec.planes, spec.bandBits, buckets, dims))
+      .toDF("planes", "band_bits", "buckets", "dims")
+      .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+    guard(name).bumpGen(spark)
+  }
+
+  /** Dedup `batch` against the store and within itself; append the
+    * survivors' bands and vectors so the store grows O(batch). Returns
+    * one flag row per batch vector: (vec_id, is_dup, dup_of) — `dup_of`
+    * is the smallest matching stored id for cross-store dups, the
+    * cluster representative for within-batch dups (the same two-step
+    * policy, with the same non-transitivity rationale, as
+    * [[graft.dedup.SignatureStore.ingest]]).
+    *
+    * Scale shape: the batch bands aggregate ONCE (checkpointed) and
+    * every consumer — store join, within-batch LSH, survivor append —
+    * filters that table; the store side of both joins is read on its
+    * bucket key and never reshuffles; the exact re-verify touches only
+    * banded candidates. Nothing rescans or rewrites the history.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9): DataFrame = locked(spark, name) {
+    guard(name).writePending(spark, snapshot(spark, name))
+    try {
+      val meta = spark.table(metaTable(name)).head()
+      val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
+      val buckets = meta.getAs[Int]("buckets")
+      val base = baseOf(batch, idCol, vecCol).localCheckpoint(true)
+      val ids = base.select("vec_id")
+      val dimsRow = base.agg(max(size(col("emb")))).head()
+      if (dimsRow.isNullAt(0))
+        return ids.select(col("vec_id"), lit(false).as("is_dup"),
+          lit(null).cast("long").as("dup_of")).limit(0)
+      val dims = dimsRow.getInt(0)
+      val storedDims = meta.getAs[Int]("dims")
+      require(storedDims <= 0 || storedDims == dims,
+        s"batch dims $dims != store dims $storedDims for '$name'")
+      if (storedDims <= 0) {
+        import spark.implicits._
+        Seq((spec.planes, spec.bandBits, buckets, dims))
+          .toDF("planes", "band_bits", "buckets", "dims")
+          .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+      }
+      val v = base.join(Similarity.normsOf(base), "vec_id").localCheckpoint(true)
+      val bBands = bandsOf(base, dims, spec).localCheckpoint(true)
+
+      // exact decimal cosine between candidate (new, hist-or-new) pairs
+      def verified(cand: DataFrame, hist: DataFrame): DataFrame =
+        cand
+          .join(v.select(col("vec_id").as("new_id"), col("emb").as("ea"),
+            col("ns").as("na")), "new_id")
+          .join(hist, "other_id")
+          .withColumn("cos_approx",
+            Similarity.cosine(Similarity.dotApprox(col("ea"), col("eb")),
+              col("na"), col("nb")))
+          .filter(col("cos_approx") >= threshold - 1e-6)
+          .withColumn("cosine",
+            Similarity.cosine(Similarity.dot(col("ea"), col("eb")),
+              col("na"), col("nb")))
+          .filter(col("cosine") >= threshold)
+
+      // 1. against the store: candidates from a band_key equi-join INTO
+      // the store's bucketing (only the batch side shuffles)
+      val histCand = bBands.select(col("band_key"), col("vec_id").as("new_id"))
+        .join(spark.table(bandsTable(name))
+          .select(col("band_key"), col("vec_id").as("other_id")), "band_key")
+        .select("new_id", "other_id").distinct()
+      val histDup = verified(histCand,
+          spark.table(vecsTable(name))
+            .select(col("vec_id").as("other_id"), col("emb").as("eb"), col("ns").as("nb")))
+        .groupBy(col("new_id").as("vec_id"))
+        .agg(min(col("other_id")).as("hist_dup_of"))
+        .localCheckpoint(true)
+
+      // 2. within the batch, among history-survivors only
+      val survIds = ids.join(histDup, Seq("vec_id"), "left_anti")
+      val sBands = bBands.join(survIds, "vec_id")
+      val selfCand = sBands.select(col("band_key"), col("vec_id").as("new_id"))
+        .join(sBands.select(col("band_key"), col("vec_id").as("other_id")), "band_key")
+        .filter(col("new_id") < col("other_id"))
+        .select("new_id", "other_id").distinct()
+      val selfPairs = verified(selfCand,
+          v.select(col("vec_id").as("other_id"), col("emb").as("eb"), col("ns").as("nb")))
+        .select(col("new_id").as("doc_a"), col("other_id").as("doc_b"))
+      val comp = Dedup.clusters(selfPairs, survIds.select(col("vec_id").as("doc_id")))
+
+      val flags = ids
+        .join(histDup, Seq("vec_id"), "left")
+        .join(comp.select(col("doc_id").as("vec_id"), col("cluster"), col("is_rep")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (col("hist_dup_of").isNotNull || col("is_rep") === false).as("is_dup"),
+          coalesce(col("hist_dup_of"),
+            when(col("is_rep") === false, col("cluster"))).as("dup_of"))
+        .localCheckpoint(true)
+
+      val keepIds = flags.filter(!col("is_dup")).select("vec_id")
+      bBands.join(keepIds, "vec_id")
+        .select("vec_id", "band", "band_hash", "band_key")
+        .repartition(buckets, col("band_key"))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .saveAsTable(bandsTable(name))
+      v.join(keepIds, "vec_id")
+        .select("vec_id", "emb", "ns")
+        .repartition(buckets, col("vec_id"))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(vecsTable(name))
+      guard(name).bumpGen(spark)
+      flags
+    } finally guard(name).clearPending(spark)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{EmbeddingStore, Similarity}
+
+/** Embedding-store specs: incremental flags equal the direct
+  * full-corpus recipe, the store grows by survivors, snapshot/rollback
+  * undoes an ingest, and the writer guard carries over.
+  */
+class EmbeddingStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small deterministic corpus: 8-dim vectors; near-dups are per-dim
+  // perturbations (±≤4%) so cosine ≈ 0.999 — the operator's design point
+  private def vec(seed: Long): Array[Float] =
+    Array.tabulate(8)(i => (((seed * 31 + i * 17) % 19) - 9).toFloat max 1.0f)
+  private def nearDup(seed: Long): Array[Float] =
+    vec(seed).zipWithIndex.map { case (x, i) =>
+      (x * (1.0 + ((i * 7 + seed * 13) % 11 - 5) / 128.0)).toFloat }
+
+  test("incremental flags: dup vs store, within-batch dup, survivors append") {
+    val name = "graft_estore_spec"
+    EmbeddingStore.drop(spark, name)
+    val hist = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding")
+    EmbeddingStore.build(spark, hist, name)
+    try {
+      val batch = Seq(
+        (11L, nearDup(1)), // dup of stored 1
+        (12L, vec(12)),    // fresh survivor
+        (13L, nearDup(12)) // within-batch dup of 12
+      ).toDF("vec_id", "embedding")
+      // sanity: the dups really are at the design point, the rest are not
+      val brute = Similarity.bruteCosinePairs(
+        hist.unionByName(batch), "vec_id", "embedding", 0.9)
+        .select("va", "vb").as[(Long, Long)].collect().toSet
+      assert(brute == Set((1L, 11L), (12L, 13L)), brute)
+
+      val snap = EmbeddingStore.snapshot(spark, name)
+      val flags = EmbeddingStore.ingest(spark, batch, name)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(flags == Map(
+        11L -> ((true, Some(1L))),
+        12L -> ((false, None)),
+        13L -> ((true, Some(12L)))), flags)
+      // only the survivor appended: 3 history + 1 keeper
+      assert(spark.table(EmbeddingStore.vecsTable(name)).count() == 4)
+      // day 2: a near-dup of yesterday's APPENDED survivor is caught
+      val f2 = EmbeddingStore.ingest(spark,
+        Seq((21L, nearDup(12))).toDF("vec_id", "embedding"), name)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(f2 == Map(21L -> 12L), f2)
+      // rollback undoes BOTH ingests bit-for-bit (own-trial gens allowed)
+      EmbeddingStore.rollback(spark, name, snap)
+      assert(EmbeddingStore.snapshot(spark, name) == snap)
+      assert(spark.table(EmbeddingStore.vecsTable(name)).count() == 3)
+      // and a re-ingest against the restored store flags identically
+      val again = EmbeddingStore.ingest(spark, batch, name)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(again == flags)
+    } finally EmbeddingStore.drop(spark, name)
+  }
+
+  test("empty-history build: the first ingest dedupes within itself and seeds the store") {
+    val name = "graft_estore_empty_spec"
+    EmbeddingStore.drop(spark, name)
+    EmbeddingStore.build(spark,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), name)
+    try {
+      val flags = EmbeddingStore.ingest(spark,
+        Seq((1L, vec(1)), (2L, nearDup(1))).toDF("vec_id", "embedding"), name)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags == Map(1L -> false, 2L -> true), flags)
+      assert(spark.table(EmbeddingStore.vecsTable(name)).count() == 1)
+      // dims were learned from the first batch; a mismatched batch refuses
+      val e = intercept[Exception](EmbeddingStore.ingest(spark,
+        Seq((3L, Array.fill(5)(1.0f))).toDF("vec_id", "embedding"), name))
+      assert(e.getMessage.contains("dims"))
+    } finally EmbeddingStore.drop(spark, name)
+  }
+}
