@@ -103,7 +103,8 @@ object Runner {
       return
     }
 
-    if (opts.contains("corpus-init") || opts.contains("corpus-ingest")) {
+    if (opts.contains("corpus-init") || opts.contains("corpus-ingest") ||
+        opts.contains("corpus-init-emb") || opts.contains("corpus-ingest-emb")) {
       // training-corpus dedup through the same ops surface as the five
       // reference pipelines: --corpus-init <store> creates the empty
       // signature store; --corpus-ingest <store> [--batch-mod N
@@ -118,24 +119,33 @@ object Runner {
         Orchestrator.corpusInit(spark, store)
         println(s"[corpus] initialized empty signature store '$store'")
       }
-      opts.get("corpus-ingest").foreach { store =>
-        val docs = Tables.documents(spark, sfDir)
-        val batch = (opts.get("batch-mod"), opts.get("batch-rem")) match {
+      opts.get("corpus-init-emb").foreach { store =>
+        Orchestrator.corpusInitEmbeddings(spark, store)
+        println(s"[corpus] initialized empty embedding store '$store'")
+      }
+      def slice(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        (opts.get("batch-mod"), opts.get("batch-rem")) match {
           case (Some(m), Some(r)) =>
-            docs.filter(org.apache.spark.sql.functions.pmod(
-              org.apache.spark.sql.functions.col("doc_id"),
+            df.filter(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col(idCol),
               org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
-          case (None, None) => docs
+          case (None, None) => df
           // a half-specified pair must not silently ingest the WHOLE
           // corpus as one "day" — that's a wrong-scope store mutation
           case _ => sys.error("--batch-mod and --batch-rem must be given together")
         }
-        val res = Orchestrator.corpusIngest(spark, store, batch)
-        res.error match {
-          case Some(e) => println(s"[corpus] $store INGEST FAILED: $e"); sys.exit(1)
-          case None => println(f"[corpus] $store batch=${res.batchRows}%d " +
-            f"dups=${res.dups}%d survivors=${res.survivors}%d ${res.elapsedSec}%.1f s")
-        }
+      def report(res: Orchestrator.CorpusResult): Unit = res.error match {
+        case Some(e) => println(s"[corpus] ${res.store} INGEST FAILED: $e"); sys.exit(1)
+        case None => println(f"[corpus] ${res.store} batch=${res.batchRows}%d " +
+          f"dups=${res.dups}%d survivors=${res.survivors}%d ${res.elapsedSec}%.1f s")
+      }
+      opts.get("corpus-ingest").foreach { store =>
+        report(Orchestrator.corpusIngest(spark, store,
+          slice(Tables.documents(spark, sfDir), "doc_id")))
+      }
+      opts.get("corpus-ingest-emb").foreach { store =>
+        report(Orchestrator.corpusIngestEmbeddings(spark, store,
+          slice(Tables.embeddings(spark, sfDir), "vec_id")))
       }
       spark.stop()
       return

@@ -425,38 +425,80 @@ object Orchestrator {
       notifier: Option[Notifier.Config] = None,
       sink: Sink = VersionedSink()): CorpusResult = {
     import graft.dedup.SignatureStore
+    SignatureStore.ensureRegistered(spark, store)
+    runStoreIngest(spark, store, "doc_id", "corpus-ingest",
+      locked = SignatureStore.locked(spark, store)(_),
+      takeSnapshot = () => SignatureStore.snapshot(spark, store),
+      runIngest = () => SignatureStore.ingest(spark, batch, store),
+      doRollback = snap => SignatureStore.rollback(spark, store, snap),
+      notifier, sink)
+  }
+
+  /** The embedding twin of [[corpusInit]]: an empty embedding store
+    * ([[graft.similarity.EmbeddingStore]]) whose dims are learned from
+    * the first ingested batch.
+    */
+  def corpusInitEmbeddings(spark: SparkSession, store: String): Unit = {
+    import spark.implicits._
+    graft.similarity.EmbeddingStore.drop(spark, store)
+    graft.similarity.EmbeddingStore.build(spark,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), store)
+  }
+
+  /** The embedding twin of [[corpusIngest]] — same single-writer unit,
+    * same commit-together semantics, flags MERGE by vec-id business key.
+    */
+  def corpusIngestEmbeddings(spark: SparkSession, store: String, batch: DataFrame,
+      notifier: Option[Notifier.Config] = None,
+      sink: Sink = VersionedSink()): CorpusResult = {
+    import graft.similarity.EmbeddingStore
+    EmbeddingStore.ensureRegistered(spark, store)
+    runStoreIngest(spark, store, "vec_id", "corpus-ingest-emb",
+      locked = EmbeddingStore.locked(spark, store)(_),
+      takeSnapshot = () => EmbeddingStore.snapshot(spark, store),
+      runIngest = () => EmbeddingStore.ingest(spark, batch, store),
+      doRollback = snap => EmbeddingStore.rollback(spark, store, snap),
+      notifier, sink)
+  }
+
+  /** The store-agnostic ingest unit both corpus cadences share: the
+    * WHOLE snapshot → ingest → publish → rollback-on-failure sequence
+    * runs as the store's single writer (the store locks are reentrant,
+    * so the inner ingest/rollback join this critical section — a
+    * snapshot taken outside the lock could bracket another writer's
+    * completed ingest, and rolling back to it would delete that
+    * writer's appends). Any failure rolls the store back; a rollback
+    * failure rides along as suppressed instead of replacing the root
+    * cause (the partial appends then still exist — the error says so).
+    */
+  private def runStoreIngest(spark: SparkSession, store: String, idCol: String,
+      jobLabel: String,
+      locked: (=> CorpusResult) => CorpusResult,
+      takeSnapshot: () => Set[String],
+      runIngest: () => DataFrame,
+      doRollback: Set[String] => Unit,
+      notifier: Option[Notifier.Config],
+      sink: Sink): CorpusResult = {
     val t0 = System.nanoTime()
     val result =
       try {
-        // durable store dirs, per-process catalog: re-declare the
-        // tables when this JVM hasn't seen the store yet (daily CLI)
-        SignatureStore.ensureRegistered(spark, store)
-        // the WHOLE snapshot → ingest → publish → rollback-on-failure
-        // unit runs as the store's single writer (the lock is
-        // reentrant, so the inner ingest/rollback join this critical
-        // section): a snapshot taken outside the lock could bracket
-        // another writer's completed ingest, and rolling back to it
-        // would delete that writer's appends
-        SignatureStore.locked(spark, store) {
-          val snap = SignatureStore.snapshot(spark, store)
+        locked {
+          val snap = takeSnapshot()
           try {
-            val flags = SignatureStore.ingest(spark, batch, store)
+            val flags = runIngest()
             val batchRows = flags.count()
             if (batchRows == 0) sys.error("Empty batch — nothing to ingest")
             val dups = flags.filter(col("is_dup")).count()
             val out = flags.select(
-              col("doc_id").cast("string").as("business_key"),
-              col("doc_id"), col("is_dup"), col("dup_of"))
+              col(idCol).cast("string").as("business_key"),
+              col(idCol), col("is_dup"), col("dup_of"))
               .withColumn("refreshed_at", current_timestamp())
             sink.merge(spark, corpusPipeline(store), out)
             CorpusResult(store, batchRows, dups, batchRows - dups,
               (System.nanoTime() - t0) / 1e9, None)
           } catch {
             case e: Throwable =>
-              // the ROOT CAUSE must surface; a rollback failure rides
-              // along as suppressed instead of replacing it (and the
-              // partial appends then still exist — the error says so)
-              try SignatureStore.rollback(spark, store, snap) // store unchanged
+              try doRollback(snap) // store unchanged
               catch { case rb: Throwable => e.addSuppressed(rb) }
               throw e
           }
@@ -471,7 +513,7 @@ object Orchestrator {
       }
     notifier.foreach { cfg =>
       val (subject, body) = Notifier.format(Notifier.RunSummary(
-        s"corpus-ingest $store", result.survivors, result.dups,
+        s"$jobLabel $store", result.survivors, result.dups,
         if (result.error.isDefined) 1 else 0, result.elapsedSec, result.error))
       Notifier.send(cfg, subject, body) // never fails the run
     }

@@ -54,6 +54,44 @@ object EmbeddingStore {
   def locked[A](spark: SparkSession, name: String)(f: => A): A =
     guard(name).locked(spark)(f)
 
+  /** Re-register the store's durable bucketed tables into THIS
+    * session's catalog (the catalog is per-process, the data is not) —
+    * the cross-JVM daily-CLI cadence, same contract as
+    * [[graft.dedup.SignatureStore.ensureRegistered]].
+    */
+  def ensureRegistered(spark: SparkSession, name: String): Unit = {
+    if (allTables(name).forall(spark.catalog.tableExists)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    def loc(t: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val metaP = loc(metaTable(name))
+    require(metaP.getFileSystem(conf).exists(metaP),
+      s"no embedding store '$name' on disk at $metaP — build/corpusInitEmbeddings it first")
+    def register(t: String, bucketCol: Option[String], fallback: String,
+        buckets: => Int): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        val p = loc(t)
+        val cols =
+          try spark.read.parquet(p.toString).schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          catch { case e: Exception if e.getMessage != null &&
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => fallback }
+        val cluster = bucketCol
+          .map(c => s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $buckets BUCKETS")
+          .getOrElse("")
+        spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet $cluster LOCATION '$p'")
+      }
+    register(metaTable(name), None,
+      "`planes` INT, `band_bits` INT, `buckets` INT, `dims` INT", 0)
+    lazy val buckets = spark.table(metaTable(name)).head().getAs[Int]("buckets")
+    register(bandsTable(name), Some("band_key"),
+      "`vec_id` BIGINT, `band` INT, `band_hash` INT, `band_key` STRING", buckets)
+    register(vecsTable(name), Some("vec_id"),
+      "`vec_id` BIGINT, `emb` ARRAY<DOUBLE>, `ns` DOUBLE", buckets)
+  }
+
   /** Drop the store's tables and their locations (idempotent). */
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(StoreGuard.resetTable(spark, _))
@@ -156,10 +194,14 @@ object EmbeddingStore {
       require(storedDims <= 0 || storedDims == dims,
         s"batch dims $dims != store dims $storedDims for '$name'")
       if (storedDims <= 0) {
+        // dims learned from the first batch. insertInto (data overwrite),
+        // NOT saveAsTable (table re-creation): a cross-JVM re-registered
+        // meta table is EXTERNAL, and re-creating a managed table over
+        // its existing location is refused
         import spark.implicits._
         Seq((spec.planes, spec.bandBits, buckets, dims))
           .toDF("planes", "band_bits", "buckets", "dims")
-          .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+          .write.mode("overwrite").insertInto(metaTable(name))
       }
       val v = base.join(Similarity.normsOf(base), "vec_id").localCheckpoint(true)
       val bBands = bandsOf(base, dims, spec).localCheckpoint(true)

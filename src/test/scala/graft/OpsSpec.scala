@@ -299,6 +299,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding corpus dedup through the ops surface: init, ingest, flags land, failed batch undone (E1/H)") {
+    import graft.ops.Orchestrator
+    import graft.similarity.EmbeddingStore
+    import graft.sinks.VersionedTable
+    val store = "graft_ecorpus_spec"
+    val sink = Orchestrator.VersionedSink()
+    val root = sink.rootOf(spark, Orchestrator.corpusPipeline(store))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root.stripPrefix("file:")))
+    EmbeddingStore.drop(spark, store)
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 19) - 9).toFloat max 1.0f)
+    def nearDup(seed: Long): Array[Float] =
+      vec(seed).zipWithIndex.map { case (x, i) =>
+        (x * (1.0 + ((i * 7 + seed * 13) % 11 - 5) / 128.0)).toFloat }
+    try {
+      Orchestrator.corpusInitEmbeddings(spark, store)
+      val day1 = Seq((1L, vec(1)), (2L, vec(2)), (3L, nearDup(1)))
+        .toDF("vec_id", "embedding")
+      val r1 = Orchestrator.corpusIngestEmbeddings(spark, store, day1, None, sink)
+      assert(r1.error.isEmpty && r1.batchRows == 3 && r1.dups == 1 && r1.survivors == 2, r1)
+      val f1 = VersionedTable.read(spark, root)
+        .select("vec_id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(f1 == Map(1L -> ((false, None)), 2L -> ((false, None)), 3L -> ((true, Some(1L)))), f1)
+      // day 2: a near-dup of day 1's appended survivor is caught vs the store
+      val r2 = Orchestrator.corpusIngestEmbeddings(spark, store,
+        Seq((11L, nearDup(2))).toDF("vec_id", "embedding"), None, sink)
+      assert(r2.error.isEmpty && r2.dups == 1 && r2.survivors == 0, r2)
+      // crash at the flag publish undoes BOTH halves
+      val preSnap = EmbeddingStore.snapshot(spark, store)
+      val preVer = VersionedTable.version(spark, root)
+      val crashing = Orchestrator.VersionedSink(
+        onBeforePublish = () => sys.error("crash before publish"))
+      val r3 = Orchestrator.corpusIngestEmbeddings(spark, store,
+        Seq((21L, vec(21))).toDF("vec_id", "embedding"), None, crashing)
+      assert(r3.error.isDefined, r3)
+      assert(EmbeddingStore.snapshot(spark, store) == preSnap)
+      assert(VersionedTable.version(spark, root) == preVer)
+    } finally {
+      EmbeddingStore.drop(spark, store)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.stripPrefix("file:")))
+    }
+  }
+
   test("orchestrator maintenance: sync, compact clustered by key, vacuum, still readable (E1/D6)") {
     import graft.ops.Orchestrator
     import graft.sinks.VersionedTable
