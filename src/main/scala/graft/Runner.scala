@@ -89,16 +89,23 @@ object Runner {
       return
     }
 
-    if (opts.contains("corpus-recover")) {
+    if (opts.contains("corpus-recover") || opts.contains("corpus-recover-emb")) {
       // crashed-ingest recovery: restore the store to the dead writer's
       // persisted pre-ingest snapshot and release its lock (no-op when
-      // nothing is pending)
-      val store = opts("corpus-recover")
-      graft.dedup.SignatureStore.ensureRegistered(spark, store)
-      val recovered = graft.dedup.SignatureStore.recover(spark, store)
-      println(if (recovered)
-        s"[corpus] $store: crashed ingest rolled back, lock released"
-      else s"[corpus] $store: nothing pending — store is clean")
+      // nothing is pending — a writer that died in build/drop leaves no
+      // pending file and is released with the store API's unlock)
+      def report(store: String, recovered: Boolean): Unit =
+        println(if (recovered)
+          s"[corpus] $store: crashed ingest rolled back, lock released"
+        else s"[corpus] $store: nothing pending — store is clean")
+      opts.get("corpus-recover").foreach { store =>
+        graft.dedup.SignatureStore.ensureRegistered(spark, store)
+        report(store, graft.dedup.SignatureStore.recover(spark, store))
+      }
+      opts.get("corpus-recover-emb").foreach { store =>
+        graft.similarity.EmbeddingStore.ensureRegistered(spark, store)
+        report(store, graft.similarity.EmbeddingStore.recover(spark, store))
+      }
       spark.stop()
       return
     }

@@ -290,7 +290,7 @@ object SignatureStore {
     // dies (not merely throws — a live failure clears it below), a
     // fresh process can restore the store via [[recover]]
     guard(name).writePending(spark, snapshot(spark, name))
-    try {
+    locally {
     def staged[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -344,9 +344,13 @@ object SignatureStore {
         name, buckets)
     }
     guard(name).bumpGen(spark) // completed mutation — stale snapshots now refuse
+    // pending clears ONLY on success (or when a rollback completes —
+    // StoreGuard.doRollback clears it): a live failure keeps the
+    // authorization on disk until the caller's compensating rollback
+    // finishes, so a crash DURING that rollback is still recoverable
+    guard(name).clearPending(spark)
     flags
-    } finally guard(name).clearPending(spark) // a LIVE failure is the caller's
-    // to roll back with its own snapshot; pending is only for dead writers
+    }
   }
 
   /** Cross-corpus near-dup pairs of a new batch against the store:

@@ -166,26 +166,45 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
         }
       }
     }
+    // the store now IS the snapshot, so any pending file referencing it
+    // is moot — clearing it HERE (not in ingest's failure path) means a
+    // crash during a compensating rollback still leaves the pending
+    // authorization on disk for recover() to finish the job, instead of
+    // reporting a half-rolled-back store as clean
+    clearPending(spark)
   }
 
-  /** Crash recovery: when a writer died mid-ingest it left the lock and
+  /** Crash recovery: when a writer DIED mid-ingest it left the lock and
     * its persisted pre-ingest snapshot behind — restore the store to
     * that snapshot (the pending file is the on-disk authorization that
     * those appends belong to the dead writer, so the staleness gate is
-    * bypassed), release the lock, and report whether anything was
-    * recovered. A no-op (false) when there is no pending ingest.
+    * bypassed), then release the lock. Returns whether anything was
+    * recovered; a no-op (false) when there is no pending ingest —
+    * WITHOUT touching the lock, which may belong to a live build/drop
+    * that writes no pending file (a writer that died in build/drop is
+    * released with an explicit [[unlock]]).
+    *
+    * The rollback runs UNDER the dead writer's still-present lock (it
+    * is never released-then-reacquired), so no third writer can slip in
+    * and have its fresh appends deleted mid-recovery. The operator owns
+    * the "is it actually dead?" judgment — files alone cannot
+    * distinguish a dead writer from a slow one, and recovering a LIVE
+    * ingest deletes its in-flight appends.
     */
   def recover(spark: SparkSession): Boolean = {
     val p = pendingPath(spark)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) { unlock(spark); return false }
+    if (!fs.exists(p)) return false
     val in = fs.open(p)
     val snap =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
       finally in.close()
-    unlock(spark) // the dead writer's lock
-    locked(spark) { doRollback(spark, snap, trusted = true) }
-    fs.delete(p, false)
+    // the dead writer's lock already excludes every other writer — keep
+    // it in place while restoring, release only when the store is whole
+    // (doRollback also clears the pending file)
+    fs.createNewFile(lockPath(spark)) // no-op when the dead lock exists
+    try doRollback(spark, snap, trusted = true)
+    finally unlock(spark)
     true
   }
 }

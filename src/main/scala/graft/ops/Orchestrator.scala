@@ -425,8 +425,8 @@ object Orchestrator {
       notifier: Option[Notifier.Config] = None,
       sink: Sink = VersionedSink()): CorpusResult = {
     import graft.dedup.SignatureStore
-    SignatureStore.ensureRegistered(spark, store)
     runStoreIngest(spark, store, "doc_id", "corpus-ingest",
+      ensure = () => SignatureStore.ensureRegistered(spark, store),
       locked = SignatureStore.locked(spark, store)(_),
       takeSnapshot = () => SignatureStore.snapshot(spark, store),
       runIngest = () => SignatureStore.ingest(spark, batch, store),
@@ -452,8 +452,8 @@ object Orchestrator {
       notifier: Option[Notifier.Config] = None,
       sink: Sink = VersionedSink()): CorpusResult = {
     import graft.similarity.EmbeddingStore
-    EmbeddingStore.ensureRegistered(spark, store)
     runStoreIngest(spark, store, "vec_id", "corpus-ingest-emb",
+      ensure = () => EmbeddingStore.ensureRegistered(spark, store),
       locked = EmbeddingStore.locked(spark, store)(_),
       takeSnapshot = () => EmbeddingStore.snapshot(spark, store),
       runIngest = () => EmbeddingStore.ingest(spark, batch, store),
@@ -473,6 +473,7 @@ object Orchestrator {
     */
   private def runStoreIngest(spark: SparkSession, store: String, idCol: String,
       jobLabel: String,
+      ensure: () => Unit,
       locked: (=> CorpusResult) => CorpusResult,
       takeSnapshot: () => Set[String],
       runIngest: () => DataFrame,
@@ -482,6 +483,11 @@ object Orchestrator {
     val t0 = System.nanoTime()
     val result =
       try {
+        // a missing/never-built store must surface as a formatted
+        // CorpusResult error (and fire the notifier), not an uncaught
+        // exception that skips the monitoring path — so the cross-JVM
+        // re-registration runs INSIDE this try
+        ensure()
         locked {
           val snap = takeSnapshot()
           try {

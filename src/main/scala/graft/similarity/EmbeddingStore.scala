@@ -136,21 +136,13 @@ object EmbeddingStore {
         .saveAsTable(vecsTable(name))
     } else {
       // empty history still needs the table shells so ingest can append
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("band_hash", org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("band_key", org.apache.spark.sql.types.StringType))))
+      Seq.empty[(Long, Int, Int, String)]
+        .toDF("vec_id", "band", "band_hash", "band_key")
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "band_key").sortBy("band_key")
         .saveAsTable(bandsTable(name))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("emb",
-              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
-            org.apache.spark.sql.types.StructField("ns", org.apache.spark.sql.types.DoubleType))))
+      Seq.empty[(Long, Array[Double], Double)]
+        .toDF("vec_id", "emb", "ns")
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(vecsTable(name))
@@ -179,7 +171,7 @@ object EmbeddingStore {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9): DataFrame = locked(spark, name) {
     guard(name).writePending(spark, snapshot(spark, name))
-    try {
+    locally {
       val meta = spark.table(metaTable(name)).head()
       val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
       val buckets = meta.getAs[Int]("buckets")
@@ -190,19 +182,22 @@ object EmbeddingStore {
         return ids.select(col("vec_id"), lit(false).as("is_dup"),
           lit(null).cast("long").as("dup_of")).limit(0)
       val dims = dimsRow.getInt(0)
-      val storedDims = meta.getAs[Int]("dims")
+      // an empty-history build pins dims = -1; the effective store dims
+      // are then whatever the ACCUMULATED vectors have (one-row probe of
+      // the bucketed table). Deliberately NOT persisted back into meta:
+      // ingest must never REWRITE a pre-snapshot file — rollback/recover
+      // only undo appends and re-create empty gen markers, so a meta
+      // overwrite would be unrecoverable after a crash
+      val storedDims = meta.getAs[Int]("dims") match {
+        case d if d > 0 => d
+        case _ =>
+          spark.table(vecsTable(name)).select(size(col("emb"))).head(1) match {
+            case Array(r) => r.getInt(0)
+            case _ => -1 // store still empty: this batch defines the dims
+          }
+      }
       require(storedDims <= 0 || storedDims == dims,
         s"batch dims $dims != store dims $storedDims for '$name'")
-      if (storedDims <= 0) {
-        // dims learned from the first batch. insertInto (data overwrite),
-        // NOT saveAsTable (table re-creation): a cross-JVM re-registered
-        // meta table is EXTERNAL, and re-creating a managed table over
-        // its existing location is refused
-        import spark.implicits._
-        Seq((spec.planes, spec.bandBits, buckets, dims))
-          .toDF("planes", "band_bits", "buckets", "dims")
-          .write.mode("overwrite").insertInto(metaTable(name))
-      }
       val v = base.join(Similarity.normsOf(base), "vec_id").localCheckpoint(true)
       val bBands = bandsOf(base, dims, spec).localCheckpoint(true)
 
@@ -270,7 +265,10 @@ object EmbeddingStore {
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(vecsTable(name))
       guard(name).bumpGen(spark)
+      // pending clears ONLY on success or on a completed rollback
+      // (StoreGuard.doRollback) — see SignatureStore.ingest
+      guard(name).clearPending(spark)
       flags
-    } finally guard(name).clearPending(spark)
+    }
   }
 }

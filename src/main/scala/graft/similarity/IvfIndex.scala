@@ -181,6 +181,11 @@ object IvfIndex {
     require(children.forall(n => n.startsWith("cell=") || n.startsWith("_")),
       s"delta $next at $vd has non-partition children after publish: " +
         children.filterNot(n => n.startsWith("cell=") || n.startsWith("_")).mkString(","))
+    // once the delta dir exists it occupies the number for every future
+    // `next` computation, so the reservation marker is redundant —
+    // delete it to keep the version dir from accumulating one stale
+    // marker per append forever
+    fs.delete(new org.apache.hadoop.fs.Path(vd, f"_delta-$next%05d.reserved"), false)
     next
   }
 

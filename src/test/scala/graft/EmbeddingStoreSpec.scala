@@ -10,13 +10,7 @@ import graft.similarity.{EmbeddingStore, Similarity}
 class EmbeddingStoreSpec extends SparkSpec {
   import spark.implicits._
 
-  // small deterministic corpus: 8-dim vectors; near-dups are per-dim
-  // perturbations (±≤4%) so cosine ≈ 0.999 — the operator's design point
-  private def vec(seed: Long): Array[Float] =
-    Array.tabulate(8)(i => (((seed * 31 + i * 17) % 19) - 9).toFloat max 1.0f)
-  private def nearDup(seed: Long): Array[Float] =
-    vec(seed).zipWithIndex.map { case (x, i) =>
-      (x * (1.0 + ((i * 7 + seed * 13) % 11 - 5) / 128.0)).toFloat }
+  import TestVectors.{vec, nearDup}
 
   test("incremental flags: dup vs store, within-batch dup, survivors append") {
     val name = "graft_estore_spec"

@@ -309,11 +309,7 @@ class OpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root.stripPrefix("file:")))
     EmbeddingStore.drop(spark, store)
-    def vec(seed: Long): Array[Float] =
-      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 19) - 9).toFloat max 1.0f)
-    def nearDup(seed: Long): Array[Float] =
-      vec(seed).zipWithIndex.map { case (x, i) =>
-        (x * (1.0 + ((i * 7 + seed * 13) % 11 - 5) / 128.0)).toFloat }
+    import TestVectors.{vec, nearDup}
     try {
       Orchestrator.corpusInitEmbeddings(spark, store)
       val day1 = Seq((1L, vec(1)), (2L, vec(2)), (3L, nearDup(1)))
