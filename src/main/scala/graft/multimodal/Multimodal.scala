@@ -369,8 +369,14 @@ object PngMath {
       ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
         ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
     val w = be(16); val h = be(20)
+    // w/h are UNTRUSTED bytes read as signed 32-bit: negative or huge
+    // values must reject, and the size check must run in Long — with
+    // Int arithmetic a hostile h × rowBytes overflows negative, slips
+    // past the guard, and the scanline loop reads out of bounds inside
+    // whole-stage codegen (found by the PropertySpec fuzz)
+    if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24)) return null
     val rowBytes = 1 + 3 * w
-    if (b.length < 48 + h * rowBytes) return null
+    if (b.length.toLong < 48L + h.toLong * rowBytes) return null
     val rw = (w + factor - 1) / factor
     val rh = (h + factor - 1) / factor
     var sum = 0L

@@ -117,4 +117,49 @@ class PropertySpec extends AnyFunSuite {
       assert(parsed.forall(_ == ld.toString), s"$variants -> ${parsed.toSeq}")
     }
   }
+
+  test("media byte kernels never throw on arbitrary bytes (codegen safety fuzz)") {
+    // these kernels execute INSIDE whole-stage codegen, where an
+    // uncaught exception kills the task (and with ANSI semantics, the
+    // query) — any malformed payload must come back as the kernel's
+    // reject value (0 / empty / null), never an
+    // ArrayIndexOutOfBounds/Negative-size throw. Three byte regimes:
+    // pure noise, noise behind valid magic (forces the parsers past
+    // their header checks), and truncations of VALID fixtures (every
+    // prefix length of real encoder output).
+    import graft.multimodal.{JpegMath, Multimodal, PngMath, WavMath}
+    def kernels(b: Array[Byte]): Unit = {
+      WavMath.sumSq(b)
+      WavMath.frameStats(b, 25)
+      PngMath.resizeStats(b, 2)
+      JpegMath.sof(b)
+    }
+    val noise = for {
+      n <- Gen.choose(0, 300)
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bytes.toArray
+    samples(noise, 300).foreach(kernels)
+    val riff = "RIFF".getBytes; val wave = "WAVE".getBytes
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    samples(noise, 300).foreach { tail =>
+      kernels(riff ++ tail)
+      kernels(riff ++ Array.fill[Byte](4)(0) ++ wave ++ tail)
+      kernels(pngSig ++ tail)
+      kernels(soi ++ tail)
+    }
+    for (id <- Seq(0L, 3L, 7L, 10L);
+         fix <- Seq(Multimodal.wavFixture(id), Multimodal.pngFixture(id),
+           Multimodal.jpegFixture(id));
+         n <- 0 to fix.length) {
+      kernels(fix.take(n))
+    }
+    // and single-byte corruptions of each valid fixture
+    for (fix <- Seq(Multimodal.wavFixture(1L), Multimodal.pngFixture(1L),
+           Multimodal.jpegFixture(1L));
+         i <- fix.indices) {
+      val c = fix.clone(); c(i) = (c(i) ^ 0xFF).toByte
+      kernels(c)
+    }
+  }
 }
