@@ -108,6 +108,51 @@ object EmbeddingStore {
     Similarity.signBitBands(base, dims, spec.planes, spec.bandBits)
       .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
 
+  /** Band-bucket candidates of `bBands` against the store, re-verified
+    * with the exact decimal cosine against the stored full-precision
+    * vectors: (new_id, other_id, cosine ≥ threshold). Both store joins
+    * read their tables on the bucket key — only the batch side
+    * shuffles.
+    */
+  private def crossVerified(spark: SparkSession, name: String,
+      v: DataFrame, bBands: DataFrame, threshold: Double): DataFrame = {
+    val cand = bBands.select(col("band_key"), col("vec_id").as("new_id"))
+      .join(spark.table(bandsTable(name))
+        .select(col("band_key"), col("vec_id").as("other_id")), "band_key")
+      .select("new_id", "other_id").distinct()
+    cand
+      .join(v.select(col("vec_id").as("new_id"), col("emb").as("ea"),
+        col("ns").as("na")), "new_id")
+      .join(spark.table(vecsTable(name))
+        .select(col("vec_id").as("other_id"), col("emb").as("eb"), col("ns").as("nb")),
+        "other_id")
+      .withColumn("cos_approx",
+        Similarity.cosine(Similarity.dotApprox(col("ea"), col("eb")),
+          col("na"), col("nb")))
+      .filter(col("cos_approx") >= threshold - 1e-6)
+      .withColumn("cosine",
+        Similarity.cosine(Similarity.dot(col("ea"), col("eb")),
+          col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Read-only cross-store near-dup pairs of a batch against the store:
+    * (hist_id, new_id, cosine) — the embedding analog of
+    * [[graft.dedup.SignatureStore.incrementalPairs]]. Nothing is
+    * appended; only the batch is banded and shuffled.
+    */
+  def incrementalPairs(spark: SparkSession, batch: DataFrame, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9): DataFrame = {
+    val meta = spark.table(metaTable(name)).head()
+    val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
+    val base = baseOf(batch, idCol, vecCol)
+    val dims = base.agg(max(size(col("emb")))).head().getInt(0)
+    val v = base.join(Similarity.normsOf(base), "vec_id")
+    crossVerified(spark, name, v, bandsOf(base, dims, spec), threshold)
+      .select(col("other_id").as("hist_id"), col("new_id"), col("cosine"))
+  }
+
   /** Band, hash, and store the historical corpus. One banding pass plus
     * one norm pass; every bucketed write repartitions onto its bucket
     * key first so a build emits `buckets` files per table, not
@@ -218,13 +263,7 @@ object EmbeddingStore {
 
       // 1. against the store: candidates from a band_key equi-join INTO
       // the store's bucketing (only the batch side shuffles)
-      val histCand = bBands.select(col("band_key"), col("vec_id").as("new_id"))
-        .join(spark.table(bandsTable(name))
-          .select(col("band_key"), col("vec_id").as("other_id")), "band_key")
-        .select("new_id", "other_id").distinct()
-      val histDup = verified(histCand,
-          spark.table(vecsTable(name))
-            .select(col("vec_id").as("other_id"), col("emb").as("eb"), col("ns").as("nb")))
+      val histDup = crossVerified(spark, name, v, bBands, threshold)
         .groupBy(col("new_id").as("vec_id"))
         .agg(min(col("other_id")).as("hist_dup_of"))
         .localCheckpoint(true)

@@ -56,6 +56,35 @@ class EmbeddingStoreSpec extends SparkSpec {
     } finally EmbeddingStore.drop(spark, name)
   }
 
+  test("incrementalPairs: read-only probe matches brute force; store reads stay bucketed") {
+    import org.apache.spark.sql.functions.col
+    val name = "graft_estore_plan_spec"
+    EmbeddingStore.drop(spark, name)
+    val hist = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding")
+    EmbeddingStore.build(spark, hist, name)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Seq((11L, nearDup(1)), (12L, vec(12))).toDF("vec_id", "embedding")
+      val pairs = EmbeddingStore.incrementalPairs(spark, batch, name)
+      assert(pairs.select("hist_id", "new_id").as[(Long, Long)].collect().toSet ==
+        Set((1L, 11L)))
+      val p = pairs.queryExecution.executedPlan.toString
+      // the 100 TB cadence property: the store's band and vector tables
+      // are read THROUGH their bucketing (no history-side reshuffle) —
+      // the batch side is the only exchange keyed on band_key
+      assert(p.contains("SelectedBucketsCount: 16 out of 16"),
+        p.linesIterator.take(40).mkString("\n"))
+      val bandKeyShuffles = raw"Exchange hashpartitioning\(band_key".r.findAllIn(p).size
+      assert(bandKeyShuffles == 1,
+        s"expected exactly one band_key shuffle (batch side), got $bandKeyShuffles:\n" +
+          p.linesIterator.take(60).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      EmbeddingStore.drop(spark, name)
+    }
+  }
+
   test("empty-history build: the first ingest dedupes within itself and seeds the store") {
     val name = "graft_estore_empty_spec"
     EmbeddingStore.drop(spark, name)
