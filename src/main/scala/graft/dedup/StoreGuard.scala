@@ -135,14 +135,40 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     * foreign-generation gate. Caller holds the lock.
     */
   private def doRollback(spark: SparkSession, snap: Set[String], trusted: Boolean): Unit = {
-    if (!trusted) genMarker(spark).foreach { case (n, uuid) =>
-      val markerInSnap = snap.exists(_.endsWith(s"_gen-$n-$uuid"))
-      if (!markerInSnap && !ownGens.contains(uuid))
-        sys.error(s"stale snapshot for store '$metaTable': generation $n ($uuid) " +
-          "was written by another process since the snapshot was taken — " +
-          "rolling back would delete that writer's appends")
-    }
     val conf = spark.sparkContext.hadoopConfiguration
+    if (!trusted) {
+      genMarker(spark).foreach { case (n, uuid) =>
+        val markerInSnap = snap.exists(_.endsWith(s"_gen-$n-$uuid"))
+        if (!markerInSnap && !ownGens.contains(uuid))
+          sys.error(s"stale snapshot for store '$metaTable': generation $n ($uuid) " +
+            "was written by another process since the snapshot was taken — " +
+            "rolling back would delete that writer's appends")
+      }
+      // the snapshot+rollback contract is APPEND-ONLY undo: it can only
+      // delete files added since the snapshot, never restore files that
+      // were deleted. A build/drop/reset since the snapshot deleted the
+      // snapshot's data files — "rolling back" across it would delete
+      // the rebuilt files too and silently EMPTY the store (the ownGens
+      // gate alone misses this: the destructive bump was ours). Gen
+      // markers are exempt — a legitimate bump deletes the old marker
+      // and the restore loop below re-creates it from its name.
+      val missing = tables.flatMap { t =>
+        val loc = tableLoc(spark, t)
+        val fs = loc.getFileSystem(conf)
+        val present: Set[String] =
+          if (!fs.exists(loc)) Set.empty
+          else fs.listStatus(loc).map(_.getPath.toString).toSet
+        snap.filter(_.startsWith(loc.toString + "/"))
+          .filterNot(present.contains)
+          .filterNot(s => GenRe.pattern.matcher(
+            new org.apache.hadoop.fs.Path(s).getName).matches())
+      }
+      if (missing.nonEmpty)
+        sys.error(s"cannot roll back store '$metaTable': ${missing.size} snapshot " +
+          s"file(s) no longer exist (e.g. ${missing.head}) — a build/drop/reset ran " +
+          "since the snapshot was taken, and rollback can only undo appends, not " +
+          "restore deleted files; rebuild the store from the source corpus instead")
+    }
     tables.foreach { t =>
       val loc = tableLoc(spark, t)
       val fs = loc.getFileSystem(conf)

@@ -147,7 +147,14 @@ object EmbeddingStore {
     val meta = spark.table(metaTable(name)).head()
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
     val base = baseOf(batch, idCol, vecCol)
-    val dims = base.agg(max(size(col("emb")))).head().getInt(0)
+    // an empty daily slice is a plausible input: the max-size aggregate
+    // is then a single null row, so mirror ingest's isNullAt guard and
+    // run the normal (empty) plan at ANY positive width — banding an
+    // empty base yields the empty result with the real output schema
+    val dimsRow = base.agg(max(size(col("emb")))).head()
+    val dims =
+      if (dimsRow.isNullAt(0)) math.max(meta.getAs[Int]("dims"), 1)
+      else dimsRow.getInt(0)
     val v = base.join(Similarity.normsOf(base), "vec_id")
     crossVerified(spark, name, v, bandsOf(base, dims, spec), threshold)
       .select(col("other_id").as("hist_id"), col("new_id"), col("cosine"))
@@ -215,17 +222,21 @@ object EmbeddingStore {
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9): DataFrame = locked(spark, name) {
+    val meta = spark.table(metaTable(name)).head()
+    val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
+    val buckets = meta.getAs[Int]("buckets")
+    val base = baseOf(batch, idCol, vecCol).localCheckpoint(true)
+    val ids = base.select("vec_id")
+    val dimsRow = base.agg(max(size(col("emb")))).head()
+    // emptiness check BEFORE the pending snapshot: an empty batch
+    // mutates nothing, so writing (and then never clearing) a pending
+    // file here would make a later recover() falsely report a crashed
+    // ingest on a clean store
+    if (dimsRow.isNullAt(0))
+      return ids.select(col("vec_id"), lit(false).as("is_dup"),
+        lit(null).cast("long").as("dup_of")).limit(0)
     guard(name).writePending(spark, snapshot(spark, name))
     locally {
-      val meta = spark.table(metaTable(name)).head()
-      val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
-      val buckets = meta.getAs[Int]("buckets")
-      val base = baseOf(batch, idCol, vecCol).localCheckpoint(true)
-      val ids = base.select("vec_id")
-      val dimsRow = base.agg(max(size(col("emb")))).head()
-      if (dimsRow.isNullAt(0))
-        return ids.select(col("vec_id"), lit(false).as("is_dup"),
-          lit(null).cast("long").as("dup_of")).limit(0)
       val dims = dimsRow.getInt(0)
       // an empty-history build pins dims = -1; the effective store dims
       // are then whatever the ACCUMULATED vectors have (one-row probe of

@@ -156,7 +156,26 @@ object IvfIndex {
     // so detection cannot distinguish winner from loser reliably.
     // Reservation removes the race instead of detecting it.
     val DeltaRe = raw"delta-(\d{5})".r
-    val ResRe = raw"_delta-(\d{5})\.reserved".r
+    // a writer that DIED between reservation and publish can't clean up
+    // after itself (the try/finally below covers every in-process
+    // failure, not process death) — without a GC each such death skips a
+    // number and leaks one marker forever. A marker is provably orphaned
+    // when its number has no published delta dir AND it is older than
+    // the grace period (a LIVE writer's staging never outlives the
+    // grace; default 6 h is >> any append). fs.delete on a marker a racy
+    // peer also saw is idempotent — worst case both delete it, and the
+    // reservation loop below re-races cleanly on createNewFile.
+    val graceMs = sys.props.get("graft.ivf.reservedGraceMs").map(_.toLong)
+      .getOrElse(6L * 3600 * 1000)
+    val nowMs = System.currentTimeMillis()
+    fs.listStatus(vd).foreach { st =>
+      st.getPath.getName match {
+        case ResRe(n) if !fs.exists(new org.apache.hadoop.fs.Path(vd, s"delta-$n")) &&
+            nowMs - st.getModificationTime > graceMs =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
     var next = fs.listStatus(vd).flatMap(_.getPath.getName match {
       case DeltaRe(n) => Some(n.toInt)
       case ResRe(n) => Some(n.toInt)
@@ -164,30 +183,33 @@ object IvfIndex {
     }).foldLeft(0)(math.max) + 1
     while (!fs.createNewFile(new org.apache.hadoop.fs.Path(vd, f"_delta-$next%05d.reserved")))
       next += 1 // another writer holds this number — take the next one
-    val tmp = new org.apache.hadoop.fs.Path(vd, s"tmp-${java.util.UUID.randomUUID()}")
-    // cluster by cell before the partitioned write (the build rule):
-    // one file per touched cell, not one per (task, cell)
-    v.repartition(col("cell")).write.partitionBy("cell").parquet(tmp.toString)
-    val dst = new org.apache.hadoop.fs.Path(vd, f"delta-$next%05d")
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, true)
-      sys.error(s"failed to publish delta $next at $vd (rename refused)")
-    }
-    // belt-and-suspenders: with the number reserved, dst cannot have
-    // pre-existed, so the published dir must hold exactly the
-    // partitioned-write layout — anything else is an FS anomaly worth
-    // failing loudly over rather than serving corrupt partitions
-    val children = fs.listStatus(dst).map(_.getPath.getName)
-    require(children.forall(n => n.startsWith("cell=") || n.startsWith("_")),
-      s"delta $next at $vd has non-partition children after publish: " +
-        children.filterNot(n => n.startsWith("cell=") || n.startsWith("_")).mkString(","))
-    // once the delta dir exists it occupies the number for every future
-    // `next` computation, so the reservation marker is redundant —
-    // delete it to keep the version dir from accumulating one stale
-    // marker per append forever
-    fs.delete(new org.apache.hadoop.fs.Path(vd, f"_delta-$next%05d.reserved"), false)
+    // from here the marker is OURS: every exit path below (publish,
+    // refused rename, layout anomaly) must release it — once the delta
+    // dir exists it occupies the number for every future `next`
+    // computation, and on failure the number is simply free again
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(vd, s"tmp-${java.util.UUID.randomUUID()}")
+      // cluster by cell before the partitioned write (the build rule):
+      // one file per touched cell, not one per (task, cell)
+      v.repartition(col("cell")).write.partitionBy("cell").parquet(tmp.toString)
+      val dst = new org.apache.hadoop.fs.Path(vd, f"delta-$next%05d")
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, true)
+        sys.error(s"failed to publish delta $next at $vd (rename refused)")
+      }
+      // belt-and-suspenders: with the number reserved, dst cannot have
+      // pre-existed, so the published dir must hold exactly the
+      // partitioned-write layout — anything else is an FS anomaly worth
+      // failing loudly over rather than serving corrupt partitions
+      val children = fs.listStatus(dst).map(_.getPath.getName)
+      require(children.forall(n => n.startsWith("cell=") || n.startsWith("_")),
+        s"delta $next at $vd has non-partition children after publish: " +
+          children.filterNot(n => n.startsWith("cell=") || n.startsWith("_")).mkString(","))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(vd, f"_delta-$next%05d.reserved"), false)
     next
   }
+
+  private val ResRe = raw"_delta-(\d{5})\.reserved".r
 
   /** All vector dirs of a version — the base `vectors/` plus any
     * published `delta-<n>` appends, in publish order.

@@ -85,6 +85,58 @@ class EmbeddingStoreSpec extends SparkSpec {
     }
   }
 
+  test("empty batch: incrementalPairs answers (no NPE) and ingest leaves no stale pending") {
+    val name = "graft_estore_emptybatch_spec"
+    EmbeddingStore.drop(spark, name)
+    val hist = Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+    EmbeddingStore.build(spark, hist, name)
+    try {
+      val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      // the read-only probe on an empty daily slice: empty result with
+      // the real output schema, not an NPE off the null max-size row
+      val pairs = EmbeddingStore.incrementalPairs(spark, empty, name)
+      assert(pairs.columns.toSeq == Seq("hist_id", "new_id", "cosine"))
+      assert(pairs.count() == 0)
+      // an empty-batch ingest mutates nothing and must not leave a
+      // pending file behind: a later recover() on the clean store is a
+      // no-op, not a false crashed-ingest report
+      val before = EmbeddingStore.snapshot(spark, name)
+      val flags = EmbeddingStore.ingest(spark, empty, name)
+      assert(flags.count() == 0)
+      assert(EmbeddingStore.snapshot(spark, name) == before)
+      assert(!EmbeddingStore.recover(spark, name),
+        "empty-batch ingest left a stale pending file")
+      // and the store still answers a real probe afterwards
+      val live = EmbeddingStore.incrementalPairs(spark,
+        Seq((11L, nearDup(1))).toDF("vec_id", "embedding"), name)
+      assert(live.select("hist_id", "new_id").as[(Long, Long)].collect().toSet ==
+        Set((1L, 11L)))
+    } finally EmbeddingStore.drop(spark, name)
+  }
+
+  test("rollback refuses across a build: snapshot files were deleted, undo-appends " +
+      "cannot restore them") {
+    val name = "graft_estore_rebuild_spec"
+    EmbeddingStore.drop(spark, name)
+    EmbeddingStore.build(spark,
+      Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding"), name)
+    try {
+      val snap = EmbeddingStore.snapshot(spark, name)
+      // an own-process rebuild DELETES the snapshot's files before
+      // writing fresh ones — the ownGens gate alone would let a rollback
+      // delete the rebuilt files too and silently empty the store
+      EmbeddingStore.build(spark,
+        Seq((3L, vec(3))).toDF("vec_id", "embedding"), name)
+      val e = intercept[RuntimeException](EmbeddingStore.rollback(spark, name, snap))
+      assert(e.getMessage.contains("can only undo appends"), e.getMessage)
+      // the refusal left the rebuilt store fully intact and unlocked
+      assert(spark.table(EmbeddingStore.vecsTable(name)).count() == 1)
+      EmbeddingStore.ingest(spark,
+        Seq((4L, vec(4))).toDF("vec_id", "embedding"), name)
+      assert(spark.table(EmbeddingStore.vecsTable(name)).count() == 2)
+    } finally EmbeddingStore.drop(spark, name)
+  }
+
   test("empty-history build: the first ingest dedupes within itself and seeds the store") {
     val name = "graft_estore_empty_spec"
     EmbeddingStore.drop(spark, name)

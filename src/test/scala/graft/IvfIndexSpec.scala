@@ -184,4 +184,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.topK(spark, root, emb.filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 5, probes = 2).count() > 0)
   }
+
+  test("append reservations: orphans past the grace period are GC'd, live ones " +
+      "are respected, a publish releases its own marker") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-gc").toString + "/idx"
+    val corpus = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "cell")
+    IvfIndex.build(corpus, "vec_id", "embedding", "cell", root)
+    val vd = new java.io.File(s"$root/v00001")
+    // a DEAD writer's leftover: a reserved number with no delta dir,
+    // older than the grace period — must be GC'd by the next append
+    val orphan = new java.io.File(vd, "_delta-00007.reserved")
+    assert(orphan.createNewFile())
+    assert(orphan.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000))
+    // a FRESH marker (a live concurrent writer mid-staging) must survive
+    // the GC and keep its number reserved
+    val live = new java.io.File(vd, "_delta-00009.reserved")
+    assert(live.createNewFile())
+    val batch = Seq((3L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val n = IvfIndex.append(batch, "vec_id", "embedding", root)
+    assert(!orphan.exists(), "orphaned reservation was not GC'd")
+    assert(live.exists(), "a live (fresh) reservation was GC'd")
+    assert(n == 10, s"append took number $n, expected 10 (past the live reservation)")
+    assert(new java.io.File(vd, "delta-00010").isDirectory)
+    assert(!new java.io.File(vd, "_delta-00010.reserved").exists(),
+      "publish did not release its own reservation marker")
+    live.delete()
+  }
 }
