@@ -110,6 +110,35 @@ object Runner {
       return
     }
 
+    if (opts.contains("maintain-store") || opts.contains("maintain-store-emb")) {
+      // store maintenance: compact a signature/embedding store's
+      // bucketed tables back to ~`buckets` files each (a year of daily
+      // ingests is ~365 files/bucket with no remediation — the store
+      // analog of --maintain's versioned-root compaction). Runs under
+      // the store lock, so it fails fast against a live ingest.
+      def report(store: String, tables: Seq[String], run: () => Unit): Unit = {
+        def files = tables.map(graft.dedup.StoreGuard.dataFileCount(spark, _)).sum
+        val before = files
+        run()
+        println(f"[maintain-store] $store%-14s data files $before%4d -> $files%4d " +
+          s"(${tables.size} tables)")
+      }
+      opts.get("maintain-store").foreach { store =>
+        graft.dedup.SignatureStore.ensureRegistered(spark, store)
+        import graft.dedup.SignatureStore._
+        report(store, Seq(bandsTable(store), shinglesTable(store), sizesTable(store)),
+          () => compact(spark, store))
+      }
+      opts.get("maintain-store-emb").foreach { store =>
+        graft.similarity.EmbeddingStore.ensureRegistered(spark, store)
+        import graft.similarity.EmbeddingStore._
+        report(store, Seq(bandsTable(store), vecsTable(store)),
+          () => compact(spark, store))
+      }
+      spark.stop()
+      return
+    }
+
     if (opts.contains("corpus-init") || opts.contains("corpus-ingest") ||
         opts.contains("corpus-init-emb") || opts.contains("corpus-ingest-emb")) {
       // training-corpus dedup through the same ops surface as the five
@@ -172,7 +201,11 @@ object Runner {
             f"slicer=${r.slicer}" + r.error.map(e => s"  FAILED: $e").getOrElse("")),
         onMaintain = m =>
           println(f"[sched] maintain ${m.pipeline}%-14s compacted=${m.compactedPartitions} " +
-            f"skipped=${m.skipped}"))
+            f"skipped=${m.skipped}"),
+        // --store a,b / --store-emb c: corpus stores compacted in the
+        // same monthly maintenance slot as the versioned pipeline roots
+        corpusStores = opts.get("store").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        embeddingStores = opts.get("store-emb").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
       println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
       new Scheduler.Loop(jobs).run(maxFires)
       spark.stop()

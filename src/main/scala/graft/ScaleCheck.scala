@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-proof harness (not part of the driver contract):
+  *
+  * {{{
+  * runMain graft.ScaleCheck [baseDir] [factor] [outJson] [q1,q2,...]
+  * }}}
+  *
+  * Every 100 TB design claim in SURVEY.md is plan-pinned at sf0.1
+  * (~600k fact rows) — this main is the EXECUTED evidence at `factor`×
+  * that size. It does two things:
+  *
+  * 1. Synthesizes a `factor`× corpus from `baseDir` into a scratch dir
+  *    (`/tmp/graft_scale/x<factor>`, once — marker-gated). Each scaling
+  *    table is a union of `factor` key-shifted copies (stride 2^40, far
+  *    above any base key), so every foreign key still resolves within
+  *    its copy and the join/group structure is exactly `factor`× the
+  *    base. Two tables need more than a key shift to keep the EXPECTED
+  *    OPERATOR OUTPUT linear in `factor` — otherwise the check would
+  *    measure a data artifact, not the engine:
+  *      - documents: copy c>0 suffixes every whitespace token with
+  *        `zz<c>`, so shingles/k-grams never collide across copies —
+  *        each copy reproduces the base corpus's dup structure and NO
+  *        cross-copy near-dups exist (verbatim replication would make
+  *        every doc a 10-way dup and blow the pair space quadratically);
+  *      - embeddings: copy c>0 applies a deterministic per-(copy, dim)
+  *        sign-flip mask (`hash(j, c) % 2`). A sign flip is exactly
+  *        orthogonal: within-copy cosines/norms are preserved
+  *        bit-for-bit (each copy reproduces the base near-dup pairs) and
+  *        cross-copy dot products are Rademacher-masked, concentrating
+  *        near 0 — no cross-copy pairs at any sane threshold.
+  *    Dimensions (region, nation) don't scale, matching TPC-H.
+  * 2. Runs each named query at base and at scale with the Bench
+  *    discipline (noop sink so no column is pruned, per-run watchdog
+  *    with job-group cancel, cold cache between runs, min of 2) and
+  *    records wall time plus the executed-plan scan/shuffle/spill
+  *    rollups from [[ops.Ops.planMetrics]]. The artifact (one JSON
+  *    object) lands at `outJson` with per-query
+  *    `{base_s, scaled_s, ratio, base/scaled metrics}` — a ratio well
+  *    under `factor` (constant-output aggregates) or ~`factor`
+  *    (linear-output operators) is a pass; super-linear is a defect to
+  *    diagnose, not a number to file away.
+  */
+object ScaleCheck {
+
+  /** Long id columns to shift per copy; every other column is carried. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val Stride = 1L << 40
+
+  private def copyOf(base: DataFrame, table: String, c: Int): DataFrame = {
+    val shifted = keyCols(table).foldLeft(base)((d, k) =>
+      d.withColumn(k, col(k) + lit(c * Stride)))
+    table match {
+      case _ if c == 0 => base
+      case "documents" =>
+        shifted
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1zz" + c))
+          .withColumn("n_chars", length(col("text")))
+      case "embeddings" =>
+        shifted.withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> IF(pmod(hash(j, $c), 2) = 0, x, -x))"))
+      case _ => shifted
+    }
+  }
+
+  /** Write the scaled corpus once; a marker file gates re-synthesis so
+    * repeated runs (and resumed sessions) reuse the same bytes.
+    */
+  def synthesize(spark: SparkSession, baseDir: String, scaleDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(s"$scaleDir/_SCALE_OK")
+    if (marker.exists()) return
+    new java.io.File(scaleDir).mkdirs()
+    for (t <- Tables.names) {
+      val base =
+        if (t == "events") Tables.events(spark, baseDir) // ts normalized to µs
+        else Tables(spark, baseDir, t)
+      val out =
+        if (!keyCols.contains(t)) base // region/nation: dimensions don't scale
+        else (0 until factor).map(copyOf(base, t, _)).reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$scaleDir/$t.parquet")
+      System.err.println(s"[scale] wrote $scaleDir/$t.parquet")
+    }
+    require(marker.createNewFile(), s"could not create $marker")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("/root/repo/SCALECHECK.json")
+    val names = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq(
+      "q11_daily_sales_wide", "e11_sales_channel_e2e", "e12_offers_e2e",
+      "d02_ngram_jaccard", "d05_embedding_neardup", "d08_ingest_flags",
+      "s06_embedding_store_ingest", "d12_substring_dedup", "d13_substring_cut",
+      "s03_ivf_index_topk", "st02_sessionization"))
+    val scaleDir = s"/tmp/graft_scale/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val watchdogSec = sys.env.get("SPARK_GRAFT_WATCHDOG_SEC").map(_.toInt).getOrElse(600)
+
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    synthesize(spark, baseDir, scaleDir, factor)
+
+    // plan-metric accumulator, reset per timed window (Bench pattern)
+    val metricSums = new java.util.concurrent.atomic.AtomicReference(Map.empty[String, Long])
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def add(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val m = ops.Ops.planMetrics(qe)
+        metricSums.updateAndGet(cur => (cur.keySet ++ m.keySet).iterator
+          .map(k => k -> (cur.getOrElse(k, 0L) + m.getOrElse(k, 0L))).toMap); ()
+      }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = add(qe)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = add(qe)
+    })
+
+    def once(name: String, body: () => Unit): Either[String, Double] = {
+      val group = s"scale-$name"
+      val task = new java.util.concurrent.FutureTask[Either[String, Double]](() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try {
+          val t0 = System.nanoTime()
+          body()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          spark.catalog.clearCache()
+        }
+      })
+      val th = new Thread(task, s"scale-run-$name"); th.setDaemon(true); th.start()
+      try task.get(watchdogSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          spark.catalog.clearCache()
+          Left(s"timeout>${watchdogSec}s")
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    }
+
+    /** (min seconds over 2 runs | error, per-run-avg metric rollup). */
+    def measure(q: QueryDef, dir: String): (Either[String, Double], Map[String, Long]) = {
+      q.prepare.foreach { p =>
+        once(s"${q.name}-prepare", () => p(spark, dir)).left.foreach(err =>
+          System.err.println(s"[scale] ${q.name} prepare failed: $err"))
+      }
+      metricSums.set(Map.empty)
+      def run() = once(q.name,
+        () => q.query(spark, dir).write.mode("overwrite").format("noop").save())
+      val r = run() match {
+        case Right(t1) => run().fold(Left(_), t2 => Right(math.min(t1, t2)))
+        case l => l
+      }
+      Thread.sleep(200) // listener-bus drain grace
+      (r, metricSums.get().map { case (k, v) => k -> v / 2 })
+    }
+
+    val interesting = Seq("numFiles", "filesSize", "shuffleRecordsWritten",
+      "shuffleBytesWritten", "spillSize", "numOutputRows")
+    def jMetrics(m: Map[String, Long]): String =
+      interesting.map(k => s""""$k":${m.getOrElse(k, 0L)}""").mkString("{", ",", "}")
+
+    val rows = names.map { n =>
+      val q = Queries.byName.getOrElse(n, sys.error(s"unknown query $n"))
+      val (rb, mb) = measure(q, baseDir)
+      val (rs, ms) = measure(q, scaleDir)
+      val ratio = for (b <- rb.toOption; s <- rs.toOption) yield s / b
+      System.err.println(f"[scale] $n%-28s base=${rb.fold(identity[String], t => f"$t%.2fs")}%-10s " +
+        f"x$factor=${rs.fold(identity[String], t => f"$t%.2fs")}%-10s " +
+        s"ratio=${ratio.map(r => f"$r%.2f").getOrElse("-")} " +
+        s"shuffleMiB ${mb.getOrElse("shuffleBytesWritten", 0L) / 1048576}->" +
+        s"${ms.getOrElse("shuffleBytesWritten", 0L) / 1048576} " +
+        s"spillMiB ${mb.getOrElse("spillSize", 0L) / 1048576}->" +
+        s"${ms.getOrElse("spillSize", 0L) / 1048576}")
+      val bs = rb.fold(e => s""""error":"${e.replace("\"", "'")}"""", t => f""""sec":$t%.3f""")
+      val ss = rs.fold(e => s""""error":"${e.replace("\"", "'")}"""", t => f""""sec":$t%.3f""")
+      s""""$n":{"base":{$bs,"metrics":${jMetrics(mb)}},""" +
+        s""""scaled":{$ss,"metrics":${jMetrics(ms)}},""" +
+        s""""ratio":${ratio.map(r => f"$r%.3f").getOrElse("null")}}"""
+    }
+    val artifact = s"""{"factor":$factor,"base_dir":"$baseDir","scale_dir":"$scaleDir",""" +
+      s""""cpus":$cpus,"queries":{${rows.mkString(",")}}}"""
+    val w = new java.io.PrintWriter(outJson); try w.println(artifact) finally w.close()
+    System.err.println(s"[scale] artifact -> $outJson")
+    spark.stop()
+  }
+}

@@ -172,6 +172,29 @@ object SignatureStore {
     guard(name).bumpGen(spark) // generation 1 — this build is "ours"
   }
 
+  /** Maintenance compaction (`Runner --maintain-store`): rewrite the
+    * store's bucketed tables down to ~`buckets` files each WITHOUT
+    * changing content — a year of daily ingests is ~365 files per
+    * bucket otherwise, taxing every probe's file listing. Runs under
+    * the single-writer lock (a live ingest fails fast against it and
+    * vice versa) and bumps the generation marker once, after all three
+    * tables swapped: compaction deletes old files, so pre-compaction
+    * snapshots become non-rollbackable — rollback's missing-file
+    * refusal turns that into a loud error instead of a silent
+    * store-emptying. Content-preserving by construction (one bucketed
+    * rewrite per table, same bucket spec), so probe/ingest results are
+    * unchanged; the monthly [[build]] from the full corpus remains the
+    * deeper maintenance that also re-applies the df cap corpus-wide.
+    */
+  def compact(spark: SparkSession, name: String): Unit = locked(spark, name) {
+    val buckets = spark.table(metaTable(name)).head().getAs[Int]("buckets")
+    Seq(bandsTable(name) -> "band_key", shinglesTable(name) -> "doc_id",
+        sizesTable(name) -> "doc_id").foreach { case (t, c) =>
+      StoreGuard.compactTable(spark, t, c, buckets)
+    }
+    guard(name).bumpGen(spark)
+  }
+
   /** Drop the store's tables and their locations (idempotent). */
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(reset(spark, _))

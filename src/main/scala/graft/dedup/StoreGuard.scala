@@ -260,4 +260,76 @@ private[graft] object StoreGuard {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
+
+  /** Rewrite a bucketed store table's files down to ~`buckets` files
+    * WITHOUT changing content — the maintenance answer to bucket-aligned
+    * daily appends (a year of ingests is ~365 files per bucket with no
+    * remediation). One read + one bucketed write through a staged
+    * sibling table, then an atomic directory swap: the I/O is exactly
+    * the 2×|table| a compaction must pay, with no executor-storage pin
+    * of the store, so the shape holds at any store size. The caller
+    * holds the store's single-writer lock and bumps the generation
+    * marker once ALL its tables are swapped (compaction deletes old
+    * files, so it is a non-append mutation: earlier snapshots become
+    * non-rollbackable, which rollback's missing-file refusal enforces).
+    *
+    * Crash safety: the staged table is written COMPLETELY before the
+    * original is touched; the only window without a live table dir is
+    * between the reset and the rename (two driver-side FS calls). A
+    * compactor that died in that window left the staged dir as the sole
+    * copy — a re-run detects (staged present, table dir absent) and
+    * resumes at the swap instead of re-staging, because the entry reset
+    * would otherwise delete that only copy.
+    */
+  def compactTable(spark: SparkSession, table: String, bucketCol: String,
+      buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val staged = s"${table}__compacting"
+    def loc(t: String) = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val (src, dst) = (loc(staged), loc(table))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resumingSwap = fs.exists(src) && !fs.exists(dst)
+    // already at the write-time floor (one file per bucket per write) —
+    // nothing to compact, and skipping keeps the empty-store edge (a
+    // zero-file bucketed write stages no readable parquet) out entirely
+    if (!resumingSwap && dataFileCount(spark, table) <= buckets) return
+    if (!resumingSwap) {
+      resetTable(spark, staged) // a dead compactor's half-written staging
+      spark.table(table)
+        .repartition(buckets, col(bucketCol))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(staged)
+      resetTable(spark, table) // content now lives ONLY in the staged dir
+    }
+    require(fs.rename(src, dst), s"compaction swap failed: rename $src -> $dst refused")
+    // fs.rename returns TRUE when dst exists by nesting src INSIDE it —
+    // the reset deleted dst, but verify anyway (the IvfIndex publish rule)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dst, src.getName)),
+      s"compaction swap nested $src inside $dst — dst existed at rename time")
+    // catalog: the staged entry now points at a moved dir (its drop is
+    // metadata-only); the table is re-declared over the swapped files
+    // with the same bucket spec so reads keep their shuffle-free joins
+    spark.sql(s"DROP TABLE IF EXISTS `$staged`")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`") // belt: a stale pre-swap entry
+    val cols = spark.read.parquet(dst.toString).schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
+      s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS " +
+      s"LOCATION '$dst'")
+  }
+
+  /** Parquet data files currently under a store table's location —
+    * the number maintenance exists to bound.
+    */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+  }
 }

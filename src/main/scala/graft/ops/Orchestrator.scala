@@ -350,14 +350,27 @@ object Orchestrator {
       sink: VersionedSink = VersionedSink(), retainVersions: Int = 7,
       notifier: Option[Notifier.Config] = None,
       onResult: RunResult => Unit = _ => (),
-      onMaintain: MaintainResult => Unit = _ => ()): Seq[Scheduler.Job] =
+      onMaintain: MaintainResult => Unit = _ => (),
+      corpusStores: Seq[String] = Nil,
+      embeddingStores: Seq[String] = Nil): Seq[Scheduler.Job] =
     Scheduler.referenceJobs(
       runIncremental = () =>
         runAll(spark, sfDir, Rolling(14), notifier, sink).foreach(onResult),
       runFull = () =>
         runAll(spark, sfDir, Full, notifier, sink).foreach(onResult),
-      runMaintenance = Some(() =>
-        pipelines.foreach(p => onMaintain(maintain(spark, p, retainVersions, sink)))))
+      runMaintenance = Some(() => {
+        pipelines.foreach(p => onMaintain(maintain(spark, p, retainVersions, sink)))
+        // the corpus stores ride the same monthly slot: a year of daily
+        // ingests is ~365 bucket-aligned files per bucket otherwise
+        corpusStores.foreach { s =>
+          graft.dedup.SignatureStore.ensureRegistered(spark, s)
+          graft.dedup.SignatureStore.compact(spark, s)
+        }
+        embeddingStores.foreach { s =>
+          graft.similarity.EmbeddingStore.ensureRegistered(spark, s)
+          graft.similarity.EmbeddingStore.compact(spark, s)
+        }
+      }))
 
   final case class MaintainResult(pipeline: String, root: String,
       compactedPartitions: Int, retainedVersions: Int, skipped: Boolean)

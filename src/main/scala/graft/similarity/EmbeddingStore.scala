@@ -92,6 +92,20 @@ object EmbeddingStore {
       "`vec_id` BIGINT, `emb` ARRAY<DOUBLE>, `ns` DOUBLE", buckets)
   }
 
+  /** Maintenance compaction (`Runner --maintain-store-emb`): rewrite the
+    * bands and vectors tables down to ~`buckets` files each without
+    * changing content — the same cadence and guarantees as
+    * [[graft.dedup.SignatureStore.compact]] (single-writer lock, one
+    * generation bump after both swaps, pre-compaction snapshots become
+    * non-rollbackable by rollback's missing-file refusal).
+    */
+  def compact(spark: SparkSession, name: String): Unit = locked(spark, name) {
+    val buckets = spark.table(metaTable(name)).head().getAs[Int]("buckets")
+    Seq(bandsTable(name) -> "band_key", vecsTable(name) -> "vec_id")
+      .foreach { case (t, c) => StoreGuard.compactTable(spark, t, c, buckets) }
+    guard(name).bumpGen(spark)
+  }
+
   /** Drop the store's tables and their locations (idempotent). */
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(StoreGuard.resetTable(spark, _))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import scala.xml.{Elem, XML}
+import scala.xml.Elem
 
 /** A8 — Excel (.xlsx) scan with the reference's semantics
   * (`/root/reference/load_store_hours.py:64-108`): named sheet, first
@@ -43,11 +43,20 @@ object ExcelSource {
     */
   def readRows(path: String, sheetName: String): Seq[Seq[Option[String]]] = {
     val zf = new java.util.zip.ZipFile(path)
+    // xlsx parts are USER-SUPPLIED zip entries: parse through SecureXml
+    // (DOCTYPE/XXE rejected loudly) behind a decompression cap — the zip
+    // header's size field is attacker-controlled, so bytes are counted
+    // as read. Entries are looked up by NAME inside the archive and
+    // never extracted to disk, so a `../`-bearing rels target can only
+    // miss (→ "missing sheet part"), never traverse the filesystem.
+    val partCap = sys.props.get("graft.xlsx.maxPartBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
     try {
       def part(name: String): Option[Elem] =
         Option(zf.getEntry(name)).map { e =>
-          val in = zf.getInputStream(e)
-          try XML.load(in) finally in.close()
+          val in = new SecureXml.BoundedInputStream(
+            zf.getInputStream(e), partCap, s"$path!$name")
+          try SecureXml.load(in, s"$path!$name") finally in.close()
         }
       val wb = part("xl/workbook.xml")
         .getOrElse(throw new IllegalArgumentException(s"$path: not an xlsx (no workbook part)"))

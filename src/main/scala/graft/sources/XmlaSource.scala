@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import scala.util.matching.Regex
-import scala.xml.{Elem, XML}
 
 /** XMLA mddataset source — the full decode path of the reference's cube
   * extraction (`/root/reference/modules/olap.py:48-160` and
@@ -39,10 +38,13 @@ object XmlaSource {
       cells: Seq[(Long, String)])
 
   /** Parse the mddataset XML (namespace-agnostic, like the reference's
-    * `{urn:...mddataset}`-qualified lookups).
+    * `{urn:...mddataset}`-qualified lookups). The response comes from a
+    * REMOTE server, so it parses through [[SecureXml]]: a
+    * DOCTYPE-bearing or malformed response fails loudly instead of
+    * resolving entities (XXE/entity-bomb surface).
     */
   def parse(xml: String, dims: Seq[DimMapping]): Parsed = {
-    val root = XML.loadString(xml)
+    val root = SecureXml.loadString(xml, "xmla response")
     val axes = (root \\ "Axis")
     def tuplesOf(axisName: String) =
       axes.filter(a => (a \ "@name").text == axisName).flatMap(_ \\ "Tuple")
