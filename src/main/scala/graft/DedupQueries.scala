@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, SignatureStore}
+import graft.functions.{Oracle => O}
 import graft.similarity.Similarity
 
 /** Deduplication query family (SURVEY.md §2.H): exact, n-gram Jaccard,
@@ -293,7 +294,7 @@ object DedupQueries {
       Similarity.lshCosinePairs(base.unionByName(copies),
         "vec_id", "embedding", threshold = 0.9)
     },
-    Some("""
+    Some(s"""
       WITH ex0 AS (
         SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
         FROM embeddings),
@@ -307,19 +308,22 @@ object DedupQueries {
           CAST(CAST(val * (1.0 + CAST(((pos-1) * 7919 + vec_id * 104729) % 11 - 5 AS DOUBLE) / 128.0)
             AS REAL) AS DOUBLE) AS val
         FROM exb WHERE vec_id % 5 = 0),
+      geo AS (
+        ${O.lshGeo("""SELECT (SELECT count(*) FROM embeddings)
+                    + (SELECT count(*) FROM embeddings WHERE vec_id % 5 = 0)""")}),
       w AS (
         SELECT p, pos,
           CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 15))::BIGINT
             % 2000001 - 1000000 AS DOUBLE) AS wt
-        FROM (SELECT unnest(range(0, 32)) AS p)
+        FROM (SELECT unnest(range(0, (SELECT b * r FROM geo))) AS p)
         CROSS JOIN (SELECT DISTINCT pos FROM ex0)),
       proj AS (
         SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
         FROM ex e JOIN w ON w.pos = e.pos
         GROUP BY 1, 2),
       bands AS (
-        SELECT vec_id, CAST(FLOOR(p / 8) AS INTEGER) AS band,
-          SUM(CASE WHEN pr >= 0 THEN (1 << (CAST(p AS INTEGER) % 8)) ELSE 0 END) AS band_hash
+        SELECT vec_id, CAST(FLOOR(p / (SELECT r FROM geo)) AS INTEGER) AS band,
+          SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << (CAST(p AS INTEGER) % (SELECT r FROM geo))) ELSE 0 END) AS band_hash
         FROM proj GROUP BY 1, 2),
       okb AS (
         SELECT band, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),

@@ -539,7 +539,7 @@ object SimilarityQueries {
       try EmbeddingStore.ingest(s, batch, name)
       finally EmbeddingStore.rollback(s, name, snap)
     },
-    Some("""
+    Some(s"""
       WITH RECURSIVE ex0 AS (
         SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
         FROM embeddings),
@@ -559,25 +559,27 @@ object SimilarityQueries {
           CAST(CAST(val * (1.0 + CAST(((pos-1) * 7919 + vec_id * 104729) % 11 - 5 AS DOUBLE) / 128.0)
             AS REAL) AS DOUBLE) AS val
         FROM exb WHERE vec_id % 9 = 0),
+      geo AS (
+        ${O.lshGeo("SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0")}),
       w AS (
         SELECT p, pos,
           CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 15))::BIGINT
             % 2000001 - 1000000 AS DOUBLE) AS wt
-        FROM (SELECT unnest(range(0, 32)) AS p)
+        FROM (SELECT unnest(range(0, (SELECT b * r FROM geo))) AS p)
         CROSS JOIN (SELECT DISTINCT pos FROM ex0)),
       hproj AS (
         SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
         FROM hex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
       hbands AS (
-        SELECT vec_id, CAST(FLOOR(p / 8) AS INTEGER) AS band,
-          SUM(CASE WHEN pr >= 0 THEN (1 << (CAST(p AS INTEGER) % 8)) ELSE 0 END) AS band_hash
+        SELECT vec_id, CAST(FLOOR(p / (SELECT r FROM geo)) AS INTEGER) AS band,
+          SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << (CAST(p AS INTEGER) % (SELECT r FROM geo))) ELSE 0 END) AS band_hash
         FROM hproj GROUP BY 1, 2),
       bproj AS (
         SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
         FROM bex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
       bbands AS (
-        SELECT vec_id, CAST(FLOOR(p / 8) AS INTEGER) AS band,
-          SUM(CASE WHEN pr >= 0 THEN (1 << (CAST(p AS INTEGER) % 8)) ELSE 0 END) AS band_hash
+        SELECT vec_id, CAST(FLOOR(p / (SELECT r FROM geo)) AS INTEGER) AS band,
+          SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << (CAST(p AS INTEGER) % (SELECT r FROM geo))) ELSE 0 END) AS band_hash
         FROM bproj GROUP BY 1, 2),
       hvn AS (
         SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS ns

@@ -33,7 +33,22 @@ import graft.dedup.{Dedup, StoreGuard}
   */
 object EmbeddingStore {
 
-  final case class Spec(planes: Int = 32, bandBits: Int = 8)
+  /** Band geometry. The default (0, 0) means DERIVE from the history
+    * size at build time via [[Similarity.lshSpecFor]] — the adaptive
+    * key space that keeps the candidate join's collision term linear in
+    * corpus size (a fixed 4×8-bit space measured 49× shuffle growth for
+    * 10× data in SCALECHECK r12). The RESOLVED values are pinned in
+    * `_emeta`, and every later ingest/probe reads them back from there,
+    * so a store never changes geometry mid-life: history bands and any
+    * later batch's bands agree by construction.
+    */
+  final case class Spec(planes: Int = 0, bandBits: Int = 0) {
+    require((planes == 0) == (bandBits == 0),
+      "pass both planes and bandBits, or neither (derive from history size)")
+    def resolve(n: Long): Spec =
+      if (planes > 0) this
+      else { val (p, r) = Similarity.lshSpecFor(n); Spec(p, r) }
+  }
 
   def bandsTable(name: String): String = s"${name}_ebands"
   def vecsTable(name: String): String = s"${name}_evecs"
@@ -185,12 +200,15 @@ object EmbeddingStore {
     import spark.implicits._
     allTables(name).foreach(StoreGuard.resetTable(spark, _))
     val base = baseOf(history, idCol, vecCol).localCheckpoint(true)
-    val dims = base.agg(max(size(col("emb")))).head() match {
-      case r if r.isNullAt(0) => -1 // empty history: first ingest sets dims
-      case r => r.getInt(0)
-    }
+    // one control-plane probe: history size (drives the adaptive band
+    // geometry) and width
+    val probeRow = base.agg(count(lit(1)), max(size(col("emb")))).head()
+    val dims =
+      if (probeRow.isNullAt(1)) -1 // empty history: first ingest sets dims
+      else probeRow.getInt(1)
+    val spec0 = spec.resolve(probeRow.getLong(0))
     if (dims > 0) {
-      bandsOf(base, dims, spec)
+      bandsOf(base, dims, spec0)
         .repartition(buckets, col("band_key"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "band_key").sortBy("band_key")
@@ -213,7 +231,7 @@ object EmbeddingStore {
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(vecsTable(name))
     }
-    Seq((spec.planes, spec.bandBits, buckets, dims))
+    Seq((spec0.planes, spec0.bandBits, buckets, dims))
       .toDF("planes", "band_bits", "buckets", "dims")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
     guard(name).bumpGen(spark)

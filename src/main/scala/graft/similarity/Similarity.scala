@@ -73,13 +73,13 @@ object Similarity {
     *
     * Tuning math (Goemans–Williamson): P[sign bits agree] =
     * 1 − θ/π where θ = arccos(cosine). At a true near-dup threshold
-    * (0.9+, θ ≤ 26°) a bit agrees with p ≥ 0.856, so an 8-bit band
-    * matches with p ≥ 0.29 and 4 bands already give > 99% recall at
-    * cosine ≥ 0.99 while random pairs (p_bit ≈ 0.5) collide at only
-    * 4/256 per pair. Below cosine ≈ 0.6 sign-bit LSH cannot separate
-    * near-dups from noise (p_bit ≈ 0.63 vs 0.5) — that regime is not a
-    * near-dup problem and callers should use `bruteCosinePairs` or an
-    * IVF restriction instead.
+    * (0.9+, θ ≤ 26°) a bit agrees with p ≥ 0.856 while random pairs
+    * agree at only p ≈ 0.5 per bit — so widening a band sharpens
+    * precision exponentially faster than it erodes recall, and recall
+    * is then bought back with more bands. Below cosine ≈ 0.6 sign-bit
+    * LSH cannot separate near-dups from noise (p_bit ≈ 0.63 vs 0.5) —
+    * that regime is not a near-dup problem and callers should use
+    * `bruteCosinePairs` or an IVF restriction instead.
     *
     * `bucketCap` drops pathological hot buckets (all-zero vectors, mass
     * duplicates) exactly like the df-cap on the shingle inverted index —
@@ -132,26 +132,106 @@ object Similarity {
       .agg(sum(col("bit")).cast("int").as("band_hash"))
   }
 
+  /** Adaptive band geometry — the fix for the measured quadratic
+    * candidate term of a FIXED key space (SCALECHECK r12: 4×8-bit bands
+    * = 1,024 keys → d05's candidate shuffle grew 69× for 10× data; the
+    * same saturation the 4×16-bit SimHash rework cured for d04).
+    *
+    * `bandBitsFor`: the band width r is the smallest r ∈ [8, 30] with
+    * 2^r ≥ n. Random pairs (p_bit ≈ 0.5) then collide at ≈ n²/2^r ≤ n
+    * expected candidates per band — the collision term is LINEAR in
+    * corpus size by construction, at any n, instead of quadratic over a
+    * saturated key space.
+    *
+    * `bandsFor`: widening a band erodes recall (a true pair must agree
+    * on ALL r bits of some band), so the band count b buys it back:
+    * b = ceil(ln(1/δ) / −ln(1 − p^r)) with miss budget δ = 1e-3 at the
+    * reference similarity s* = 0.99 (p = 1 − arccos(0.99)/π ≈ 0.955).
+    * The table is PINNED as literals (not computed with floating
+    * transcendentals at runtime) so the Scala plan and a replaying SQL
+    * oracle can never disagree by an ulp at a ceil boundary. Projection
+    * cost is b·r planes per vector — it grows ~log²(n), the honest
+    * price of constant recall with linear candidates.
+    */
+  private val BandsByBits: Vector[Int] =
+    Vector(6, 7, 7, 8, 9, 9, 10, 10, 11, 12, 13, 13, 14, 15, 16, 17, 18,
+      19, 20, 21, 22, 23, 24) // index r−8, r = 8..30
+  def bandBitsFor(n: Long): Int = (8 to 30).find(r => (1L << r) >= n).getOrElse(30)
+  def bandsFor(bandBits: Int): Int = BandsByBits(bandBits - 8)
+  /** (planes, bandBits) for a corpus of `n` vectors. */
+  def lshSpecFor(n: Long): (Int, Int) = {
+    val r = bandBitsFor(n); (bandsFor(r) * r, r)
+  }
+
+  /** One-row bucket-histogram audit of the banded LSH key space:
+    * (n_vectors, geometry, occupied buckets, buckets/rows the cap would
+    * drop, max occupancy). Cap drops are a RECALL loss and must never
+    * be silent — this is the guaranteed accounting path: a production
+    * dedup run executes it alongside `lshCosinePairs` (same adaptive
+    * geometry ⇒ same buckets) and files the counts in its run report.
+    * The inline `observer` hook on `lshCosinePairs` is cheaper (zero
+    * extra jobs) but best-effort: AQE's empty-relation propagation can
+    * prune the observed node out of a plan whose candidate set turns
+    * out empty, losing the metrics — an audit query's own action can
+    * never lose its result.
+    */
+  def lshBucketAudit(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 0, bandBits: Int = 0, bucketCap: Int = 1000): DataFrame = {
+    require((planes == 0) == (bandBits == 0),
+      "pass both planes and bandBits explicitly, or neither (adaptive)")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
+    val probe = base.agg(count(lit(1)), max(size(col("emb")))).head()
+    val n = probe.getLong(0)
+    if (probe.isNullAt(1)) {
+      import spark.implicits._
+      return Seq((0L, 0, 0, 0L, 0L, 0L, 0L))
+        .toDF("n_vectors", "planes", "band_bits", "occupied_buckets",
+          "capped_buckets", "capped_rows", "max_bucket")
+    }
+    val (pl, bb) = if (planes > 0) (planes, bandBits) else lshSpecFor(n)
+    signBitBands(base, probe.getInt(1), pl, bb)
+      .groupBy("band", "band_hash").count()
+      .agg(lit(n).as("n_vectors"), lit(pl).as("planes"), lit(bb).as("band_bits"),
+        count(lit(1)).as("occupied_buckets"),
+        sum(when(col("count") > bucketCap, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("count") > bucketCap, col("count")).otherwise(0L)).as("capped_rows"),
+        max(col("count")).as("max_bucket"))
+  }
+
   def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 32, bandBits: Int = 8,
-      bucketCap: Int = 1000): DataFrame = {
-    require(planes % bandBits == 0, "planes must divide into whole bands")
+      threshold: Double, planes: Int = 0, bandBits: Int = 0,
+      bucketCap: Int = 1000,
+      observer: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require((planes == 0) == (bandBits == 0),
+      "pass both planes and bandBits explicitly, or neither (adaptive)")
     val spark = emb.sparkSession
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val base = emb.repartition(par)
       .select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
     val ns = normsOf(base)
     val v = base.join(ns, "vec_id")
-    // An empty corpus (a plausible daily slice) has no max — return the
-    // empty pair set instead of NPE-ing on the null aggregate
-    val dimsRow = base.agg(max(size(col("emb")))).head()
-    if (dimsRow.isNullAt(0))
+    // one control-plane probe: corpus size (drives the adaptive band
+    // geometry) and width. An empty corpus (a plausible daily slice)
+    // has no max — return the empty pair set instead of NPE-ing.
+    val probe = base.agg(count(lit(1)), max(size(col("emb")))).head()
+    if (probe.isNullAt(1))
       return base.select(col("vec_id").as("va"), col("vec_id").as("vb"),
         lit(0.0).as("cosine")).limit(0)
-    val dims = dimsRow.getInt(0)
-    val sig = signBitBands(base, dims, planes, bandBits)
-    val ok = sig.groupBy("band", "band_hash").count()
-      .filter(col("count") <= bucketCap).select("band", "band_hash")
+    val dims = probe.getInt(1)
+    val (pl, bb) =
+      if (planes > 0) (planes, bandBits) else lshSpecFor(probe.getLong(0))
+    require(pl % bb == 0, "planes must divide into whole bands")
+    val sig = signBitBands(base, dims, pl, bb)
+    val counted = sig.groupBy("band", "band_hash").count()
+    // inline drop accounting (zero extra jobs, but best-effort under
+    // AQE empty-relation propagation — see lshBucketAudit for the
+    // guaranteed path)
+    val countedObs = observer.map(o => counted.observe(o,
+        sum(when(col("count") > bucketCap, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("count") > bucketCap, col("count")).otherwise(0L)).as("capped_rows")))
+      .getOrElse(counted)
+    val ok = countedObs.filter(col("count") <= bucketCap).select("band", "band_hash")
     val sigOk = sig.join(ok, Seq("band", "band_hash"))
     val cand = sigOk.select(col("band"), col("band_hash"), col("vec_id").as("va"))
       .join(sigOk.select(col("band"), col("band_hash"), col("vec_id").as("vb")),

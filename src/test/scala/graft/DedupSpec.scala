@@ -126,10 +126,42 @@ class DedupSpec extends SparkSpec {
       .select("va", "vb").as[(Long, Long)].collect().toSet
     val brute = Similarity.bruteCosinePairs(corpus, "vec_id", "embedding", 0.9)
       .select("va", "vb").as[(Long, Long)].collect().toSet
-    // at cosine ≈ 0.999 a sign bit agrees with p ≈ 0.99, an 8-bit band with
-    // p ≈ 0.93 — any of the 4 bands missing all 100 pairs is ~impossible
+    // at cosine ≈ 0.999 a sign bit agrees with p ≈ 0.986; the adaptive
+    // geometry (n=600 → 7×10-bit bands here) gives per-pair miss
+    // (1 − 0.986^10)^7 ≈ 2e-6 — missing any of the ~100 pairs is
+    // ~impossible, and the band-count table is sized to hold that
+    // property at EVERY corpus size (miss ≤ 1e-3 at cosine 0.99)
     assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size} missing=${brute.diff(lsh)}")
     assert(brute.nonEmpty)
+  }
+
+  test("LSH bucket-cap drops are observable, never silent") {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.Observation
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // default cap on the real corpus: nothing dropped, metric says so
+    val clean = new Observation
+    Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.9, observer = Some(clean))
+      .write.mode("overwrite").format("noop").save()
+    assert(clean.get("capped_buckets") == 0L, clean.get)
+    // cap 1 drops every bucket that could EVER produce a pair (a
+    // singleton bucket can't): the pair set must collapse to empty,
+    // and the AUDIT operator — the guaranteed accounting path; the
+    // inline observer is documented best-effort because AQE's
+    // empty-relation propagation prunes the observed node from exactly
+    // this kind of collapsed plan — must book every dropped bucket
+    val pairs = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 0.9,
+      bucketCap = 1).count()
+    assert(pairs == 0L)
+    val audit = Similarity.lshBucketAudit(emb, "vec_id", "embedding", bucketCap = 1).head()
+    val dropped = audit.getAs[Long]("capped_buckets")
+    assert(dropped > 0L, audit)
+    // every dropped bucket held at least two signature rows
+    assert(audit.getAs[Long]("capped_rows") >= 2 * dropped, audit)
+    // and the audit's geometry is the same adaptive spec the pair run used
+    val (pl, bb) = Similarity.lshSpecFor(audit.getAs[Long]("n_vectors"))
+    assert(audit.getAs[Int]("planes") == pl && audit.getAs[Int]("band_bits") == bb)
   }
 
   test("clusters: components, singletons, and a chain needing many rounds") {
