@@ -169,12 +169,15 @@ object ScaleCheck {
       metricSums.set(Map.empty)
       def run() = once(q.name,
         () => q.query(spark, dir).write.mode("overwrite").format("noop").save())
-      val r = run() match {
-        case Right(t1) => run().fold(Left(_), t2 => Right(math.min(t1, t2)))
-        case l => l
+      // divide by the RUNS THAT HAPPENED: when the first run errors or
+      // times out the second never executes, and halving a single-run
+      // sum would file misleading per-run metrics in the artifact
+      val (r, runs) = run() match {
+        case Right(t1) => (run().fold(Left(_), t2 => Right(math.min(t1, t2))), 2)
+        case l => (l, 1)
       }
       Thread.sleep(200) // listener-bus drain grace
-      (r, metricSums.get().map { case (k, v) => k -> v / 2 })
+      (r, metricSums.get().map { case (k, v) => k -> v / runs })
     }
 
     val interesting = Seq("numFiles", "filesSize", "shuffleRecordsWritten",

@@ -88,10 +88,20 @@ object SignatureStore {
       if (!spark.catalog.tableExists(t)) {
         val p = loc(t)
         val cols =
+          // UNABLE_TO_INFER_SCHEMA: a freshly initialized store has no
+          // data files. PATH_NOT_FOUND: a compactor died between its
+          // entry reset and the swap — the data lives in the staged
+          // `__compacting` sibling and the table dir is gone. Register
+          // over the canonical layout in both cases so maintenance can
+          // reach compact()'s resume-at-the-swap branch (refusing here
+          // would leave the store unreadable until an operator
+          // hand-renamed the staged dir).
           try spark.read.parquet(p.toString).schema.fields
             .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
           catch { case e: Exception if e.getMessage != null &&
-              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => fallback }
+              (e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+               e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.contains("Path does not exist")) => fallback }
         val cluster = bucketCol
           .map(c => s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $buckets BUCKETS")
           .getOrElse("")

@@ -290,19 +290,44 @@ private[graft] object StoreGuard {
         org.apache.spark.sql.catalyst.TableIdentifier(t)))
     val (src, dst) = (loc(staged), loc(table))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val resumingSwap = fs.exists(src) && !fs.exists(dst)
+    def dataFilesAt(p: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    // Resume-at-the-swap iff the staged sibling holds the ONLY copy of
+    // the data: the compactor died between the entry reset and the
+    // rename. The table side is judged by DATA FILES, not dir
+    // existence — a crashed-compaction recovery path (ensureRegistered's
+    // missing-dir fallback) may have re-created the table dir EMPTY via
+    // CREATE TABLE ... LOCATION, and reading that husk as "table
+    // present" would strand the staged copy forever behind the
+    // early-return floor below (the store would silently read empty).
+    // A HALF-written staging can never coexist with an empty table dir
+    // (the entry reset runs only after the staged write completes), so
+    // staged-data + no-table-data is unambiguous.
+    val resumingSwap = dataFilesAt(src) > 0 && dataFilesAt(dst) == 0
     // already at the write-time floor (one file per bucket per write) —
     // nothing to compact, and skipping keeps the empty-store edge (a
     // zero-file bucketed write stages no readable parquet) out entirely
     if (!resumingSwap && dataFileCount(spark, table) <= buckets) return
     if (!resumingSwap) {
       resetTable(spark, staged) // a dead compactor's half-written staging
-      spark.table(table)
+      // read the RAW parquet dir, not the catalog table: a bucketed
+      // scan reports HashPartitioning(bucketCol, buckets), which lets
+      // the planner drop the repartition below as redundant — while the
+      // actual scan partitions are SIZE-grouped file splits (many small
+      // appended files → few tasks, each spanning many buckets), so the
+      // bucketed writer would emit tasks×buckets files and the
+      // "compaction" would INCREASE nothing but still miss the floor.
+      // A raw read has unknown partitioning: the bucket-aligned shuffle
+      // survives and each task writes exactly one bucket file.
+      spark.read.parquet(dst.toString)
         .repartition(buckets, col(bucketCol))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(staged)
       resetTable(spark, table) // content now lives ONLY in the staged dir
+    } else if (fs.exists(dst)) {
+      fs.delete(dst, true) // the recovery husk: rename must create dst fresh
     }
     require(fs.rename(src, dst), s"compaction swap failed: rename $src -> $dst refused")
     // fs.rename returns TRUE when dst exists by nesting src INSIDE it —

@@ -359,17 +359,28 @@ object Orchestrator {
       runFull = () =>
         runAll(spark, sfDir, Full, notifier, sink).foreach(onResult),
       runMaintenance = Some(() => {
-        pipelines.foreach(p => onMaintain(maintain(spark, p, retainVersions, sink)))
+        // each unit is isolated: one locked store (a concurrent manual
+        // ingest makes compact fail FAST by design) or one broken
+        // pipeline must not starve every remaining unit of its monthly
+        // slot — the failure is reported and the sweep continues (the
+        // scheduler-level catch would otherwise abort the whole fire)
+        def isolated(what: String)(f: => Unit): Unit =
+          try f catch {
+            case e: Exception => System.err.println(
+              s"[maintenance] $what failed (continuing): ${e.getMessage}")
+          }
+        pipelines.foreach(p =>
+          isolated(s"pipeline $p")(onMaintain(maintain(spark, p, retainVersions, sink))))
         // the corpus stores ride the same monthly slot: a year of daily
         // ingests is ~365 bucket-aligned files per bucket otherwise
-        corpusStores.foreach { s =>
+        corpusStores.foreach(s => isolated(s"signature store $s") {
           graft.dedup.SignatureStore.ensureRegistered(spark, s)
           graft.dedup.SignatureStore.compact(spark, s)
-        }
-        embeddingStores.foreach { s =>
+        })
+        embeddingStores.foreach(s => isolated(s"embedding store $s") {
           graft.similarity.EmbeddingStore.ensureRegistered(spark, s)
           graft.similarity.EmbeddingStore.compact(spark, s)
-        }
+        })
       }))
 
   final case class MaintainResult(pipeline: String, root: String,

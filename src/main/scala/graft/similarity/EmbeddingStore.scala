@@ -89,10 +89,16 @@ object EmbeddingStore {
       if (!spark.catalog.tableExists(t)) {
         val p = loc(t)
         val cols =
+          // missing-dir fallback mirrors SignatureStore.ensureRegistered:
+          // a compactor dead between reset and swap leaves the only copy
+          // in the `__compacting` sibling — register the canonical
+          // layout so compact()'s resume branch stays reachable
           try spark.read.parquet(p.toString).schema.fields
             .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
           catch { case e: Exception if e.getMessage != null &&
-              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => fallback }
+              (e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+               e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.contains("Path does not exist")) => fallback }
         val cluster = bucketCol
           .map(c => s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $buckets BUCKETS")
           .getOrElse("")

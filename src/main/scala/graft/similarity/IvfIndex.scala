@@ -170,9 +170,18 @@ object IvfIndex {
     val nowMs = System.currentTimeMillis()
     fs.listStatus(vd).foreach { st =>
       st.getPath.getName match {
-        case ResRe(n) if !fs.exists(new org.apache.hadoop.fs.Path(vd, s"delta-$n")) &&
-            nowMs - st.getModificationTime > graceMs =>
-          fs.delete(st.getPath, false)
+        case ResRe(n) =>
+          // a marker whose delta-N is PUBLISHED is provably redundant —
+          // the dir itself occupies the number for every future `next`
+          // computation — so it is collected immediately (a writer that
+          // died between its rename and its finally-delete would
+          // otherwise leak one marker per death forever; deletion is
+          // idempotent against the publisher's own finally-delete). An
+          // unpublished marker is orphaned only once it outlives the
+          // grace period (a LIVE writer's staging never does).
+          val published = fs.exists(new org.apache.hadoop.fs.Path(vd, s"delta-$n"))
+          if (published || nowMs - st.getModificationTime > graceMs)
+            fs.delete(st.getPath, false)
         case _ => ()
       }
     }

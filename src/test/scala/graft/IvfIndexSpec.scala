@@ -201,9 +201,17 @@ class IvfIndexSpec extends SparkSpec {
     // the GC and keep its number reserved
     val live = new java.io.File(vd, "_delta-00009.reserved")
     assert(live.createNewFile())
+    // a writer that died between its rename and its finally-delete: the
+    // delta IS published, so its fresh marker is provably redundant and
+    // must be GC'd immediately (no grace wait) — the dir itself occupies
+    // the number forever, so the marker would otherwise leak per death
+    val published = new java.io.File(vd, "_delta-00008.reserved")
+    assert(published.createNewFile())
+    assert(new java.io.File(vd, "delta-00008").mkdir())
     val batch = Seq((3L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
     val n = IvfIndex.append(batch, "vec_id", "embedding", root)
     assert(!orphan.exists(), "orphaned reservation was not GC'd")
+    assert(!published.exists(), "published delta's leaked marker was not GC'd")
     assert(live.exists(), "a live (fresh) reservation was GC'd")
     assert(n == 10, s"append took number $n, expected 10 (past the live reservation)")
     assert(new java.io.File(vd, "delta-00010").isDirectory)

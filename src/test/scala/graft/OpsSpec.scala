@@ -511,6 +511,39 @@ class OpsSpec extends SparkSpec {
     assert(maints.forall(!_.skipped), maints)
   }
 
+  test("maintenance sweep isolates failures: a locked store cannot starve the others' compaction") {
+    import graft.dedup.SignatureStore
+    import graft.ops.Orchestrator
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " +
+        s"iota$i kappa$i lambda$i mu$i")).toDF("doc_id", "text")
+    val (locked, healthy) = ("graft_maint_locked", "graft_maint_healthy")
+    Seq(locked, healthy).foreach { n =>
+      SignatureStore.drop(spark, n); SignatureStore.build(spark, docs, n)
+    }
+    try {
+      val before = SignatureStore.snapshot(spark, healthy)
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val writer = new Thread(() => SignatureStore.locked(spark, locked) {
+        entered.countDown(); release.await()
+      })
+      writer.start(); entered.await()
+      try {
+        // the locked store is FIRST in the sweep: its fail-fast must be
+        // contained, and the healthy store must still get its slot
+        val jobs = Orchestrator.scheduledJobs(spark, sfDir,
+          corpusStores = Seq(locked, healthy))
+        jobs.find(_.name == "monthly_maintenance").get.run()
+      } finally { release.countDown(); writer.join() }
+      // compact bumps the generation marker even at the file floor — the
+      // healthy store's snapshot must have moved, proving it was reached
+      assert(SignatureStore.snapshot(spark, healthy) != before,
+        "healthy store was starved by the locked one")
+    } finally Seq(locked, healthy).foreach(SignatureStore.drop(spark, _))
+  }
+
   test("orchestrator failure path still notifies with the error (E1)") {
     import java.net.InetSocketAddress
     import com.sun.net.httpserver.{HttpExchange, HttpServer}

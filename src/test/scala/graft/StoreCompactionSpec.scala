@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{SignatureStore, StoreGuard}
+import graft.similarity.EmbeddingStore
+import org.apache.hadoop.fs.Path
+
+/** Store-compaction lifecycle (the r11/r12 owed spec): N daily ingests
+  * → `compact` → file count back to the bucket floor with byte-identical
+  * probe results and ONE generation bump; pre-compaction snapshots are
+  * non-rollbackable (missing-file refusal); a live writer's lock makes
+  * compaction fail fast; and the two crash windows of
+  * [[StoreGuard.compactTable]] recover: a compactor dead between the
+  * entry reset and the rename resumes at the swap on the next
+  * maintenance run (via ensureRegistered's missing-dir fallback), and
+  * one dead after the rename but before the catalog re-declare recovers
+  * by plain re-registration.
+  */
+class StoreCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def loc(t: String): Path = new Path(
+    spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)))
+  private lazy val fs =
+    loc("any").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (generation number, count of marker files) of a store's meta dir. */
+  private def gen(metaTable: String): (Int, Int) = {
+    val marks = fs.listStatus(loc(metaTable)).map(_.getPath.getName)
+      .filter(_.startsWith("_gen-"))
+    (marks.map(_.split("-")(1).toInt).max, marks.length)
+  }
+
+  test("signature store: ingests -> compact -> file floor, identical probe, one gen bump, stale snapshot refused, live lock fails fast") {
+    val docs = Tables.documents(spark, sfDir)
+    val name = "graft_compact_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, docs.filter(col("doc_id") % 5 === 0), name)
+    (1 to 4).foreach(d =>
+      SignatureStore.ingest(spark, docs.filter(col("doc_id") % 5 === d), name))
+    val tables = Seq(SignatureStore.bandsTable(name),
+      SignatureStore.shinglesTable(name), SignatureStore.sizesTable(name))
+    assert(StoreGuard.dataFileCount(spark, tables.head) > 16,
+      "ingests should have appended past the bucket floor")
+    val probeBatch = docs.filter(col("doc_id") % 5 === 0)
+    def probe(): Seq[String] = SignatureStore
+      .incrementalPairs(spark, probeBatch, name)
+      .collect().map(_.toString).sorted.toSeq
+    val p0 = probe()
+    assert(p0.nonEmpty)
+    val preSnap = SignatureStore.snapshot(spark, name)
+    val (gen0, marks0) = gen(SignatureStore.metaTable(name))
+    assert(marks0 == 1)
+
+    SignatureStore.compact(spark, name)
+    tables.foreach(t => assert(StoreGuard.dataFileCount(spark, t) <= 16,
+      s"$t not compacted to the floor"))
+    assert(probe() == p0, "compaction must be content-preserving")
+    assert(gen(SignatureStore.metaTable(name)) == ((gen0 + 1, 1)),
+      "exactly one generation bump for the whole compaction")
+
+    // compaction DELETED files, so the pre-compaction snapshot must be
+    // refused loudly instead of silently emptying the store
+    val e = intercept[RuntimeException](
+      SignatureStore.rollback(spark, name, preSnap))
+    assert(e.getMessage.contains("cannot roll back"), e.getMessage)
+
+    // a live ingest's lock: compaction fails FAST, never interleaves
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => SignatureStore.locked(spark, name) {
+      entered.countDown(); release.await()
+    })
+    writer.start(); entered.await()
+    try {
+      val le = intercept[RuntimeException](SignatureStore.compact(spark, name))
+      assert(le.getMessage.contains("locked by a concurrent writer"), le.getMessage)
+    } finally { release.countDown(); writer.join() }
+    assert(probe() == p0)
+    SignatureStore.drop(spark, name)
+  }
+
+  test("compaction crash windows: dead between reset and rename resumes at the swap; dead before re-declare recovers by re-registration") {
+    val docs = Tables.documents(spark, sfDir)
+    val name = "graft_crash_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, docs.filter(col("doc_id") % 5 === 0), name)
+    (1 to 2).foreach(d =>
+      SignatureStore.ingest(spark, docs.filter(col("doc_id") % 5 === d), name))
+    val probeBatch = docs.filter(col("doc_id") % 5 === 0)
+    def probe(): Seq[String] = SignatureStore
+      .incrementalPairs(spark, probeBatch, name)
+      .collect().map(_.toString).sorted.toSeq
+    val p0 = probe()
+    val bandsT = SignatureStore.bandsTable(name)
+    val staged = s"${bandsT}__compacting"
+    def stageAndReset(): Unit = {
+      // replay compactTable's staging verbatim, then die at its most
+      // dangerous point: the staged dir is the ONLY copy of the bands
+      spark.table(bandsT).repartition(16, col("band_key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "band_key").sortBy("band_key").saveAsTable(staged)
+      StoreGuard.resetTable(spark, bandsT)
+    }
+
+    // window 1: dead between reset and rename. The next maintenance run
+    // (ensureRegistered first, like Runner --maintain-store) must fall
+    // back over the missing dir, then resume at the swap — NOT read the
+    // husk as an empty store and strand the staged copy
+    stageAndReset()
+    SignatureStore.ensureRegistered(spark, name)
+    SignatureStore.compact(spark, name)
+    assert(!fs.exists(loc(staged)), "staged dir must be consumed by the swap")
+    assert(probe() == p0, "resumed swap must restore the exact content")
+
+    // window 2: dead after the rename, before the catalog re-declare —
+    // the data is in place but the table entry is missing and the staged
+    // entry is stale
+    stageAndReset()
+    assert(fs.rename(loc(staged), loc(bandsT)))
+    SignatureStore.ensureRegistered(spark, name)
+    SignatureStore.compact(spark, name) // at the floor: early-returns
+    assert(probe() == p0)
+    StoreGuard.resetTable(spark, staged) // clear the stale staged entry
+    SignatureStore.drop(spark, name)
+  }
+
+  test("embedding store: ingests -> compact -> file floor, identical probe, gen bump; reset->rename crash resumes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val name = "graft_ecompact_spec"
+    EmbeddingStore.drop(spark, name)
+    EmbeddingStore.build(spark, emb.filter(col("vec_id") % 3 === 0), name)
+    (1 to 2).foreach(d =>
+      EmbeddingStore.ingest(spark, emb.filter(col("vec_id") % 3 === d), name))
+    val tables = Seq(EmbeddingStore.bandsTable(name), EmbeddingStore.vecsTable(name))
+    assert(StoreGuard.dataFileCount(spark, tables.head) > 16)
+    val probeBatch = emb.filter(col("vec_id") % 3 === 0)
+    def probe(): Seq[String] = EmbeddingStore
+      .incrementalPairs(spark, probeBatch, name)
+      .collect().map(_.toString).sorted.toSeq
+    val p0 = probe()
+    assert(p0.nonEmpty)
+    val (gen0, _) = gen(EmbeddingStore.metaTable(name))
+
+    EmbeddingStore.compact(spark, name)
+    tables.foreach(t => assert(StoreGuard.dataFileCount(spark, t) <= 16,
+      s"$t not compacted to the floor"))
+    assert(probe() == p0)
+    assert(gen(EmbeddingStore.metaTable(name)) == ((gen0 + 1, 1)))
+
+    // reset->rename crash window on the vectors table
+    val vecsT = EmbeddingStore.vecsTable(name)
+    val staged = s"${vecsT}__compacting"
+    spark.table(vecsT).repartition(16, col("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "vec_id").sortBy("vec_id").saveAsTable(staged)
+    StoreGuard.resetTable(spark, vecsT)
+    EmbeddingStore.ensureRegistered(spark, name)
+    EmbeddingStore.compact(spark, name)
+    assert(!fs.exists(loc(staged)))
+    assert(probe() == p0)
+    EmbeddingStore.drop(spark, name)
+  }
+}
