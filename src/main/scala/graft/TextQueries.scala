@@ -422,30 +422,40 @@ object TextQueries {
     * back. Integer addition is associative, so the result is
     * bit-identical to the oracle's single global cumsum.
     */
+  /** The packing recipe over ANY (doc_id, n_tokens) frame — t11 feeds
+    * it whitespace-token counts (the oracle-checked default); feed it
+    * `size(bpe_tokens(norm))` for REAL model-token budgets (the opt-in
+    * mode a production packer uses once a tokenizer is pinned —
+    * spec-verified in TextSpec).
+    */
+  def packSequences(d0: org.apache.spark.sql.DataFrame,
+      budget: Int = 2048): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = d0.withColumn("bucket", expr("doc_id div 100"))
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+    val local = d.withColumn("cum", sum(col("n_tokens")).over(wLocal))
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boffset", coalesce(sum(col("btot")).over(wBuckets), lit(0L)))
+      .select("bucket", "boffset")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("tok_offset", col("boffset") + col("cum") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"tok_offset div $budget"))
+      .withColumn("straddles",
+        when(expr(s"tok_offset div $budget") =!=
+          expr(s"(tok_offset + n_tokens - 1) div $budget"), 1).otherwise(0))
+      .select("doc_id", "n_tokens", "tok_offset", "seq_id", "straddles")
+  }
+
   val t11: QueryDef = {
     val budget = 2048
     QueryDef(
       "t11_sequence_packing",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-          .withColumn("bucket", expr("doc_id div 100"))
-        val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
-        val local = d.withColumn("cum", sum(col("n_tokens")).over(wLocal))
-        val wBuckets = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
-          .withColumn("boffset", coalesce(sum(col("btot")).over(wBuckets), lit(0L)))
-          .select("bucket", "boffset")
-        local.join(broadcast(offsets), "bucket")
-          .withColumn("tok_offset", col("boffset") + col("cum") - col("n_tokens"))
-          .withColumn("seq_id", expr(s"tok_offset div $budget"))
-          .withColumn("straddles",
-            when(expr(s"tok_offset div $budget") =!=
-              expr(s"(tok_offset + n_tokens - 1) div $budget"), 1).otherwise(0))
-          .select("doc_id", "n_tokens", "tok_offset", "seq_id", "straddles")
-      },
+      (s, dir) => packSequences(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens")),
+        budget),
       Some(s"""
       WITH d AS (
         SELECT doc_id,
@@ -529,24 +539,33 @@ object TextQueries {
     * explode from a sequence, and each chunk is a slice — no shuffle
     * anywhere, linear in corpus size.
     */
+  /** The chunking recipe over ANY (doc_id, toks array<string>) frame —
+    * t13 feeds it whitespace tokens (the oracle-checked default); feed
+    * it `bpe_tokens(norm)` for chunks measured in REAL model tokens
+    * (opt-in, spec-verified in TextSpec). Pure narrow plan either way.
+    */
+  def chunkTokens(d0: org.apache.spark.sql.DataFrame,
+      size: Int = 50, stride: Int = 40): org.apache.spark.sql.DataFrame = {
+    val d = d0.withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+    d.withColumn("chunk_id_l", explode(sequence(lit(0), expr(s"(n - 1) div $stride"))))
+      .withColumn("chunk_id", col("chunk_id_l").cast("int"))
+      .withColumn("start_tok", (col("chunk_id") * stride).cast("int"))
+      .withColumn("chunk_len", least(lit(size), col("n") - col("start_tok")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(size))))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("chunk_len"), col("chunk_text"),
+        md5(col("chunk_text")).as("chunk_fp"))
+  }
+
   val t13: QueryDef = {
     val size = 50; val stride = 40
     QueryDef(
       "t13_chunking",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
-        d.withColumn("chunk_id_l", explode(sequence(lit(0), expr(s"(n - 1) div $stride"))))
-          .withColumn("chunk_id", col("chunk_id_l").cast("int"))
-          .withColumn("start_tok", (col("chunk_id") * stride).cast("int"))
-          .withColumn("chunk_len", least(lit(size), col("n") - col("start_tok")))
-          .withColumn("chunk_text",
-            concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(size))))
-          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-            col("chunk_len"), col("chunk_text"),
-            md5(col("chunk_text")).as("chunk_fp"))
-      },
+      (s, dir) => chunkTokens(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks")),
+        size, stride),
       Some(s"""
       WITH d AS (
         SELECT doc_id,
@@ -565,6 +584,72 @@ object TextQueries {
       """.stripMargin.trim))
   }
 
+  /** TRUE BPE tokenization ([[graft.text.Bpe]]): the shipped ranked
+    * merges table applied iteratively per pre-tokenizer piece (t05's
+    * units), published as per-document token counts with vocabulary
+    * ids. t05 counts PRE-tokenizer pieces; this is the real encoder a
+    * token-budget pipeline needs. The kernel is a codegen'd narrow map
+    * (no shuffle before the final aggregation); the oracle replays the
+    * identical merges list (one Scala vector is the single source of
+    * both engines' tables) with the merge loop as a recursive CTE over
+    * distinct pieces — each symbol string carries its own boundary
+    * separators, making one SQL `replace` exactly one leftmost
+    * non-overlapping merge-all pass.
+    */
+  val t14 = QueryDef(
+    "t14_bpe_encode",
+    (s, dir) => {
+      graft.text.BpeFunctions.register(s)
+      Tables.documents(s, dir)
+        .withColumn("norm", normText(col("text")))
+        .select(col("doc_id"), explode(expr("bpe_tokens(norm)")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("token_id", expr("bpe_token_id(token)"))
+        .select("doc_id", "token", "token_id", "cnt")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      docs AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      pieces AS (
+        SELECT doc_id, unnest(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS piece
+        FROM docs),
+      pcount AS (SELECT doc_id, piece, COUNT(*) AS np FROM pieces GROUP BY 1, 2),
+      merges(rank, a, b) AS (VALUES ${graft.text.Bpe.mergesSqlValues}),
+      enc0 AS (
+        SELECT piece,
+          chr(31) || array_to_string(list_transform(range(1, len(piece)+1), i -> piece[i:i]), chr(31)||chr(31)) || chr(31) AS sym
+        FROM (SELECT DISTINCT piece FROM pcount)),
+      rec AS (
+        SELECT piece, sym FROM enc0
+        UNION ALL
+        SELECT r.piece, replace(r.sym, best.pat, best.rep) AS sym
+        FROM rec r, LATERAL (
+          SELECT chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31) AS pat,
+                 chr(31)||m.a||m.b||chr(31) AS rep
+          FROM merges m
+          WHERE contains(r.sym, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31))
+          ORDER BY m.rank LIMIT 1) best),
+      fin AS (
+        SELECT piece, sym FROM rec r
+        WHERE NOT EXISTS (SELECT 1 FROM merges m
+          WHERE contains(r.sym, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)))),
+      ptok AS (
+        SELECT piece, unnest(string_split(trim(sym, chr(31)), chr(31)||chr(31))) AS token
+        FROM fin),
+      ptokc AS (SELECT piece, token, COUNT(*) AS k FROM ptok GROUP BY 1, 2),
+      ids AS (SELECT a || b AS token, 256 + MIN(rank) AS id FROM merges GROUP BY 1)
+      SELECT pc.doc_id, pt.token,
+        CAST(COALESCE(CASE WHEN len(pt.token) = 1 THEN unicode(pt.token) END, i.id, -1) AS INTEGER) AS token_id,
+        CAST(SUM(pc.np * pt.k) AS BIGINT) AS cnt
+      FROM pcount pc
+      JOIN ptokc pt USING (piece)
+      LEFT JOIN ids i ON i.token = pt.token
+      GROUP BY 1, 2, 3
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

@@ -158,4 +158,67 @@ class TextSpec extends SparkSpec {
       assert(r11.getString(r11.fieldIndex("redacted_fp")) == plain)
     }
   }
+
+  test("BPE kernel: greedy leftmost merge-all semantics, chains, ids, unknown chars") {
+    import graft.text.Bpe
+    // overlapping-run semantics: merge all non-overlapping occurrences
+    // of the best pair, leftmost first — the classic GPT-2 loop
+    assert(Bpe.encodePiece("value").toSeq == Seq("value"))   // 4-level chain
+    assert(Bpe.encodePiece("table").toSeq == Seq("table"))
+    assert(Bpe.encodePiece("the").toSeq == Seq("the"))
+    assert(Bpe.encodePiece("then").toSeq == Seq("the", "n")) // no (the,n) merge
+    assert(Bpe.encodePiece("x").toSeq == Seq("x"))           // single char
+    assert(Bpe.encodePiece("qqq").toSeq == Seq("q", "q", "q")) // no merges apply
+    // (i,n) then (in,g): 'ing' chains; 'inin' merges both non-overlapping
+    assert(Bpe.encodePiece("ing").toSeq == Seq("ing"))
+    assert(Bpe.encodePiece("inin").toSeq == Seq("in", "in"))
+    // token ids: code point for single chars, 256+rank for merges
+    assert(Bpe.tokenId("q") == 'q'.toInt)
+    assert(Bpe.tokenId("th") == 256)
+    assert(Bpe.tokenId("the") == 257)
+    assert(Bpe.tokenId("zz") == -1) // not an encoder-producible token
+    // unknown (non-ASCII) characters are base tokens with their code point
+    assert(Bpe.tokenId("é") == 0xe9)
+  }
+
+  test("t14: doc-level encoding — pre-tokenizer pieces, empty docs, id column") {
+    import graft.text.BpeFunctions
+    BpeFunctions.register(spark)
+    withDocs(Seq(1L -> "The value, the value!", 2L -> "", 3L -> "   ")) { dir =>
+      val rows = TextQueries.t14.query(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
+      // norm = "the value, the value!": pieces the/value/,/the/value/!
+      assert(rows == Map(
+        (1L, "the") -> ((257, 2L)),
+        (1L, "value") -> ((261, 2L)),
+        (1L, ",") -> ((','.toInt, 1L)),
+        (1L, "!") -> (('!'.toInt, 1L))), rows)
+      // empty/blank docs produce no token rows at all (no null tokens)
+      assert(!rows.keys.exists(_._1 == 2L) && !rows.keys.exists(_._1 == 3L))
+    }
+  }
+
+  test("t11/t13 opt-in real-token mode: packing offsets and chunks in BPE tokens") {
+    import graft.text.BpeFunctions
+    import graft.text.TextFunctions.normText
+    BpeFunctions.register(spark)
+    // "the value" = 2 BPE tokens (vs 2 words), "q q q" = 3, "inin x" = 3
+    withDocs(Seq(1L -> "the value", 2L -> "q q q", 3L -> "inin x")) { dir =>
+      val d = Tables.documents(spark, dir).withColumn("norm", normText(col("text")))
+      val packed = TextQueries.packSequences(
+        d.select(col("doc_id"),
+          org.apache.spark.sql.functions.size(expr("bpe_tokens(norm)")).as("n_tokens")),
+        budget = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+      // offsets are the cumulative REAL token counts: 0, 2, 5; seq budget 4
+      assert(packed == Map(
+        1L -> ((2, 0L, 0L)), 2L -> ((3, 2L, 0L)), 3L -> ((3, 5L, 1L))), packed)
+      val chunks = TextQueries.chunkTokens(
+        d.select(col("doc_id"), expr("bpe_tokens(norm)").as("toks")), size = 2, stride = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
+      // doc 3 = [in, in, x] → chunks ["in in", "x"] measured in model tokens
+      assert(chunks((3L, 0)) == "in in" && chunks((3L, 1)) == "x", chunks)
+      assert(chunks((1L, 0)) == "the value")
+    }
+  }
 }
