@@ -217,5 +217,51 @@ object MultimodalQueries {
       FROM documents
     """.stripMargin.trim))
 
-  def all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  /** MP4 container decode (`mp4_meta`): major brand, movie timescale /
+    * duration, and the first track's id and pixel dimensions pulled
+    * from real ISO-BMFF byte streams by walking nested variable-size
+    * boxes (ftyp → free → moov{udta → mvhd → trak{tkhd}} → mdat here;
+    * free/udta/meta soup in the wild) — the container modality a real
+    * multimodal corpus is mostly made of. Every 10th fixture inflates
+    * its mvhd size past the moov parent and must come back null-flagged
+    * (`mp4_ok = false`), never misparsed or over-read. Narrow codegen'd
+    * map like m01–m05; the oracle replays the fixture's closed-form
+    * values, and `duration_s` is one double division of two exact
+    * integers — bit-identical on both engines.
+    */
+  val m06 = QueryDef(
+    "m06_mp4_container",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select("doc_id")
+        .as[Long].collect().sorted.toIndexedSeq // bounded fixture build
+      val payloads = s.createDataFrame(ids.map(id => (id, Multimodal.mp4Fixture(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.MediaFunctions.register(s)
+      payloads.withColumn("m", expr("mp4_meta(payload)"))
+        .select(col("doc_id"),
+          col("m").isNotNull.as("mp4_ok"),
+          col("m.major_brand").as("major_brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          (col("m.duration").cast("double") / col("m.timescale")).as("duration_s"),
+          col("m.track_id").as("track_id"),
+          col("m.width").as("width"),
+          col("m.height").as("height"))
+    },
+    Some("""
+      SELECT doc_id,
+        doc_id % 10 <> 0 AS mp4_ok,
+        CASE WHEN doc_id % 10 <> 0 THEN 'isom' END AS major_brand,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(1000 + (doc_id % 9) * 100 AS INTEGER) END AS timescale,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) END AS duration,
+        CASE WHEN doc_id % 10 <> 0 THEN
+          CAST(1000 + (doc_id * 37) % 100000 AS DOUBLE) / (1000 + (doc_id % 9) * 100) END AS duration_s,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(1 + doc_id % 5 AS INTEGER) END AS track_id,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + doc_id % 320 AS INTEGER) END AS width,
+        CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + (doc_id * 7) % 240 AS INTEGER) END AS height
+      FROM documents
+    """.stripMargin.trim))
+
+  def all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -220,6 +220,71 @@ object Multimodal {
     if (id % 10 == 0) out(89) = 0 // corrupt the SOF marker's 0xFF prefix
     out
   }
+
+  /** Minimal real ISO-BMFF (MP4) stream: ftyp('isom') → a `free` box
+    * the walker must skip → moov{ udta stub (unknown child, must skip)
+    * → mvhd v0 (timescale, duration) → trak{ tkhd v0 (track id, 16.16
+    * fixed-point dims) } } → mdat stub. The box chain is real (every
+    * size/type parses and nests), so the kernel must genuinely walk
+    * variable-size nested boxes — the property a camera/phone MP4
+    * (free/udta/meta soup around moov) exercises. Every 10th id's mvhd
+    * SIZE field is inflated past its parent — a corrupt-container
+    * fixture the walker must reject loudly (null), never misparse.
+    */
+  def mp4Fixture(id: Long): Array[Byte] = {
+    val timescale = (1000 + (id % 9) * 100).toInt
+    val duration = (1000 + (id * 37) % 100000).toInt
+    val trackId = (1 + id % 5).toInt
+    val w = (16 + id % 320).toInt
+    val h = (16 + (id * 7) % 240).toInt
+    val bb = java.nio.ByteBuffer.allocate(288) // big-endian by default
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII"))
+    }
+    box(24, "ftyp") // 16-byte payload: brand, minor, two compat brands
+    bb.put("isom".getBytes); bb.putInt(512)
+    bb.put("isom".getBytes); bb.put("mp41".getBytes)
+    box(16, "free")
+    (0 until 8).foreach(k => bb.put(((id + k) % 251).toByte))
+    box(232, "moov")
+    box(16, "udta")
+    (0 until 8).foreach(k => bb.put(((id + 3 * k) % 251).toByte))
+    box(108, "mvhd")
+    bb.putInt(0) // version 0, flags 0
+    bb.putInt((id % 1000).toInt) // creation
+    bb.putInt(0) // modification
+    bb.putInt(timescale)
+    bb.putInt(duration)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    (0 until 10).foreach(_ => bb.put(0.toByte)) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt) // unity matrix
+    (0 until 24).foreach(_ => bb.put(0.toByte)) // pre_defined
+    bb.putInt(2) // next_track_ID
+    box(100, "trak")
+    box(92, "tkhd")
+    bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+    bb.putInt(0); bb.putInt(0) // creation, modification
+    bb.putInt(trackId)
+    bb.putInt(0) // reserved
+    bb.putInt(duration)
+    (0 until 8).foreach(_ => bb.put(0.toByte)) // reserved
+    bb.putShort(0.toShort); bb.putShort(0.toShort) // layer, alternate_group
+    bb.putShort(0.toShort); bb.putShort(0.toShort) // volume, reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)
+    bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed-point dims
+    box(16, "mdat")
+    (0 until 8).foreach(k => bb.put(((id + 7 * k) % 251).toByte))
+    val out = bb.array()
+    if (id % 10 == 0) {
+      // inflate mvhd's size past its moov parent (offset 64 = ftyp 24 +
+      // free 16 + moov header 8 + udta 16): a walker that trusts child
+      // sizes would read the trak from beyond the buffer
+      out(64) = 0; out(65) = 0xFF.toByte; out(66) = 0xFF.toByte; out(67) = 0xFF.toByte
+    }
+    out
+  }
 }
 
 /** Shared sample math for the WAV decoder — one implementation serving
@@ -563,6 +628,152 @@ case class JpegSofExpr(child: org.apache.spark.sql.catalyst.expressions.Expressi
   override def prettyName: String = "jpeg_sof"
 }
 
+/** Shared box-walk math for the MP4 kernel — one implementation for
+  * the interpreted eval and the generated code (the `WavMath` pattern).
+  */
+object Mp4Math {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val metaStruct = StructType(Seq(
+    StructField("major_brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("track_id", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Result type of [[meta]]. */
+  val metaType: DataType = metaStruct
+
+  /** ISO-BMFF container metadata: walk the top-level boxes for
+    * `ftyp` (major brand) and `moov`, then moov's children for `mvhd`
+    * (v0/v1: timescale, duration) and the first `trak`'s `tkhd`
+    * (v0/v1: track id, 16.16 fixed-point width/height → pixels). Every
+    * size is validated against its parent before it is trusted —
+    * largesize (size==1 + 64-bit length) and to-end (size==0) boxes
+    * are handled, any overrun or missing required box returns null
+    * (never a misparse), and `size ≥ header` guarantees the walk
+    * terminates. One pass over the raw bytes, integer arithmetic only.
+    */
+  def meta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    def be(off: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xFF); i += 1 }
+      v
+    }
+    def typ(off: Int): String = {
+      val c = new Array[Char](4); var i = 0
+      while (i < 4) { c(i) = (b(off + i) & 0xFF).toChar; i += 1 }
+      new String(c)
+    }
+    // returns (payloadStart, boxEnd) or null on a malformed header
+    def header(pos: Int, limit: Int): (Int, Long) = {
+      if (pos + 8 > limit) return null
+      var size = be(pos, 4)
+      var hdr = 8
+      if (size == 1) {
+        if (pos + 16 > limit) return null
+        size = be(pos + 8, 8); hdr = 16
+      } else if (size == 0) size = (limit - pos).toLong
+      if (size < hdr || pos + size > limit) return null
+      (pos + hdr, pos + size)
+    }
+    var brand: String = null
+    var timescale = -1L; var duration = -1L
+    var trackId = -1L; var w = -1L; var h = -1L
+    var pos = 0
+    while (pos < b.length) {
+      val hd = header(pos, b.length)
+      if (hd == null) return null
+      val (p, endL) = hd; val end = endL.toInt
+      typ(pos + 4) match {
+        case "ftyp" =>
+          if (p + 8 > end) return null
+          brand = typ(p)
+        case "moov" =>
+          var cpos = p
+          while (cpos < end) {
+            val chd = header(cpos, end)
+            if (chd == null) return null
+            val (cp, cendL) = chd; val cend = cendL.toInt
+            typ(cpos + 4) match {
+              case "mvhd" =>
+                if (cp + 1 > cend) return null
+                val v = b(cp) & 0xFF
+                if (v == 0) {
+                  if (cp + 20 > cend) return null
+                  timescale = be(cp + 12, 4); duration = be(cp + 16, 4)
+                } else {
+                  if (cp + 32 > cend) return null
+                  timescale = be(cp + 20, 4); duration = be(cp + 24, 8)
+                }
+              case "trak" if trackId < 0 =>
+                var gpos = cp
+                while (gpos < cend) {
+                  val ghd = header(gpos, cend)
+                  if (ghd == null) return null
+                  val (gp, gendL) = ghd; val gend = gendL.toInt
+                  if (typ(gpos + 4) == "tkhd") {
+                    val v = b(gp) & 0xFF
+                    if (v == 0) {
+                      if (gp + 84 > gend) return null
+                      trackId = be(gp + 12, 4)
+                      w = be(gp + 76, 4) >> 16; h = be(gp + 80, 4) >> 16
+                    } else {
+                      if (gp + 96 > gend) return null
+                      trackId = be(gp + 20, 4)
+                      w = be(gp + 88, 4) >> 16; h = be(gp + 92, 4) >> 16
+                    }
+                  }
+                  gpos = gend
+                }
+              case _ => () // udta/meta/other children: skip
+            }
+            cpos = cend
+          }
+        case _ => () // free/mdat/unknown top-level boxes: skip
+      }
+      pos = end
+    }
+    if (brand == null || timescale <= 0 || duration < 0 || trackId < 0 || w < 0)
+      null
+    else InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(brand),
+      timescale.toInt, duration, trackId.toInt, w.toInt, h.toInt)
+  }
+}
+
+/** `mp4_meta(binary) -> struct<major_brand, timescale, duration,
+  * track_id, width, height>` — the ISO-BMFF box walk as a native
+  * codegen'd expression ([[Mp4Math.meta]]); null (not a misparse) for
+  * any malformed container.
+  */
+case class Mp4MetaExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = Mp4Math.metaType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Mp4Math.meta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => s"""
+         Object r = graft.multimodal.Mp4Math.meta($p);
+         if (r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """)
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Mp4MetaExpr =
+    copy(child = newChild)
+  override def prettyName: String = "mp4_meta"
+}
+
 /** Session registration for the media kernels (the `FiscalFunctions`
   * pattern — idempotent, callable from any query path).
   */
@@ -592,5 +803,11 @@ object MediaFunctions {
         classOf[JpegSofExpr].getName, "jpeg_sof"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JpegSofExpr(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("mp4_meta"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Mp4MetaExpr].getName, "mp4_meta"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Mp4MetaExpr(children.head))
   }
 }

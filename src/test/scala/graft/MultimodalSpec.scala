@@ -180,4 +180,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == ((0, 0L)), "stereo must be rejected by BOTH kernels (interleaved otherwise)")
     assert(got(3L) == ((0, 0L)), "8-bit must be rejected by BOTH kernels (mis-sliced otherwise)")
   }
+
+  test("mp4_meta walks nested boxes; v1 and largesize variants; corrupt sizes are null") {
+    import graft.multimodal.{Mp4Math, Multimodal}
+    // the fixture chain (v0 boxes behind free/udta noise) decodes
+    val m = Mp4Math.meta(Multimodal.mp4Fixture(3L))
+    assert(m != null)
+    assert(m.getUTF8String(0).toString == "isom")
+    assert(m.getInt(1) == 1300 && m.getLong(2) == 1111L) // 1000+(3%9)*100, 1000+111
+    assert(m.getInt(3) == 4 && m.getInt(4) == 19 && m.getInt(5) == 37)
+    // the corrupt-size fixture is null, never over-read
+    assert(Mp4Math.meta(Multimodal.mp4Fixture(10L)) == null)
+
+    // hand-rolled v1 mvhd/tkhd with 64-bit fields, plus a LARGESIZE
+    // (size==1 + 64-bit length) moov — the modern-file variants
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def boxOf(t: String, payload: Array[Byte]) = be32(payload.length + 8) ++ t.getBytes ++ payload
+    val mvhd1 = boxOf("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(5L) ++ be64(6L) ++ be32(90000) ++ be64(123456789L) ++
+        Array.fill[Byte](80)(0))
+    val tkhd1 = boxOf("tkhd",
+      Array[Byte](1, 0, 0, 7) ++ be64(0L) ++ be64(0L) ++ be32(9) ++ be32(0) ++ be64(42L) ++
+        Array.fill[Byte](8 + 8)(0) ++ Array.fill[Byte](36)(0) ++
+        be32(1920 << 16) ++ be32(1080 << 16))
+    val moovPayload = mvhd1 ++ boxOf("trak", tkhd1)
+    val moovLarge = be32(1) ++ "moov".getBytes ++ be64(moovPayload.length + 16L) ++ moovPayload
+    val ftyp = boxOf("ftyp", "mp42".getBytes ++ be32(0) ++ "mp42".getBytes)
+    val v1 = Mp4Math.meta(ftyp ++ moovLarge)
+    assert(v1 != null, "v1/largesize container must decode")
+    assert(v1.getUTF8String(0).toString == "mp42")
+    assert(v1.getInt(1) == 90000 && v1.getLong(2) == 123456789L)
+    assert(v1.getInt(3) == 9 && v1.getInt(4) == 1920 && v1.getInt(5) == 1080)
+  }
 }

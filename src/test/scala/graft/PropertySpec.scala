@@ -215,12 +215,13 @@ class PropertySpec extends AnyFunSuite {
     // pure noise, noise behind valid magic (forces the parsers past
     // their header checks), and truncations of VALID fixtures (every
     // prefix length of real encoder output).
-    import graft.multimodal.{JpegMath, Multimodal, PngMath, WavMath}
+    import graft.multimodal.{JpegMath, Mp4Math, Multimodal, PngMath, WavMath}
     def kernels(b: Array[Byte]): Unit = {
       WavMath.sumSq(b)
       WavMath.frameStats(b, 25)
       PngMath.resizeStats(b, 2)
       JpegMath.sof(b)
+      Mp4Math.meta(b)
     }
     val noise = for {
       n <- Gen.choose(0, 300)
@@ -238,13 +239,13 @@ class PropertySpec extends AnyFunSuite {
     }
     for (id <- Seq(0L, 3L, 7L, 10L);
          fix <- Seq(Multimodal.wavFixture(id), Multimodal.pngFixture(id),
-           Multimodal.jpegFixture(id));
+           Multimodal.jpegFixture(id), Multimodal.mp4Fixture(id));
          n <- 0 to fix.length) {
       kernels(fix.take(n))
     }
     // and single-byte corruptions of each valid fixture
     for (fix <- Seq(Multimodal.wavFixture(1L), Multimodal.pngFixture(1L),
-           Multimodal.jpegFixture(1L));
+           Multimodal.jpegFixture(1L), Multimodal.mp4Fixture(1L));
          i <- fix.indices) {
       val c = fix.clone(); c(i) = (c(i) ^ 0xFF).toByte
       kernels(c)
