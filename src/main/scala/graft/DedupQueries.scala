@@ -314,12 +314,15 @@ object DedupQueries {
       w AS (
         SELECT p, pos,
           CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 15))::BIGINT
-            % 2000001 - 1000000 AS DOUBLE) AS wt
+            % 2000001 - 1000000 AS BIGINT) AS wt
         FROM (SELECT unnest(range(0, (SELECT b * r FROM geo))) AS p)
         CROSS JOIN (SELECT DISTINCT pos FROM ex0)),
+      exq AS (
+        SELECT vec_id, pos, CAST(FLOOR(val * 1048576 + 0.5) AS BIGINT) AS vq
+        FROM ex),
       proj AS (
-        SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
-        FROM ex e JOIN w ON w.pos = e.pos
+        SELECT e.vec_id, w.p, SUM(w.wt * e.vq) AS pr
+        FROM exq e JOIN w ON w.pos = e.pos
         GROUP BY 1, 2),
       bands AS (
         SELECT vec_id, CAST(FLOOR(p / (SELECT r FROM geo)) AS INTEGER) AS band,

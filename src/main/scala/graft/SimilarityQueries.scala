@@ -564,19 +564,23 @@ object SimilarityQueries {
       w AS (
         SELECT p, pos,
           CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(pos - 1 AS VARCHAR)), 1, 15))::BIGINT
-            % 2000001 - 1000000 AS DOUBLE) AS wt
+            % 2000001 - 1000000 AS BIGINT) AS wt
         FROM (SELECT unnest(range(0, (SELECT b * r FROM geo))) AS p)
         CROSS JOIN (SELECT DISTINCT pos FROM ex0)),
+      hexq AS (
+        SELECT vec_id, pos, CAST(FLOOR(val * 1048576 + 0.5) AS BIGINT) AS vq FROM hex),
+      bexq AS (
+        SELECT vec_id, pos, CAST(FLOOR(val * 1048576 + 0.5) AS BIGINT) AS vq FROM bex),
       hproj AS (
-        SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
-        FROM hex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+        SELECT e.vec_id, w.p, SUM(w.wt * e.vq) AS pr
+        FROM hexq e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
       hbands AS (
         SELECT vec_id, CAST(FLOOR(p / (SELECT r FROM geo)) AS INTEGER) AS band,
           SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << (CAST(p AS INTEGER) % (SELECT r FROM geo))) ELSE 0 END) AS band_hash
         FROM hproj GROUP BY 1, 2),
       bproj AS (
-        SELECT e.vec_id, w.p, SUM(CAST(w.wt * e.val AS DECIMAL(38,12))) AS pr
-        FROM bex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+        SELECT e.vec_id, w.p, SUM(w.wt * e.vq) AS pr
+        FROM bexq e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
       bbands AS (
         SELECT vec_id, CAST(FLOOR(p / (SELECT r FROM geo)) AS INTEGER) AS band,
           SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << (CAST(p AS INTEGER) % (SELECT r FROM geo))) ELSE 0 END) AS band_hash

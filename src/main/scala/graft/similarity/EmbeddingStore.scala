@@ -138,9 +138,13 @@ object EmbeddingStore {
     df.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("emb"))
 
-  /** Band + band_key signatures of a canonical base. */
-  private def bandsOf(base: DataFrame, dims: Int, spec: Spec): DataFrame =
-    Similarity.signBitBands(base, dims, spec.planes, spec.bandBits)
+  /** Band + band_key signatures of a canonical base. The width is
+    * implicit in each row's array (the kernel derives weights per
+    * (planes, dims)); callers still probe dims for the store's own
+    * width checks.
+    */
+  private def bandsOf(base: DataFrame, spec: Spec): DataFrame =
+    Similarity.signBitBands(base, spec.planes, spec.bandBits)
       .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
 
   /** Band-bucket candidates of `bBands` against the store, re-verified
@@ -191,7 +195,7 @@ object EmbeddingStore {
       if (dimsRow.isNullAt(0)) math.max(meta.getAs[Int]("dims"), 1)
       else dimsRow.getInt(0)
     val v = base.join(Similarity.normsOf(base), "vec_id")
-    crossVerified(spark, name, v, bandsOf(base, dims, spec), threshold)
+    crossVerified(spark, name, v, bandsOf(base, spec), threshold)
       .select(col("other_id").as("hist_id"), col("new_id"), col("cosine"))
   }
 
@@ -214,7 +218,7 @@ object EmbeddingStore {
       else probeRow.getInt(1)
     val spec0 = spec.resolve(probeRow.getLong(0))
     if (dims > 0) {
-      bandsOf(base, dims, spec0)
+      bandsOf(base, spec0)
         .repartition(buckets, col("band_key"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "band_key").sortBy("band_key")
@@ -293,7 +297,7 @@ object EmbeddingStore {
       require(storedDims <= 0 || storedDims == dims,
         s"batch dims $dims != store dims $storedDims for '$name'")
       val v = base.join(Similarity.normsOf(base), "vec_id").localCheckpoint(true)
-      val bBands = bandsOf(base, dims, spec).localCheckpoint(true)
+      val bBands = bandsOf(base, spec).localCheckpoint(true)
 
       // exact decimal cosine between candidate (new, hist-or-new) pairs
       def verified(cand: DataFrame, hist: DataFrame): DataFrame =

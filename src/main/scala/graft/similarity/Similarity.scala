@@ -53,16 +53,6 @@ object Similarity {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * md5-derived integer in [-1e6, 1e6]. The md5 discipline (same as the
-    * MinHash band salts in graft.dedup) makes the "random" projection
-    * replayable bit-for-bit in any engine with md5 — the property that
-    * lets a DuckDB oracle reproduce the exact candidate set.
-    */
-  private def planeWeight(p: Column, i: Column): Column =
-    (conv(substring(md5(concat(p.cast("string"), lit("_"), i.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 2000001L - 1000000L).cast("double")
-
   /** Banded sign-bit LSH near-dup pairs — the embedding near-dup
     * operator at scale (SURVEY.md §2.H). Candidate generation is a
     * bucket equi-join on (band, band-hash) — the same recall/precision
@@ -95,41 +85,27 @@ object Similarity {
       .agg(sum((col("val") * col("val")).cast(Dec)).cast("double").as("ns"))
 
   /** Banded sign-bit signatures of a (vec_id, emb) frame:
-    * (vec_id, band, band_hash). Signatures via explode + broadcast
-    * weight table + codegen'd decimal hash aggregation — NOT per-plane
-    * array-HOF folds. Higher-order functions are CodegenFallback
-    * (interpreted): measured 8× slower once other queries in the JVM
-    * pollute the shared interpreted-eval JIT profiles (69 s vs 8 s for
-    * the same plan), and never whole-stage-compiled even alone. The
-    * exploded form computes the SAME decimal(28,12) products and exact
-    * order-independent sums — sign bits, buckets, and published
-    * cosines are bit-identical, so the DuckDB oracle is unaffected.
+    * (vec_id, band, band_hash) — a NARROW per-row map: the codegen'd
+    * [[graft.similarity.LshMath.bandHashes]] kernel computes every band hash inside one
+    * generated-code call, then the bands array posexplodes. Nothing
+    * shuffles until the caller's own bucket analytics. (The previous
+    * shape — explode + broadcast weight join + decimal aggregation —
+    * carried n·dims·planes rows through a shuffle; with the adaptive
+    * geometry growing planes ~log²(n), SCALECHECK measured it
+    * dominating d05's scaled cost. A per-plane array-HOF fold was
+    * rejected earlier for the same family: HOFs are CodegenFallback,
+    * measured 8× slower under shared JIT profiles.)
     * The md5 hyperplane weights are corpus-INDEPENDENT (a pure function
     * of (plane, pos)), which is what lets a store's history bands and a
     * later batch's bands agree by construction.
     */
-  private[similarity] def signBitBands(base: DataFrame, dims: Int,
+  private[similarity] def signBitBands(base: DataFrame,
       planes: Int, bandBits: Int): DataFrame = {
     require(planes % bandBits == 0, "planes must divide into whole bands")
-    val spark = base.sparkSession
-    val ex = base.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "val0")))
-      .withColumn("val", col("val0").cast("double"))
-    // (plane, pos) → md5 weight: a planes×dim control-plane table, each
-    // weight evaluated once and broadcast (vs once per vector element)
-    val weights = spark.range(planes.toLong * dims).select(
-        floor(col("id") / dims).cast("int").as("plane"),
-        pmod(col("id"), lit(dims)).cast("int").as("pos"))
-      .withColumn("w", planeWeight(col("plane"), col("pos")))
-    val proj = ex.join(broadcast(weights), "pos")
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum((col("w") * col("val")).cast(Dec)).as("proj"))
-    // band hash = the band's sign bits packed little-endian
-    proj.select(col("vec_id"),
-        floor(col("plane") / bandBits).cast("int").as("band"),
-        when(col("proj") >= 0, expr(s"shiftleft(1, plane % $bandBits)"))
-          .otherwise(lit(0)).as("bit"))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(sum(col("bit")).cast("int").as("band_hash"))
+    LshFunctions.register(base.sparkSession)
+    base.select(col("vec_id"),
+      posexplode(expr(s"lsh_band_hashes(emb, $planes, $bandBits)"))
+        .as(Seq("band", "band_hash")))
   }
 
   /** Adaptive band geometry — the fix for the measured quadratic
@@ -190,7 +166,7 @@ object Similarity {
           "capped_buckets", "capped_rows", "max_bucket")
     }
     val (pl, bb) = if (planes > 0) (planes, bandBits) else lshSpecFor(n)
-    signBitBands(base, probe.getInt(1), pl, bb)
+    signBitBands(base, pl, bb)
       .groupBy("band", "band_hash").count()
       .agg(lit(n).as("n_vectors"), lit(pl).as("planes"), lit(bb).as("band_bits"),
         count(lit(1)).as("occupied_buckets"),
@@ -222,7 +198,7 @@ object Similarity {
     val (pl, bb) =
       if (planes > 0) (planes, bandBits) else lshSpecFor(probe.getLong(0))
     require(pl % bb == 0, "planes must divide into whole bands")
-    val sig = signBitBands(base, dims, pl, bb)
+    val sig = signBitBands(base, pl, bb)
     val counted = sig.groupBy("band", "band_hash").count()
     // inline drop accounting (zero extra jobs, but best-effort under
     // AQE empty-relation propagation — see lshBucketAudit for the
@@ -355,4 +331,141 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "cosine", "rank")
   }
+}
+
+/** Deterministic pseudo-random hyperplane weights: md5-derived
+  * integers in [-1e6, 1e6], a pure function of (plane, pos). The md5
+  * discipline (same as the MinHash band salts in graft.dedup) makes
+  * the "random" projection replayable bit-for-bit in any engine with
+  * md5 — the property that lets a DuckDB oracle reproduce the exact
+  * candidate set. Computed once per (planes, dims) per JVM (a few KB)
+  * and read straight from the kernel's hot loop.
+  */
+private[similarity] object LshMath {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+
+  private def weightsFor(planes: Int, dims: Int): Array[Long] =
+    cache.computeIfAbsent((planes, dims), _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = new Array[Long](planes * dims)
+      var p = 0
+      while (p < planes) {
+        var i = 0
+        while (i < dims) {
+          md.reset()
+          val hex = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          w(p * dims + i) = java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L
+          i += 1
+        }
+        p += 1
+      }
+      w
+    })
+
+  /** All band hashes of one embedding as a narrow per-row kernel —
+    * NO shuffle, NO join, NO per-element aggregation in the plan
+    * (the r12 SCALECHECK showed the exploded projection pipeline
+    * carrying n·dims·planes rows through a shuffle; this is the same
+    * arithmetic as plain JVM integer loops inside whole-stage
+    * codegen). Exactness/portability: each input value is quantized
+    * to the 2⁻²⁰ grid with floor(v·2²⁰ + 0.5) — v is a widened
+    * FLOAT, so v·2²⁰ and the +0.5 are exact in double and the floor
+    * is engine-identical — and the projection is then a pure int64
+    * dot product (|w| ≤ 1e6, 128 terms: no overflow below |v| ≈
+    * 7e4), which every engine sums identically. Quantization only
+    * perturbs the LSH CANDIDATE proposer (by ~2⁻²⁰ relative, far
+    * inside the random-hyperplane noise); the published pairs still
+    * come from the full-precision exact-decimal cosine re-verify.
+    */
+  def bandHashes(emb: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Int, bandBits: Int,
+      floatInput: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dims = emb.numElements()
+    val w = weightsFor(planes, dims)
+    val vq = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      // float input widens exactly, so v·2²⁰ and +0.5 stay exact in
+      // double either way and the floor is engine-identical
+      val v = if (floatInput) emb.getFloat(i).toDouble else emb.getDouble(i)
+      vq(i) = math.floor(v * 1048576.0 + 0.5).toLong
+      i += 1
+    }
+    val bands = planes / bandBits
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var hash = 0
+      var k = 0
+      while (k < bandBits) {
+        val off = (b * bandBits + k) * dims
+        var acc = 0L
+        var j = 0
+        while (j < dims) { acc += w(off + j) * vq(j); j += 1 }
+        if (acc >= 0) hash |= (1 << k)
+        k += 1
+      }
+      out(b) = hash
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `lsh_band_hashes(array<double>, planes, band_bits) -> array<int>` —
+  * the whole sign-bit-LSH signature of one embedding as a native
+  * codegen'd expression ([[LshMath.bandHashes]]): element i
+  * is band i's packed sign bits.
+  */
+case class LshBandHashesExpr(
+    first: org.apache.spark.sql.catalyst.expressions.Expression,
+    second: org.apache.spark.sql.catalyst.expressions.Expression,
+    third: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!first.dataType.isInstanceOf[ArrayType] ||
+        (first.dataType.asInstanceOf[ArrayType].elementType != DoubleType &&
+         first.dataType.asInstanceOf[ArrayType].elementType != FloatType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<DOUBLE|FLOAT> embedding, got ${first.dataType.catalogString}")
+    else if (second.dataType != IntegerType || !second.foldable ||
+        third.dataType != IntegerType || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal INT planes and band bits")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private lazy val floatInput: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(emb: Any, planes: Any, bits: Any): Any =
+    LshMath.bandHashes(
+      emb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planes.asInstanceOf[Int], bits.asInstanceOf[Int], floatInput)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, p, b) =>
+      s"graft.similarity.LshMath.bandHashes($e, $p, $b, $floatInput)")
+  override protected def withNewChildrenInternal(
+      newFirst: org.apache.spark.sql.catalyst.expressions.Expression,
+      newSecond: org.apache.spark.sql.catalyst.expressions.Expression,
+      newThird: org.apache.spark.sql.catalyst.expressions.Expression): LshBandHashesExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "lsh_band_hashes"
+}
+
+/** Session registration for the LSH kernel (the `MediaFunctions`
+  * pattern — idempotent, callable from any query path).
+  */
+object LshFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_band_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshBandHashesExpr].getName, "lsh_band_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBandHashesExpr(children.head, children(1), children(2)))
 }
