@@ -110,6 +110,14 @@ object ScaleCheck {
 
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE right-size every shuffle by bytes instead of pinning it
+      // to the core count: at 30× a 32-way shuffle holds ~17M rows per
+      // partition and sort-spills locally (measured 7.2 GB on d02) —
+      // the same run a real cluster absorbs by having more reducers.
+      // Starting high and coalescing down is exactly how the engine
+      // should be deployed at scale, so the harness measures that.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

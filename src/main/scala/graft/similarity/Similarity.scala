@@ -341,7 +341,7 @@ object Similarity {
   * candidate set. Computed once per (planes, dims) per JVM (a few KB)
   * and read straight from the kernel's hot loop.
   */
-private[similarity] object LshMath {
+object LshMath {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
 

@@ -135,6 +135,34 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("LSH kernel: float == double input, interpreted == codegen, geometry boundaries") {
+    import graft.similarity.{LshFunctions, LshMath, Similarity}
+    LshFunctions.register(spark)
+    // adaptive geometry boundaries: 2^r >= n, clamped to [8, 30]
+    assert(Similarity.bandBitsFor(0) == 8 && Similarity.bandBitsFor(256) == 8)
+    assert(Similarity.bandBitsFor(257) == 9)
+    assert(Similarity.bandBitsFor((1L << 30) + 1) == 30)
+    assert(Similarity.lshSpecFor(600) == ((70, 10))) // 7 bands × 10 bits
+    // a widened float and its double twin hash identically (the
+    // expression's float fast path must not change any quantization)
+    val emb = Tables.embeddings(spark, sfDir).limit(64)
+    val viaFloat = emb.selectExpr("vec_id", "lsh_band_hashes(embedding, 48, 8) AS h")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaDouble = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .selectExpr("vec_id", "lsh_band_hashes(e, 48, 8) AS h")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaFloat == viaDouble)
+    // the codegen'd plan path equals a direct interpreted kernel call
+    val one = emb.orderBy("vec_id")
+      .select(transform(col("embedding"), x => x.cast("double")).as("e")).head().getSeq[Double](0)
+    val direct = LshMath.bandHashes(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(one.toArray),
+      48, 8, floatInput = false)
+    val minId = emb.agg(min("vec_id")).head().getLong(0)
+    assert(direct.toIntArray().toSeq == viaDouble(minId))
+  }
+
   test("LSH bucket-cap drops are observable, never silent") {
     import graft.similarity.Similarity
     import org.apache.spark.sql.Observation
