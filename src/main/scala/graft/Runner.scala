@@ -132,8 +132,15 @@ object Runner {
       opts.get("maintain-store-emb").foreach { store =>
         graft.similarity.EmbeddingStore.ensureRegistered(spark, store)
         import graft.similarity.EmbeddingStore._
-        report(store, Seq(bandsTable(store), vecsTable(store)),
-          () => compact(spark, store))
+        report(store, Seq(bandsTable(store), vecsTable(store)), () => {
+          // re-band FIRST (widens the key space when the store outgrew
+          // its build-time geometry, and lands the bands table at the
+          // file floor), then compact sweeps what remains (the vectors)
+          val rebanded = reband(spark, store)
+          if (rebanded) println(s"[maintain-store] $store re-banded to the " +
+            "adaptive geometry for its current size")
+          compact(spark, store)
+        })
       }
       spark.stop()
       return

@@ -379,6 +379,7 @@ object Orchestrator {
         })
         embeddingStores.foreach(s => isolated(s"embedding store $s") {
           graft.similarity.EmbeddingStore.ensureRegistered(spark, s)
+          graft.similarity.EmbeddingStore.reband(spark, s)
           graft.similarity.EmbeddingStore.compact(spark, s)
         })
       }))

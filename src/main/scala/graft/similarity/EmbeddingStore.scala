@@ -127,6 +127,80 @@ object EmbeddingStore {
     guard(name).bumpGen(spark)
   }
 
+  /** Maintenance RE-BANDING: re-derive the band geometry from the
+    * store's CURRENT size and rewrite the bands table from the stored
+    * full-precision vectors. This is the one cost the build-time pin
+    * cannot bound: the spec is frozen when the history is banded, so a
+    * store that grows far past its build size sees its cross-store
+    * candidate term grow ≈ history/2^r per batch — re-banding widens
+    * the key space back to the adaptive envelope. No corpus rescan:
+    * `_evecs` holds full-precision vectors, so this is one narrow
+    * kernel pass + one bucketed write (which also lands the bands
+    * table at the file floor). Returns true when a rewrite happened;
+    * no-op (false) when the derived geometry equals the pinned one.
+    *
+    * Crash contract (a REBUILD-class mutation, like `build`): the slow
+    * staging writes to a `__rebanding` scratch sibling first; the
+    * commit sequence (reset → rename → re-declare → meta overwrite →
+    * gen bump) is short, and a compactor never resumes it (different
+    * staged suffix) — a re-run of reband itself heals: on entry, a
+    * staged sibling holding the only copy of the bands is swapped in
+    * before the (idempotent) meta re-derivation. Pre-reband snapshots
+    * become non-rollbackable (band files are deleted, and the meta
+    * overwrite restarts the generation history — both rollback gates
+    * refuse loudly, same as after a `build`).
+    */
+  def reband(spark: SparkSession, name: String): Boolean = locked(spark, name) {
+    val bandsT = bandsTable(name)
+    val staged = s"${bandsT}__rebanding"
+    def loc(t: String) = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    val fs = loc(bandsT).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFilesAt(p: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val meta = spark.table(metaTable(name)).head()
+    val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
+    val buckets = meta.getAs[Int]("buckets")
+    val dims = meta.getAs[Int]("dims")
+    val n = spark.table(vecsTable(name)).count()
+    val spec2 = Spec().resolve(n)
+    // a dead rebander's staged sibling holding the ONLY copy: finish
+    // its swap first (the bands content is already the DERIVED spec —
+    // the meta re-derivation below recommits it)
+    val resuming = dataFilesAt(loc(staged)) > 0 && dataFilesAt(loc(bandsT)) == 0
+    if (spec2 == spec && !resuming) false
+    else {
+      if (!resuming) {
+        StoreGuard.resetTable(spark, staged)
+        bandsOf(spark.table(vecsTable(name)).select("vec_id", "emb"), spec2)
+          .repartition(buckets, col("band_key"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "band_key").sortBy("band_key")
+          .saveAsTable(staged)
+        StoreGuard.resetTable(spark, bandsT) // staged = only copy
+      } else if (fs.exists(loc(bandsT))) {
+        fs.delete(loc(bandsT), true) // a recovery-registered empty husk
+      }
+      require(fs.rename(loc(staged), loc(bandsT)),
+        s"reband swap failed: rename ${loc(staged)} -> ${loc(bandsT)} refused")
+      spark.sql(s"DROP TABLE IF EXISTS `$staged`")
+      spark.sql(s"DROP TABLE IF EXISTS `$bandsT`")
+      val cols = spark.read.parquet(loc(bandsT).toString).schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$bandsT` ($cols) USING parquet " +
+        s"CLUSTERED BY (`band_key`) SORTED BY (`band_key`) INTO $buckets BUCKETS " +
+        s"LOCATION '${loc(bandsT)}'")
+      import spark.implicits._
+      Seq((spec2.planes, spec2.bandBits, buckets, dims))
+        .toDF("planes", "band_bits", "buckets", "dims")
+        .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+      guard(name).bumpGen(spark)
+      true
+    }
+  }
+
   /** Drop the store's tables and their locations (idempotent). */
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(StoreGuard.resetTable(spark, _))

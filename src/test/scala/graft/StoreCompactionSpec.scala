@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.dedup.{SignatureStore, StoreGuard}
-import graft.similarity.EmbeddingStore
+import graft.similarity.{EmbeddingStore, Similarity}
 import org.apache.hadoop.fs.Path
 
 /** Store-compaction lifecycle (the r11/r12 owed spec): N daily ingests
@@ -161,5 +161,71 @@ class StoreCompactionSpec extends SparkSpec {
     assert(!fs.exists(loc(staged)))
     assert(probe() == p0)
     EmbeddingStore.drop(spark, name)
+  }
+
+  test("embedding store reband: outgrown geometry widens from stored vectors; no-op when current; crash heals") {
+    import spark.implicits._
+    val name = "graft_reband_spec"
+    EmbeddingStore.drop(spark, name)
+    // deterministic synthetic corpus: enough structure for the adaptive
+    // derivation to CHANGE between 100 and 1200 vectors
+    // md5-derived coordinates: genuinely unstructured, so distinct ids
+    // are never near-dups (a lattice formula here makes constant-shift
+    // twins and the whole ingest dedupes away — measured)
+    def vecs(from: Long, until: Long) = (from until until).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (i, Array.tabulate(32) { j =>
+        val d = md.digest(s"$i:$j".getBytes("UTF-8"))
+        ((((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF)) % 20001 - 10000) / 10000.0f
+      })
+    }.toDF("vec_id", "embedding")
+    EmbeddingStore.build(spark, vecs(0, 100), name) // n=100 -> r=8, 48 planes
+    def metaSpec() = {
+      val m = spark.table(EmbeddingStore.metaTable(name)).head()
+      (m.getAs[Int]("planes"), m.getAs[Int]("band_bits"))
+    }
+    assert(metaSpec() == Similarity.lshSpecFor(100))
+    // geometry still right-sized: reband is a no-op
+    assert(!EmbeddingStore.reband(spark, name))
+    assert(metaSpec() == Similarity.lshSpecFor(100))
+    // the store grows 12x past its build-time size
+    EmbeddingStore.ingest(spark, vecs(100, 1200), name)
+    val n = spark.table(EmbeddingStore.vecsTable(name)).count()
+    assert(Similarity.lshSpecFor(n) != metaSpec(), "growth must outdate the pin")
+    assert(EmbeddingStore.reband(spark, name))
+    assert(metaSpec() == Similarity.lshSpecFor(n))
+    // the re-banded store answers probes exactly like a FRESH build of
+    // the same corpus (geometry and bands agree by construction)
+    val fresh = "graft_reband_fresh"
+    EmbeddingStore.drop(spark, fresh)
+    EmbeddingStore.build(spark,
+      spark.table(EmbeddingStore.vecsTable(name))
+        .select(col("vec_id"), col("emb").as("embedding")), fresh)
+    val batch = vecs(5000, 5050)
+      .unionByName(vecs(100, 110).select((col("vec_id") + 9000000L).as("vec_id"),
+        col("embedding"))) // exact twins of stored vectors: guaranteed pairs
+    def probeOf(store: String) = EmbeddingStore
+      .incrementalPairs(spark, batch, store)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probeOf(name) == probeOf(fresh))
+    assert(probeOf(name).nonEmpty)
+    // bands landed at the file floor; a follow-up compact is a no-op there
+    assert(StoreGuard.dataFileCount(spark, EmbeddingStore.bandsTable(name)) <= 16)
+
+    // crash window: die between the bands reset and the rename — the
+    // staged __rebanding sibling holds the only copy; a re-run heals
+    // both the swap AND the meta pin
+    val bandsT = EmbeddingStore.bandsTable(name)
+    val staged = s"${bandsT}__rebanding"
+    spark.table(bandsT).repartition(16, col("band_key"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "band_key").sortBy("band_key").saveAsTable(staged)
+    StoreGuard.resetTable(spark, bandsT)
+    EmbeddingStore.ensureRegistered(spark, name)
+    assert(EmbeddingStore.reband(spark, name), "resume must report a rewrite")
+    assert(!fs.exists(loc(staged)))
+    assert(metaSpec() == Similarity.lshSpecFor(n))
+    assert(probeOf(name) == probeOf(fresh))
+    Seq(name, fresh).foreach(EmbeddingStore.drop(spark, _))
   }
 }
