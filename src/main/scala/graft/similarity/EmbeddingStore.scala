@@ -268,7 +268,7 @@ object EmbeddingStore {
     val dims =
       if (dimsRow.isNullAt(0)) math.max(meta.getAs[Int]("dims"), 1)
       else dimsRow.getInt(0)
-    val v = base.join(Similarity.normsOf(base), "vec_id")
+    val v = base.withColumn("ns", Similarity.normSq(col("emb")))
     crossVerified(spark, name, v, bandsOf(base, spec), threshold)
       .select(col("other_id").as("hist_id"), col("new_id"), col("cosine"))
   }
@@ -297,7 +297,7 @@ object EmbeddingStore {
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "band_key").sortBy("band_key")
         .saveAsTable(bandsTable(name))
-      base.join(Similarity.normsOf(base), "vec_id")
+      base.withColumn("ns", Similarity.normSq(col("emb")))
         .repartition(buckets, col("vec_id"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
@@ -370,7 +370,7 @@ object EmbeddingStore {
       }
       require(storedDims <= 0 || storedDims == dims,
         s"batch dims $dims != store dims $storedDims for '$name'")
-      val v = base.join(Similarity.normsOf(base), "vec_id").localCheckpoint(true)
+      val v = base.withColumn("ns", Similarity.normSq(col("emb"))).localCheckpoint(true)
       val bBands = bandsOf(base, spec).localCheckpoint(true)
 
       // exact decimal cosine between candidate (new, hist-or-new) pairs

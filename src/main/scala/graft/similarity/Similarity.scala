@@ -25,19 +25,18 @@ object Similarity {
   private val Dec = DecimalType(28, 12)
   private def dzero: Column = lit(java.math.BigDecimal.ZERO).cast(Dec)
 
-  /** Exact decimal-accumulated dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      dzero,
-      (acc, x) => (acc + x.cast(Dec)).cast(Dec)).cast("double")
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
-  /** Exact decimal-accumulated squared L2 norm. */
-  def normSq(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      dzero,
-      (acc, x) => (acc + x.cast(Dec)).cast(Dec)).cast("double")
+  /** Exact decimal-accumulated dot product of two vector columns —
+    * a codegen'd kernel ([[DotMath.dotExact]]; computes the same
+    * per-element `(x·y).cast(decimal(28,12))` sums the previous
+    * `zip_with`+`aggregate` HOF spelling did, but inside whole-stage
+    * codegen instead of interpreted CodegenFallback — SURVEY note 3).
+    */
+  def dot(a: Column, b: Column): Column = toCol(DotExactExpr(toExpr(a), toExpr(b)))
+
+  /** Exact decimal-accumulated squared L2 norm (codegen'd kernel). */
+  def normSq(a: Column): Column = toCol(NormSqExactExpr(toExpr(a)))
 
   /** Cosine similarity from precomputed squared norms. */
   def cosine(dotCol: Column, normSqA: Column, normSqB: Column): Column =
@@ -45,13 +44,11 @@ object Similarity {
 
   /** Fast double-fold dot product — used only as a conservative
     * prefilter (its deviation from the exact decimal dot is bounded by
-    * ~64·ulp, far below the filter margin).
+    * ~64·ulp, far below the filter margin). Codegen'd kernel; folds in
+    * the same left-to-right order the HOF did, so even its rounding is
+    * bit-identical.
     */
-  def dotApprox(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dotApprox(a: Column, b: Column): Column = toCol(DotFastExpr(toExpr(a), toExpr(b)))
 
   /** Banded sign-bit LSH near-dup pairs — the embedding near-dup
     * operator at scale (SURVEY.md §2.H). Candidate generation is a
@@ -75,15 +72,6 @@ object Similarity {
     * duplicates) exactly like the df-cap on the shingle inverted index —
     * cost tracks genuine collisions, never a skew blowup.
     */
-  /** Per-vector squared norms of a (vec_id, emb) frame — decimal-exact.
-    * Shared by the pairs operator and the embedding store.
-    */
-  private[similarity] def normsOf(base: DataFrame): DataFrame =
-    base.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "val0")))
-      .withColumn("val", col("val0").cast("double"))
-      .groupBy(col("vec_id"))
-      .agg(sum((col("val") * col("val")).cast(Dec)).cast("double").as("ns"))
-
   /** Banded sign-bit signatures of a (vec_id, emb) frame:
     * (vec_id, band, band_hash) — a NARROW per-row map: the codegen'd
     * [[graft.similarity.LshMath.bandHashes]] kernel computes every band hash inside one
@@ -185,8 +173,9 @@ object Similarity {
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val base = emb.repartition(par)
       .select(col(idCol).as("vec_id"), col(vecCol).as("emb"))
-    val ns = normsOf(base)
-    val v = base.join(ns, "vec_id")
+    // per-row norm via the kernel — the previous aggregate + self-join
+    // shuffled the vector payload twice for a value each row computes
+    val v = base.withColumn("ns", normSq(col("emb")))
     // one control-plane probe: corpus size (drives the adaptive band
     // geometry) and width. An empty corpus (a plausible daily slice)
     // has no max — return the empty pair set instead of NPE-ing.
