@@ -117,12 +117,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(256))
       .write.mode("overwrite").format("noop").save()
     // Fourth warmup: a 64-vector miniature through the embedding-LSH
-    // pair pipeline (posexplode → broadcast hyperplane join → decimal
-    // projection agg → band bucket join → zip_with/aggregate cosine
-    // re-verify) — d05's kernels share none of the shingle family's hot
-    // loops, and its HOF re-verify path is CodegenFallback (interpreted),
-    // the documented JIT-profile-sensitive mode (SURVEY note 3). r10
-    // quiet-machine probe: 8.2 s cold vs 2.7–3.7 s steady.
+    // pair pipeline (the lsh_band_hashes signature kernel → band bucket
+    // join → dot_fast/dot_exact cosine re-verify, all codegen'd as of
+    // r13 — SURVEY note 26) so its generated classes JIT before any
+    // timed run. r10 quiet-machine probe of the old HOF path: 8.2 s
+    // cold vs 2.7–3.7 s steady.
     graft.similarity.Similarity.lshCosinePairs(
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64),
       "vec_id", "embedding", threshold = 0.9)

@@ -3,7 +3,6 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search (SURVEY.md §2.H): brute-force cosine
   * top-k as the exact baseline, IVF (inverted-file, coarse-quantizer
@@ -17,13 +16,6 @@ import org.apache.spark.sql.types.DecimalType
   * 24-bit product is exact in double).
   */
 object Similarity {
-
-  // 28,12 not 38,12: decimal addition at the 38-precision cap forces
-  // Spark to drop a scale digit per step (allowPrecisionLoss), which
-  // would silently re-round the accumulator. At (28,12), (28,12)+(28,12)
-  // → (29,12) stays exact and the cast back is lossless.
-  private val Dec = DecimalType(28, 12)
-  private def dzero: Column = lit(java.math.BigDecimal.ZERO).cast(Dec)
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
