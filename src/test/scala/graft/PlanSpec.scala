@@ -56,6 +56,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "n² pair space leaked into the plan")
     // candidates come from hash joins on (band, band_hash) equality
     assert("HashJoin".r.findAllIn(p).nonEmpty, p.linesIterator.take(20).mkString("\n"))
+    // the whole hot path is codegen'd kernels (r13): signatures and
+    // dots must never regress to interpreted array-HOF folds
+    assert(p.contains("lsh_band_hashes"), "signature kernel missing from the plan")
+    assert(p.contains("dot_exact") && p.contains("dot_fast"),
+      "cosine re-verify must use the codegen'd dot kernels")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "an interpreted array-HOF fold regressed into the LSH hot path")
   }
 
   test("d12: substring-dedup plan is linear — equi-joins only, no pair operator") {
