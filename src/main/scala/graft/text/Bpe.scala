@@ -80,7 +80,7 @@ object Bpe {
   }
 
   def tokenId(tok: String): Int =
-    if (tok.length == 1) tok.codePointAt(0)
+    if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0)
     else Option(idOf.get(tok)).map(_.toInt).getOrElse(-1)
 
   /** The t05 pre-tokenizer: letter runs / digit runs / single
@@ -88,12 +88,23 @@ object Bpe {
     */
   private val PieceRe = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
 
-  /** BPE-encode one pre-tokenizer piece. */
+  /** BPE-encode one pre-tokenizer piece. Symbols are CODE POINTS, not
+    * UTF-16 units — a supplementary character (emoji, rare CJK) must
+    * stay one symbol, or its two surrogate halves become lone-surrogate
+    * "tokens" that UTF8String encodes as `?` while the code-point-based
+    * oracle (DuckDB `len`) keeps the character whole.
+    */
   def encodePiece(piece: String): Array[String] = {
-    if (piece.length <= 1) return Array(piece)
-    var syms = new Array[String](piece.length)
+    val n = piece.codePointCount(0, piece.length)
+    if (n <= 1) return Array(piece)
+    var syms = new Array[String](n)
     var i = 0
-    while (i < piece.length) { syms(i) = String.valueOf(piece.charAt(i)); i += 1 }
+    var off = 0
+    while (off < piece.length) {
+      val cc = Character.charCount(piece.codePointAt(off))
+      syms(i) = piece.substring(off, off + cc)
+      i += 1; off += cc
+    }
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue

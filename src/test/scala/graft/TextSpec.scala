@@ -179,22 +179,33 @@ class TextSpec extends SparkSpec {
     assert(Bpe.tokenId("zz") == -1) // not an encoder-producible token
     // unknown (non-ASCII) characters are base tokens with their code point
     assert(Bpe.tokenId("é") == 0xe9)
+    // symbols are CODE POINTS, not UTF-16 units: a supplementary
+    // character (2 chars in Java) must stay ONE token with its real
+    // code point — split surrogates would UTF8-encode as '?' and
+    // diverge from the code-point-based oracle
+    assert(Bpe.encodePiece("👍").toSeq == Seq("👍")) // 👍
+    assert(Bpe.tokenId("👍") == 0x1f44d)
   }
 
   test("t14: doc-level encoding — pre-tokenizer pieces, empty docs, id column") {
     import graft.text.BpeFunctions
     BpeFunctions.register(spark)
-    withDocs(Seq(1L -> "The value, the value!", 2L -> "", 3L -> "   ")) { dir =>
+    withDocs(Seq(1L -> "The value, the value!", 2L -> "", 3L -> "   ",
+        4L -> "👍 The 👍")) { dir =>
       val rows = TextQueries.t14.query(spark, dir).collect()
         .map(r => (r.getLong(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
       // norm = "the value, the value!": pieces the/value/,/the/value/!
-      assert(rows == Map(
+      assert((rows - ((4L, "the")) - ((4L, "👍"))) == Map(
         (1L, "the") -> ((257, 2L)),
         (1L, "value") -> ((261, 2L)),
         (1L, ",") -> ((','.toInt, 1L)),
         (1L, "!") -> (('!'.toInt, 1L))), rows)
       // empty/blank docs produce no token rows at all (no null tokens)
       assert(!rows.keys.exists(_._1 == 2L) && !rows.keys.exists(_._1 == 3L))
+      // a supplementary character survives the whole doc pipeline as one
+      // token with its real code point (not two mangled surrogates)
+      assert(rows((4L, "👍")) == ((0x1f44d, 2L)), rows)
+      assert(rows((4L, "the")) == ((257, 1L)), rows)
     }
   }
 
