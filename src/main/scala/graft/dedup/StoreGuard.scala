@@ -247,6 +247,14 @@ private[graft] object StoreGuard {
   private val heldLocks = ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
     () => scala.collection.mutable.Set.empty[String])
 
+  /** Default warehouse location of a store table (per-process catalog,
+    * durable dir — the one path every store mutator keys off).
+    */
+  def tableLocation(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+
   /** Drop a store table from the catalog AND clear its default
     * warehouse location (the session catalog is per-process but the
     * warehouse dir is durable — `saveAsTable` refuses to CREATE over an
@@ -254,11 +262,69 @@ private[graft] object StoreGuard {
     */
   def resetTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Staged-swap state machine shared by every REBUILD-class bucketed
+    * table rewrite ([[compactTable]], the embedding store's reband):
+    * stage a COMPLETE replacement under the `staged` sibling table,
+    * reset the live table, atomically rename the staging over its
+    * location, and re-declare the bucketed catalog entry. Returns true
+    * when a swap ran (fresh or resumed), false when neither `needed`
+    * nor a pending resume applied. One implementation so a crash-window
+    * fix can never land in one copy and miss the other.
+    *
+    * Crash safety: the staged table is written completely before the
+    * original is touched; the only window without a live table dir is
+    * between the reset and the rename (two driver-side FS calls). A
+    * writer that died in that window left the staged dir as the SOLE
+    * copy — a re-run detects (staged data present, table data absent)
+    * and resumes at the swap instead of re-staging, because the entry
+    * reset would otherwise delete that only copy. The table side is
+    * judged by DATA FILES, not dir existence: a crashed-swap recovery
+    * path (ensureRegistered's missing-dir fallback) may have re-created
+    * the table dir EMPTY via CREATE TABLE ... LOCATION, and reading
+    * that husk as "table present" would strand the staged copy forever
+    * (the store would silently read empty). A HALF-written staging can
+    * never coexist with an empty table dir (the reset runs only after
+    * the staged write completes), so staged-data + no-table-data is
+    * unambiguous.
+    */
+  def stagedSwap(spark: SparkSession, table: String, staged: String,
+      bucketCol: String, buckets: Int, needed: => Boolean)
+      (stage: String => Unit): Boolean = {
+    val (src, dst) = (tableLocation(spark, staged), tableLocation(spark, table))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFilesAt(p: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val resumingSwap = dataFilesAt(src) > 0 && dataFilesAt(dst) == 0
+    if (!resumingSwap && !needed) return false
+    if (!resumingSwap) {
+      resetTable(spark, staged) // a dead writer's half-written staging
+      stage(staged)
+      resetTable(spark, table) // content now lives ONLY in the staged dir
+    } else if (fs.exists(dst)) {
+      fs.delete(dst, true) // the recovery husk: rename must create dst fresh
+    }
+    require(fs.rename(src, dst), s"staged swap failed: rename $src -> $dst refused")
+    // fs.rename returns TRUE when dst exists by nesting src INSIDE it —
+    // the reset deleted dst, but verify anyway (the IvfIndex publish rule)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dst, src.getName)),
+      s"staged swap nested $src inside $dst — dst existed at rename time")
+    // catalog: the staged entry now points at a moved dir (its drop is
+    // metadata-only); the table is re-declared over the swapped files
+    // with the same bucket spec so reads keep their shuffle-free joins
+    spark.sql(s"DROP TABLE IF EXISTS `$staged`")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`") // belt: a stale pre-swap entry
+    val cols = spark.read.parquet(dst.toString).schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
+      s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS " +
+      s"LOCATION '$dst'")
+    true
   }
 
   /** Rewrite a bucketed store table's files down to ~`buckets` files
@@ -272,45 +338,18 @@ private[graft] object StoreGuard {
     * marker once ALL its tables are swapped (compaction deletes old
     * files, so it is a non-append mutation: earlier snapshots become
     * non-rollbackable, which rollback's missing-file refusal enforces).
-    *
-    * Crash safety: the staged table is written COMPLETELY before the
-    * original is touched; the only window without a live table dir is
-    * between the reset and the rename (two driver-side FS calls). A
-    * compactor that died in that window left the staged dir as the sole
-    * copy — a re-run detects (staged present, table dir absent) and
-    * resumes at the swap instead of re-staging, because the entry reset
-    * would otherwise delete that only copy.
+    * Staging, crash windows, and the catalog re-declare are
+    * [[stagedSwap]]'s contract.
     */
   def compactTable(spark: SparkSession, table: String, bucketCol: String,
       buckets: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    val staged = s"${table}__compacting"
-    def loc(t: String) = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)))
-    val (src, dst) = (loc(staged), loc(table))
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFilesAt(p: org.apache.hadoop.fs.Path): Int =
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    // Resume-at-the-swap iff the staged sibling holds the ONLY copy of
-    // the data: the compactor died between the entry reset and the
-    // rename. The table side is judged by DATA FILES, not dir
-    // existence — a crashed-compaction recovery path (ensureRegistered's
-    // missing-dir fallback) may have re-created the table dir EMPTY via
-    // CREATE TABLE ... LOCATION, and reading that husk as "table
-    // present" would strand the staged copy forever behind the
-    // early-return floor below (the store would silently read empty).
-    // A HALF-written staging can never coexist with an empty table dir
-    // (the entry reset runs only after the staged write completes), so
-    // staged-data + no-table-data is unambiguous.
-    val resumingSwap = dataFilesAt(src) > 0 && dataFilesAt(dst) == 0
-    // already at the write-time floor (one file per bucket per write) —
-    // nothing to compact, and skipping keeps the empty-store edge (a
-    // zero-file bucketed write stages no readable parquet) out entirely
-    if (!resumingSwap && dataFileCount(spark, table) <= buckets) return
-    if (!resumingSwap) {
-      resetTable(spark, staged) // a dead compactor's half-written staging
+    stagedSwap(spark, table, s"${table}__compacting", bucketCol, buckets,
+        // already at the write-time floor (one file per bucket per
+        // write) — nothing to compact, and skipping keeps the
+        // empty-store edge (a zero-file bucketed write stages no
+        // readable parquet) out entirely
+        needed = dataFileCount(spark, table) > buckets) { staged =>
       // read the RAW parquet dir, not the catalog table: a bucketed
       // scan reports HashPartitioning(bucketCol, buckets), which lets
       // the planner drop the repartition below as redundant — while the
@@ -320,39 +359,20 @@ private[graft] object StoreGuard {
       // "compaction" would INCREASE nothing but still miss the floor.
       // A raw read has unknown partitioning: the bucket-aligned shuffle
       // survives and each task writes exactly one bucket file.
-      spark.read.parquet(dst.toString)
+      spark.read.parquet(tableLocation(spark, table).toString)
         .repartition(buckets, col(bucketCol))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(staged)
-      resetTable(spark, table) // content now lives ONLY in the staged dir
-    } else if (fs.exists(dst)) {
-      fs.delete(dst, true) // the recovery husk: rename must create dst fresh
     }
-    require(fs.rename(src, dst), s"compaction swap failed: rename $src -> $dst refused")
-    // fs.rename returns TRUE when dst exists by nesting src INSIDE it —
-    // the reset deleted dst, but verify anyway (the IvfIndex publish rule)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(dst, src.getName)),
-      s"compaction swap nested $src inside $dst — dst existed at rename time")
-    // catalog: the staged entry now points at a moved dir (its drop is
-    // metadata-only); the table is re-declared over the swapped files
-    // with the same bucket spec so reads keep their shuffle-free joins
-    spark.sql(s"DROP TABLE IF EXISTS `$staged`")
-    spark.sql(s"DROP TABLE IF EXISTS `$table`") // belt: a stale pre-swap entry
-    val cols = spark.read.parquet(dst.toString).schema.fields
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    spark.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
-      s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS " +
-      s"LOCATION '$dst'")
+    ()
   }
 
   /** Parquet data files currently under a store table's location —
     * the number maintenance exists to bound.
     */
   def dataFileCount(spark: SparkSession, table: String): Int = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc)) 0
     else fs.listStatus(loc).count(s => s.isFile && !s.getPath.getName.startsWith("_"))

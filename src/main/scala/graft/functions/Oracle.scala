@@ -19,14 +19,16 @@ object Oracle {
   /** Mirror of graft.similarity.Similarity.lshSpecFor: the adaptive
     * sign-bit-LSH band geometry as a one-row CTE body
     * `(SELECT r, b FROM ...)` over a corpus-size SQL expression. The
-    * band count table is the SAME pinned literal list as the Scala side
-    * (miss budget 1e-3 at cosine 0.99) — spelled as integers in both
-    * places precisely so no engine's transcendental rounding can make
-    * the two derivations disagree at a ceil boundary.
+    * band count CASE arms are GENERATED from the Scala side's one
+    * pinned integer table (miss budget 1e-3 at cosine 0.99) — integers,
+    * not runtime transcendentals, precisely so no engine's rounding can
+    * make the two derivations disagree at a ceil boundary.
     */
   def lshGeo(nExpr: String): String = {
-    val bands = Seq(6, 7, 7, 8, 9, 9, 10, 10, 11, 12, 13, 13, 14, 15, 16,
-      17, 18, 19, 20, 21, 22, 23, 24)
+    // generated from the ONE pinned band table (the Bpe.mergesSqlValues
+    // single-source rule): an edit to the Scala geometry cannot leave a
+    // stale literal copy steering every oracle replay
+    val bands = graft.similarity.Similarity.BandsByBits
     val cases = bands.init.zipWithIndex
       .map { case (b, i) => s"WHEN ${i + 8} THEN $b" }.mkString(" ")
     s"""SELECT r, CASE r $cases ELSE ${bands.last} END AS b

@@ -363,11 +363,24 @@ object Orchestrator {
         // ingest makes compact fail FAST by design) or one broken
         // pipeline must not starve every remaining unit of its monthly
         // slot — the failure is reported and the sweep continues (the
-        // scheduler-level catch would otherwise abort the whole fire)
+        // scheduler-level catch would otherwise abort the whole fire).
+        // Reporting goes through the SAME channels every other failure
+        // uses — a failed MaintainResult to `onMaintain` (the caller's
+        // log/sink record) and a notifier mail — so a store whose
+        // compaction breaks every month is visible, not an
+        // stderr-only ghost on a healthy-looking maintenance history
         def isolated(what: String)(f: => Unit): Unit =
           try f catch {
-            case e: Exception => System.err.println(
-              s"[maintenance] $what failed (continuing): ${e.getMessage}")
+            case e: Exception =>
+              val err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+              System.err.println(s"[maintenance] $what failed (continuing): $err")
+              onMaintain(MaintainResult(what, "", 0, 0, skipped = false,
+                error = Some(err)))
+              notifier.foreach { cfg =>
+                val (subject, body) = Notifier.format(Notifier.RunSummary(
+                  s"maintenance $what", 0, 0, 1, 0.0, Some(err)))
+                Notifier.send(cfg, subject, body) // never fails the sweep
+              }
           }
         pipelines.foreach(p =>
           isolated(s"pipeline $p")(onMaintain(maintain(spark, p, retainVersions, sink))))
@@ -385,7 +398,8 @@ object Orchestrator {
       }))
 
   final case class MaintainResult(pipeline: String, root: String,
-      compactedPartitions: Int, retainedVersions: Int, skipped: Boolean)
+      compactedPartitions: Int, retainedVersions: Int, skipped: Boolean,
+      error: Option[String] = None)
 
   /** Scheduled housekeeping for a pipeline's versioned root (`--maintain`):
     * OPTIMIZE-style small-file compaction clustered by business key (each

@@ -60,6 +60,40 @@ object EmbeddingStore {
   private def guard(name: String): StoreGuard =
     StoreGuard(metaTable(name), allTables(name))
 
+  /** LSH kernel version the store's bands were hashed with. Stores
+    * created before the column existed default to 1 (the exact-decimal
+    * projection kernel) — their `_emeta` parquet lacks the field, so a
+    * catalog-declared `kernel` column reads back null.
+    */
+  private def kernelOf(meta: org.apache.spark.sql.Row): Int = {
+    val i = meta.schema.fieldNames.indexOf("kernel")
+    if (i >= 0 && !meta.isNullAt(i)) meta.getInt(i) else 1
+  }
+
+  /** Bands hashed by an older kernel would miss a current batch's twins
+    * SILENTLY (the join keys just stop colliding) — refuse loudly and
+    * point at the rewrite that heals it.
+    */
+  private def requireCurrentKernel(name: String, meta: org.apache.spark.sql.Row): Unit = {
+    val k = kernelOf(meta)
+    require(k == Similarity.LshKernelVersion,
+      s"embedding store '$name' was banded with LSH kernel v$k; this engine " +
+        s"hashes with v${Similarity.LshKernelVersion}, so batch bands would " +
+        "silently miss stored near-dups — run reband " +
+        "(Runner --maintain-store-emb) to rewrite the bands first")
+  }
+
+  /** The one spec row every probe reads back — geometry, bucketing,
+    * width, and the banding-kernel version all pinned together.
+    */
+  private def writeMeta(spark: SparkSession, name: String, spec: Spec,
+      buckets: Int, dims: Int): Unit = {
+    import spark.implicits._
+    Seq((spec.planes, spec.bandBits, buckets, dims, Similarity.LshKernelVersion))
+      .toDF("planes", "band_bits", "buckets", "dims", "kernel")
+      .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+  }
+
   def snapshot(spark: SparkSession, name: String): Set[String] =
     guard(name).snapshot(spark)
   def rollback(spark: SparkSession, name: String, snap: Set[String]): Unit =
@@ -105,7 +139,7 @@ object EmbeddingStore {
         spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet $cluster LOCATION '$p'")
       }
     register(metaTable(name), None,
-      "`planes` INT, `band_bits` INT, `buckets` INT, `dims` INT", 0)
+      "`planes` INT, `band_bits` INT, `buckets` INT, `dims` INT, `kernel` INT", 0)
     lazy val buckets = spark.table(metaTable(name)).head().getAs[Int]("buckets")
     register(bandsTable(name), Some("band_key"),
       "`vec_id` BIGINT, `band` INT, `band_hash` INT, `band_key` STRING", buckets)
@@ -152,50 +186,33 @@ object EmbeddingStore {
     */
   def reband(spark: SparkSession, name: String): Boolean = locked(spark, name) {
     val bandsT = bandsTable(name)
-    val staged = s"${bandsT}__rebanding"
-    def loc(t: String) = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)))
-    val fs = loc(bandsT).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFilesAt(p: org.apache.hadoop.fs.Path): Int =
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val meta = spark.table(metaTable(name)).head()
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
     val buckets = meta.getAs[Int]("buckets")
     val dims = meta.getAs[Int]("dims")
     val n = spark.table(vecsTable(name)).count()
     val spec2 = Spec().resolve(n)
-    // a dead rebander's staged sibling holding the ONLY copy: finish
-    // its swap first (the bands content is already the DERIVED spec —
-    // the meta re-derivation below recommits it)
-    val resuming = dataFilesAt(loc(staged)) > 0 && dataFilesAt(loc(bandsT)) == 0
-    if (spec2 == spec && !resuming) false
+    // outgrown geometry OR a banding-arithmetic upgrade: both mean the
+    // stored bands no longer match what this engine would hash, and
+    // both are cured by the same vectors-to-bands rewrite
+    val outdated = spec2 != spec || kernelOf(meta) != Similarity.LshKernelVersion
+    // an EMPTY store has no bands to rewrite (and a zero-file bucketed
+    // write stages no readable parquet — compactTable's floor guards
+    // the same edge): skip the swap, re-pin the meta below
+    val swapped = n > 0 && StoreGuard.stagedSwap(spark, bandsT,
+        s"${bandsT}__rebanding", "band_key", buckets, needed = outdated) { staged =>
+      // a dead rebander's staged sibling holding the ONLY copy resumes
+      // inside stagedSwap (the bands content is already the DERIVED
+      // spec — the meta re-derivation below recommits it)
+      bandsOf(spark.table(vecsTable(name)).select("vec_id", "emb"), spec2)
+        .repartition(buckets, col("band_key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .saveAsTable(staged)
+    }
+    if (!swapped && !outdated) false
     else {
-      if (!resuming) {
-        StoreGuard.resetTable(spark, staged)
-        bandsOf(spark.table(vecsTable(name)).select("vec_id", "emb"), spec2)
-          .repartition(buckets, col("band_key"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, "band_key").sortBy("band_key")
-          .saveAsTable(staged)
-        StoreGuard.resetTable(spark, bandsT) // staged = only copy
-      } else if (fs.exists(loc(bandsT))) {
-        fs.delete(loc(bandsT), true) // a recovery-registered empty husk
-      }
-      require(fs.rename(loc(staged), loc(bandsT)),
-        s"reband swap failed: rename ${loc(staged)} -> ${loc(bandsT)} refused")
-      spark.sql(s"DROP TABLE IF EXISTS `$staged`")
-      spark.sql(s"DROP TABLE IF EXISTS `$bandsT`")
-      val cols = spark.read.parquet(loc(bandsT).toString).schema.fields
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"CREATE TABLE `$bandsT` ($cols) USING parquet " +
-        s"CLUSTERED BY (`band_key`) SORTED BY (`band_key`) INTO $buckets BUCKETS " +
-        s"LOCATION '${loc(bandsT)}'")
-      import spark.implicits._
-      Seq((spec2.planes, spec2.bandBits, buckets, dims))
-        .toDF("planes", "band_bits", "buckets", "dims")
-        .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+      writeMeta(spark, name, spec2, buckets, dims)
       guard(name).bumpGen(spark)
       true
     }
@@ -258,16 +275,9 @@ object EmbeddingStore {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9): DataFrame = {
     val meta = spark.table(metaTable(name)).head()
+    requireCurrentKernel(name, meta)
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
     val base = baseOf(batch, idCol, vecCol)
-    // an empty daily slice is a plausible input: the max-size aggregate
-    // is then a single null row, so mirror ingest's isNullAt guard and
-    // run the normal (empty) plan at ANY positive width — banding an
-    // empty base yields the empty result with the real output schema
-    val dimsRow = base.agg(max(size(col("emb")))).head()
-    val dims =
-      if (dimsRow.isNullAt(0)) math.max(meta.getAs[Int]("dims"), 1)
-      else dimsRow.getInt(0)
     val v = base.withColumn("ns", Similarity.normSq(col("emb")))
     crossVerified(spark, name, v, bandsOf(base, spec), threshold)
       .select(col("other_id").as("hist_id"), col("new_id"), col("cosine"))
@@ -315,9 +325,7 @@ object EmbeddingStore {
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(vecsTable(name))
     }
-    Seq((spec0.planes, spec0.bandBits, buckets, dims))
-      .toDF("planes", "band_bits", "buckets", "dims")
-      .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+    writeMeta(spark, name, spec0, buckets, dims)
     guard(name).bumpGen(spark)
   }
 
@@ -339,6 +347,7 @@ object EmbeddingStore {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9): DataFrame = locked(spark, name) {
     val meta = spark.table(metaTable(name)).head()
+    requireCurrentKernel(name, meta)
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
     val buckets = meta.getAs[Int]("buckets")
     val base = baseOf(batch, idCol, vecCol).localCheckpoint(true)

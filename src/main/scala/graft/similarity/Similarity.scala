@@ -109,9 +109,22 @@ object Similarity {
     * cost is b·r planes per vector — it grows ~log²(n), the honest
     * price of constant recall with linear candidates.
     */
-  private val BandsByBits: Vector[Int] =
+  private[graft] val BandsByBits: Vector[Int] =
     Vector(6, 7, 7, 8, 9, 9, 10, 10, 11, 12, 13, 13, 14, 15, 16, 17, 18,
       19, 20, 21, 22, 23, 24) // index r−8, r = 8..30
+
+  /** Version of the banding ARITHMETIC ([[LshMath.bandHashes]]). Bands
+    * persisted by an [[EmbeddingStore]] only agree with a later batch's
+    * bands when both were hashed by the same kernel, so the store pins
+    * this in `_emeta` and refuses a mismatched ingest (a vector near a
+    * hyperplane flips a sign bit between kernels — silently missed
+    * duplicates otherwise). v1: exact-decimal projection (the explode +
+    * broadcast-weight-join pipeline); v2: 2⁻²⁰-quantized int64 codegen
+    * kernel. Bump on ANY change to the projection math; `reband`
+    * rewrites a mismatched store's bands from its full-precision
+    * vectors.
+    */
+  val LshKernelVersion: Int = 2
   def bandBitsFor(n: Long): Int = (8 to 30).find(r => (1L << r) >= n).getOrElse(30)
   def bandsFor(bandBits: Int): Int = BandsByBits(bandBits - 8)
   /** (planes, bandBits) for a corpus of `n` vectors. */
@@ -354,8 +367,14 @@ object LshMath {
     * to the 2⁻²⁰ grid with floor(v·2²⁰ + 0.5) — v is a widened
     * FLOAT, so v·2²⁰ and the +0.5 are exact in double and the floor
     * is engine-identical — and the projection is then a pure int64
-    * dot product (|w| ≤ 1e6, 128 terms: no overflow below |v| ≈
-    * 7e4), which every engine sums identically. Quantization only
+    * dot product (|w| ≤ 1e6: headroom to |v| ≈ 7e4 at 128 dims),
+    * which every engine sums identically. The accumulation is
+    * OVERFLOW-CHECKED (Math.addExact/multiplyExact — JIT intrinsics,
+    * branch-free on the common path): a corpus whose dims·|v| exceeds
+    * the int64 budget fails loudly instead of wrapping, because a
+    * replaying SQL oracle (HUGEINT sums) would compute the TRUE sign
+    * and the two engines' candidate sets would silently diverge.
+    * Quantization only
     * perturbs the LSH CANDIDATE proposer (by ~2⁻²⁰ relative, far
     * inside the random-hyperplane noise); the published pairs still
     * come from the full-precision exact-decimal cosine re-verify.
@@ -377,19 +396,29 @@ object LshMath {
     val bands = planes / bandBits
     val out = new Array[Any](bands)
     var b = 0
-    while (b < bands) {
-      var hash = 0
-      var k = 0
-      while (k < bandBits) {
-        val off = (b * bandBits + k) * dims
-        var acc = 0L
-        var j = 0
-        while (j < dims) { acc += w(off + j) * vq(j); j += 1 }
-        if (acc >= 0) hash |= (1 << k)
-        k += 1
+    try {
+      while (b < bands) {
+        var hash = 0
+        var k = 0
+        while (k < bandBits) {
+          val off = (b * bandBits + k) * dims
+          var acc = 0L
+          var j = 0
+          while (j < dims) {
+            acc = Math.addExact(acc, Math.multiplyExact(w(off + j), vq(j)))
+            j += 1
+          }
+          if (acc >= 0) hash |= (1 << k)
+          k += 1
+        }
+        out(b) = hash
+        b += 1
       }
-      out(b) = hash
-      b += 1
+    } catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        s"LSH int64 projection overflow at dims=$dims: coordinate magnitudes " +
+          "exceed the quantized accumulator's budget (|v|·dims ≳ 8.8e6) — " +
+          "pre-normalize or rescale the embeddings")
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

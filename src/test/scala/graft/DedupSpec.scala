@@ -161,6 +161,14 @@ class DedupSpec extends SparkSpec {
       48, 8, floatInput = false)
     val minId = emb.agg(min("vec_id")).head().getLong(0)
     assert(direct.toIntArray().toSeq == viaDouble(minId))
+    // accumulator overflow fails LOUDLY: a wrapped int64 would flip
+    // sign bits while a HUGEINT-summing oracle computes the true sign —
+    // the two engines' candidate sets would silently diverge
+    val huge = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill(4)(1e10))
+    val oe = intercept[ArithmeticException](
+      LshMath.bandHashes(huge, 8, 8, floatInput = false))
+    assert(oe.getMessage.contains("overflow"), oe.getMessage)
   }
 
   test("LSH bucket-cap drops are observable, never silent") {

@@ -154,4 +154,38 @@ class EmbeddingStoreSpec extends SparkSpec {
       assert(e.getMessage.contains("dims"))
     } finally EmbeddingStore.drop(spark, name)
   }
+
+  test("banding-kernel upgrade: a legacy-kernel store refuses ingest and probes loudly; reband heals it") {
+    val name = "graft_estore_kernel_spec"
+    EmbeddingStore.drop(spark, name)
+    val hist = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding")
+    EmbeddingStore.build(spark, hist, name)
+    try {
+      // simulate a store persisted BEFORE the kernel column existed
+      // (pre-quantized-kernel binaries wrote a 4-column meta): its bands
+      // came from different arithmetic, so the missing column must read
+      // back as v1 and every banding consumer must refuse
+      val meta = spark.table(EmbeddingStore.metaTable(name)).head()
+      Seq((meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"),
+          meta.getAs[Int]("buckets"), meta.getAs[Int]("dims")))
+        .toDF("planes", "band_bits", "buckets", "dims")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(EmbeddingStore.metaTable(name))
+      val batch = Seq((11L, nearDup(1))).toDF("vec_id", "embedding")
+      val e = intercept[Exception](EmbeddingStore.ingest(spark, batch, name))
+      assert(e.getMessage.contains("kernel"), e.getMessage)
+      val e2 = intercept[Exception](
+        EmbeddingStore.incrementalPairs(spark, batch, name).collect())
+      assert(e2.getMessage.contains("kernel"), e2.getMessage)
+      // reband rewrites the bands from the full-precision vectors with
+      // the CURRENT kernel and re-pins the meta — the store heals
+      assert(EmbeddingStore.reband(spark, name))
+      val m2 = spark.table(EmbeddingStore.metaTable(name)).head()
+      assert(m2.getAs[Int]("kernel") == Similarity.LshKernelVersion)
+      assert(!EmbeddingStore.reband(spark, name)) // now current: no-op
+      val flags = EmbeddingStore.ingest(spark, batch, name)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags == Map(11L -> true), flags)
+    } finally EmbeddingStore.drop(spark, name)
+  }
 }

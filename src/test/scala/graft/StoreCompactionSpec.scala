@@ -228,4 +228,34 @@ class StoreCompactionSpec extends SparkSpec {
     assert(probeOf(name) == probeOf(fresh))
     Seq(name, fresh).foreach(EmbeddingStore.drop(spark, _))
   }
+
+  test("reband on an EMPTY store: meta re-pin only, no staged rewrite, still ingestable") {
+    val name = "graft_reband_empty_spec"
+    EmbeddingStore.drop(spark, name)
+    EmbeddingStore.build(spark,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), name)
+    try {
+      // geometry and kernel current: nothing to do
+      assert(!EmbeddingStore.reband(spark, name))
+      // a legacy fixed-geometry pin on an empty store: reband must
+      // re-pin the meta WITHOUT staging a zero-row bucketed rewrite (a
+      // zero-file bucketed write stages no readable parquet — that path
+      // crashed mid-commit with the bands table dropped, and every
+      // later maintenance fire repeated the crash)
+      val m = spark.table(EmbeddingStore.metaTable(name)).head()
+      Seq((32, 8, m.getAs[Int]("buckets"), m.getAs[Int]("dims")))
+        .toDF("planes", "band_bits", "buckets", "dims")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(EmbeddingStore.metaTable(name))
+      assert(EmbeddingStore.reband(spark, name))
+      val m2 = spark.table(EmbeddingStore.metaTable(name)).head()
+      assert((m2.getAs[Int]("planes"), m2.getAs[Int]("band_bits")) ==
+        Similarity.lshSpecFor(0))
+      // the healed store still takes its first ingest
+      val flags = EmbeddingStore.ingest(spark,
+        Seq((1L, TestVectors.vec(1))).toDF("vec_id", "embedding"), name)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags == Map(1L -> false), flags)
+    } finally EmbeddingStore.drop(spark, name)
+  }
 }
