@@ -806,6 +806,60 @@ object DedupQueries {
       LEFT JOIN cutman cm USING (doc_id)
     """.stripMargin.trim))
 
+  /** Bloom-filter decontamination ([[graft.dedup.Dedup.bloomDecontaminate]]):
+    * the memory-bounded variant of d09 — benchmark grams fold into one
+    * fixed 2²²-bit filter (512 KiB at ANY benchmark size) and the train
+    * probe plan has no join at all. Flags are a deterministic UPPER
+    * bound on d09's (false positives possible, false negatives not);
+    * the oracle replays the double-hashed md5 positions bit-for-bit,
+    * false positives included.
+    */
+  val d16 = QueryDef(
+    "d16_bloom_decontamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomDecontaminate(
+        train = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0"),
+        k = 5, kHashes = 5, mBits = 1 << 22)
+    },
+    Some("""
+      WITH ttoks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE source <> 'src0'),
+      btoks AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE source = 'src0'),
+      bg AS (
+        SELECT DISTINCT unnest(list_transform(range(len(t)-4),
+          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+        FROM btoks WHERE len(t) >= 5),
+      bpos AS (
+        SELECT DISTINCT (('0x' || substr(md5(g), 1, 15))::BIGINT
+          + i * ('0x' || substr(md5(g), 16, 15))::BIGINT) % 4194304 AS p
+        FROM bg CROSS JOIN range(0, 5) t(i)),
+      tg AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(range(len(t)-4),
+          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+        FROM ttoks WHERE len(t) >= 5),
+      tp AS (
+        SELECT doc_id, g, (('0x' || substr(md5(g), 1, 15))::BIGINT
+          + i * ('0x' || substr(md5(g), 16, 15))::BIGINT) % 4194304 AS p
+        FROM tg CROSS JOIN range(0, 5) t(i)),
+      gh AS (
+        SELECT doc_id, g, count(bp.p) = 5 AS hit
+        FROM tp LEFT JOIN bpos bp USING (p)
+        GROUP BY 1, 2)
+      SELECT doc_id,
+        count(*) AS n_grams,
+        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_hits,
+        sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / count(*) AS maybe_frac,
+        CAST(CASE WHEN sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+             THEN 1 ELSE 0 END AS INTEGER) AS flagged
+      FROM gh GROUP BY 1
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+      d14, d15, d16)
 }

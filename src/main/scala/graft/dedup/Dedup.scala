@@ -357,6 +357,56 @@ object Dedup {
         when(col("n_hits") > 0, 1).otherwise(0))
   }
 
+  /** Bloom-filter decontamination — the MEMORY-BOUNDED scale path of
+    * [[decontaminate]]. The exact variant broadcasts the benchmark's
+    * full distinct gram set, which is right while eval suites stay
+    * KB–MB; a many-suite union (or a "benchmark" that is itself a
+    * corpus) has no such bound. Here the benchmark grams fold into a
+    * FIXED mBits-wide Bloom filter — ~10 bits/gram for ≈1% false
+    * positives at kHashes=5, vs ≥8 bytes/gram for the exact set — and
+    * the probe plan has NO JOIN AT ALL: the bitmap rides into the gram
+    * scan as a plan literal and each train gram answers membership in
+    * kHashes array reads ([[BloomHitsExpr]]).
+    *
+    * Scale shape: the build is one map-side-combining OR aggregate
+    * ([[BloomOrAggregator]] — one mBits/8-byte row per partition
+    * through the only benchmark exchange); the train side is a narrow
+    * gram scan + its own per-doc aggregation, identical at any
+    * benchmark size. Flags are an UPPER bound on contamination
+    * (deterministic false positives, never false negatives): every doc
+    * [[decontaminate]] flags is flagged here, so the sound policy is
+    * bloom-first, exact-recheck-the-flagged — the recheck's benchmark
+    * join then touches only flagged docs.
+    *
+    * Determinism: positions are double-hashed md5 ([[BloomMath]]), so a
+    * DuckDB oracle replays the filter bit-for-bit — false positives
+    * included — from the same md5/substr/int64 arithmetic.
+    */
+  def bloomDecontaminate(train: DataFrame, benchmark: DataFrame, k: Int = 5,
+      kHashes: Int = 5, mBits: Int = 1 << 22): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    require(kHashes >= 1 && kHashes <= BloomMath.MaxHashes,
+      s"kHashes must be in [1, ${BloomMath.MaxHashes}] (int64 headroom), got $kHashes")
+    val bPos = shingles(benchmark, k).select(
+      explode(toCol(BloomPositionsExpr(toExpr(col("shingle")),
+        toExpr(lit(kHashes)), toExpr(lit(mBits))))).as("p"))
+    val bloomOr = udaf(new BloomOrAggregator(mBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // ONE driver-side value of fixed size (mBits/8 bytes) — the only
+    // thing that ever leaves the benchmark side, at any benchmark size
+    val bitmap = bPos.agg(bloomOr(col("p"))).head().getAs[Array[Byte]](0)
+    val hitsOf = toCol(BloomHitsExpr(toExpr(col("shingle")), kHashes, mBits, bitmap))
+    shingles(train, k)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .withColumn("__hit", hitsOf === lit(kHashes))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_maybe_hits"))
+      .withColumn("maybe_frac", col("n_maybe_hits") / col("n_grams"))
+      .withColumn("flagged", when(col("n_maybe_hits") > 0, 1).otherwise(0))
+  }
+
   /** Exact substring-level dedup (the Lee et al. 2021 "deduplicating
     * training data" pass): per document, the MAXIMAL token intervals
     * every position of which starts a k-gram that also occurs in at

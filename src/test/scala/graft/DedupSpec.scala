@@ -36,6 +36,50 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 1), (2L, 1L, 1L, 1), (3L, 3L, 0L, 0)))
   }
 
+  test("bloom decontamination: sound upper bound of exact, no-join probe, math round-trip") {
+    import graft.dedup.BloomMath
+    import org.apache.spark.unsafe.types.UTF8String
+    // kernel round-trip: a gram inserted into a bitmap is a full hit; a
+    // gram never inserted misses (m big enough that a 5-position false
+    // positive against ONE inserted gram is ~(5/m)^5 ≈ impossible)
+    val m = 1 << 16
+    val bm = new Array[Byte](m / 8)
+    val ps = BloomMath.positions(UTF8String.fromString("a b c d e"), 5, m).toLongArray()
+    assert(ps.forall(p => p >= 0 && p < m))
+    ps.foreach(p => bm((p >>> 3).toInt) =
+      (bm((p >>> 3).toInt) | (1 << (p & 7).toInt)).toByte)
+    assert(BloomMath.hits(bm, UTF8String.fromString("a b c d e"), 5, m) == 5)
+    assert(BloomMath.hits(bm, UTF8String.fromString("p q r s t"), 5, m) < 5)
+
+    // operator vs exact on the real corpus: NEVER a false negative —
+    // every doc the exact pass flags is bloom-flagged, with
+    // n_maybe_hits >= n_hits per doc (the recheck-the-flagged contract)
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = Dedup.decontaminate(train, bench, k = 5)
+      .select(col("doc_id"), col("n_grams").as("e_n_grams"), col("n_hits"),
+        col("contaminated"))
+    val bloom = Dedup.bloomDecontaminate(train, bench, k = 5)
+    val joined = exact.join(bloom, "doc_id")
+      .select(col("doc_id"), col("e_n_grams"), col("n_hits"),
+        col("contaminated"), col("n_maybe_hits"), col("flagged"))
+      .as[(Long, Long, Long, Int, Long, Int)].collect()
+    assert(joined.nonEmpty && joined.exists(_._4 == 1), "fixture must have contamination")
+    joined.foreach { case (id, ng, nh, cont, maybe, flag) =>
+      assert(maybe >= nh, s"doc $id: bloom lost a hit ($maybe < $nh)")
+      assert(maybe <= ng, s"doc $id: more hits than grams")
+      assert(cont == 0 || flag == 1, s"doc $id: exact-contaminated but not flagged")
+    }
+    // row sets agree (same gram gate), and at 2^22 bits for this corpus
+    // the false-positive load is negligible: flags should coincide
+    assert(exact.count() == bloom.count())
+
+    // empty benchmark → zero filter → nothing flagged
+    val none = Dedup.bloomDecontaminate(train, bench.limit(0), k = 5)
+    assert(none.filter(col("flagged") =!= 0).count() == 0)
+  }
+
   test("containment flags a swallowed snippet that Jaccard misses") {
     // doc 1 is a verbatim snippet inside doc 2 (plus 2's own tail):
     // shingles(1) ⊂ shingles(2), so c_a_in_b = 1.0 while jaccard =

@@ -90,6 +90,18 @@ class PlanSpec extends SparkSpec {
       "train grams must not shuffle for the benchmark probe")
   }
 
+  test("d16: bloom probe plan has NO join of any kind — the bitmap rides as a plan literal") {
+    val qe = Queries.byName("d16_bloom_decontamination").query(spark, sfDir).queryExecution
+    assert(!qe.executedPlan.toString.contains("Join"),
+      "bloom membership must be a per-row kernel against the embedded bitmap, " +
+        "never a join — the operator's whole point is a fixed-size benchmark side")
+    // the kernel lands in the distinct aggregate's RESULT expressions
+    // (collapsed by the optimizer — evaluated once per distinct gram),
+    // which the physical toString abbreviates away: pin it logically
+    assert(qe.optimizedPlan.toString.contains("bloom_hits"),
+      "probe kernel missing from the plan")
+  }
+
   test("e12/e13: offer/item dimensions broadcast; fact never shuffles for them") {
     Seq("e12_offers_e2e", "e13_inventory_e2e").foreach { n =>
       val p = planOf(n)
