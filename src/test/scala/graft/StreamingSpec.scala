@@ -245,4 +245,68 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(EventStream.Session(5, base, base + 10 * us, 2, 2.0)),
       s"open session not flushed; got $got")
   }
+
+  test("streaming corpus ingest: flag log equals sequential batch ingests; replay is a no-op") {
+    import graft.streaming.CorpusStream
+    import graft.dedup.{SignatureStore, StoreGuard}
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    val sName = "graft_cstream_spec" // fed by the stream
+    val bName = "graft_cbatch_spec"  // fed by the batch API, same splits
+    Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
+    SignatureStore.build(spark, hist, sName)
+    SignatureStore.build(spark, hist, bName)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-cstream-in")
+    val flagsRoot = java.nio.file.Files.createTempDirectory("graft-cstream-flags").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cstream-ckpt").toString
+    try {
+      // ~3 files → ~3 micro-batches at maxFilesPerTrigger=1
+      rest.repartitionByRange(3, col("doc_id")).write.mode("overwrite")
+        .parquet(inDir.toString)
+      val q = CorpusStream.ingestStream(
+        CorpusStream.read(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
+        sName, flagsRoot, ckpt)
+      q.awaitTermination(180000)
+
+      // exactly-once coverage: every doc flagged once across the log
+      val log = spark.read.parquet(flagsRoot)
+      assert(log.count() == rest.count())
+      assert(log.select("doc_id").distinct().count() == rest.count())
+      val batchIds = log.select("batch_id").distinct().as[Long].collect().sorted
+      assert(batchIds.length >= 2, s"want multiple micro-batches, got ${batchIds.toSeq}")
+
+      // the stream's flags must equal applying the SAME splits, in the
+      // same order, through the plain batch API on a twin store
+      val streamFlags = log.select(col("doc_id"), col("is_dup"), col("dup_of"), col("batch_id"))
+        .as[(Long, Boolean, Option[Long], Long)].collect().toSet
+      val batchFlags = batchIds.flatMap { b =>
+        val ids = log.filter(col("batch_id") === b).select("doc_id")
+        SignatureStore.ingest(spark, rest.join(ids, "doc_id"), bName)
+          .as[(Long, Boolean, Option[Long])].collect()
+          .map { case (d, i, o) => (d, i, o, b) }
+      }.toSet
+      assert(streamFlags == batchFlags)
+      assert(streamFlags.exists(_._2), "fixture must contain duplicates")
+
+      // checkpoint-replay contract: re-running a delivered batch appends
+      // nothing (every keeper self-matches its stored copy) and rewrites
+      // an IDENTICAL flag partition (self-matches restored to 'kept')
+      val tables = Seq(SignatureStore.bandsTable(sName),
+        SignatureStore.shinglesTable(sName), SignatureStore.sizesTable(sName))
+      val b0 = batchIds.head
+      val before = spark.read.parquet(s"$flagsRoot/batch_id=$b0")
+        .collect().map(_.toString).sorted.toSeq
+      val files0 = tables.map(StoreGuard.dataFileCount(spark, _)).sum
+      val b0docs = rest.join(log.filter(col("batch_id") === b0).select("doc_id"), "doc_id")
+      CorpusStream.ingestBatch(spark, b0docs, sName, flagsRoot, b0)
+      assert(tables.map(StoreGuard.dataFileCount(spark, _)).sum == files0,
+        "replayed batch must append nothing")
+      val after = spark.read.parquet(s"$flagsRoot/batch_id=$b0")
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "replayed flag partition must be identical")
+    } finally {
+      Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
+    }
+  }
 }
