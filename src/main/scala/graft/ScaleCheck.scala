@@ -103,7 +103,8 @@ object ScaleCheck {
       "q11_daily_sales_wide", "e11_sales_channel_e2e", "e12_offers_e2e",
       "d02_ngram_jaccard", "d05_embedding_neardup", "d08_ingest_flags",
       "s06_embedding_store_ingest", "d12_substring_dedup", "d13_substring_cut",
-      "s03_ivf_index_topk", "st02_sessionization", "m03_audio_frames"))
+      "s03_ivf_index_topk", "st02_sessionization", "m03_audio_frames",
+      "d16_bloom_decontamination"))
     val scaleDir = s"/tmp/graft_scale/x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val watchdogSec = sys.env.get("SPARK_GRAFT_WATCHDOG_SEC").map(_.toInt).getOrElse(600)
