@@ -94,4 +94,51 @@ object CorpusStream {
           batchId, threshold, autoRecover)
       }
       .start()
+
+  // ---- embedding twin (the s06 cadence, same contract throughout) ----
+
+  /** File-source stream over parquet embedding files. */
+  def readEmbeddings(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** One micro-batch of the embedding ingest stream — the
+    * [[graft.similarity.EmbeddingStore]] twin of [[ingestBatch]]. The
+    * replay argument carries over verbatim: a redelivered keeper
+    * exact-matches its own stored vector (cosine 1.0 ≥ any threshold)
+    * and nothing else (had another stored vector matched, the original
+    * run would have flagged it; two surviving batch-mates above the
+    * threshold would have been one cluster), so `dup_of == vec_id` is
+    * the replay marker and the per-batch flag overwrite is idempotent.
+    */
+  def ingestEmbeddingsBatch(spark: SparkSession, batch: DataFrame, storeName: String,
+      flagsRoot: String, batchId: Long, threshold: Double = 0.9,
+      autoRecover: Boolean = true): Unit = {
+    import graft.similarity.EmbeddingStore
+    EmbeddingStore.ensureRegistered(spark, storeName)
+    if (autoRecover) EmbeddingStore.recover(spark, storeName)
+    val flags = EmbeddingStore.ingest(spark, batch, storeName, threshold = threshold)
+      .withColumn("is_dup", col("is_dup") && col("dup_of") =!= col("vec_id"))
+      .withColumn("dup_of", when(col("dup_of") =!= col("vec_id"), col("dup_of")))
+    flags.write.mode("overwrite").parquet(s"$flagsRoot/batch_id=$batchId")
+  }
+
+  /** The continuous embedding-ingest query — [[ingestStream]]'s twin. */
+  def ingestEmbeddingsStream(vecs: DataFrame, storeName: String, flagsRoot: String,
+      checkpoint: String, threshold: Double = 0.9, autoRecover: Boolean = true,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestEmbeddingsBatch(batch.sparkSession, batch.toDF(), storeName,
+          flagsRoot, batchId, threshold, autoRecover)
+      }
+      .start()
 }

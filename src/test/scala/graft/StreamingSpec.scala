@@ -309,4 +309,67 @@ class StreamingSpec extends SparkSpec {
       Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
     }
   }
+
+  test("streaming embedding ingest: flag log equals sequential batch ingests; replay is a no-op") {
+    import graft.streaming.CorpusStream
+    import graft.similarity.EmbeddingStore
+    import graft.dedup.StoreGuard
+    val emb = Tables.embeddings(spark, sfDir)
+    val hist = emb.filter(col("vec_id") % 3 === 0)
+    // guaranteed cross-store dups: exact twins of history vectors under
+    // shifted ids (the tiny sf0.001 slice has no organic 0.9-cosine
+    // pairs across the %3 split)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .unionByName(hist.limit(5).select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+    val sName = "graft_estream_spec"
+    val bName = "graft_ebatch_spec"
+    Seq(sName, bName).foreach(EmbeddingStore.drop(spark, _))
+    EmbeddingStore.build(spark, hist, sName)
+    EmbeddingStore.build(spark, hist, bName)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-estream-in")
+    val flagsRoot = java.nio.file.Files.createTempDirectory("graft-estream-flags").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-estream-ckpt").toString
+    try {
+      rest.repartitionByRange(3, col("vec_id")).write.mode("overwrite")
+        .parquet(inDir.toString)
+      val q = CorpusStream.ingestEmbeddingsStream(
+        CorpusStream.readEmbeddings(spark, inDir.toString, maxFilesPerTrigger = Some(1)),
+        sName, flagsRoot, ckpt)
+      q.awaitTermination(180000)
+
+      val log = spark.read.parquet(flagsRoot)
+      assert(log.count() == rest.count())
+      assert(log.select("vec_id").distinct().count() == rest.count())
+      val batchIds = log.select("batch_id").distinct().as[Long].collect().sorted
+      assert(batchIds.length >= 2, s"want multiple micro-batches, got ${batchIds.toSeq}")
+
+      val streamFlags = log.select(col("vec_id"), col("is_dup"), col("dup_of"), col("batch_id"))
+        .as[(Long, Boolean, Option[Long], Long)].collect().toSet
+      val batchFlags = batchIds.flatMap { b =>
+        val ids = log.filter(col("batch_id") === b).select("vec_id")
+        EmbeddingStore.ingest(spark, rest.join(ids, "vec_id"), bName)
+          .as[(Long, Boolean, Option[Long])].collect()
+          .map { case (d, i, o) => (d, i, o, b) }
+      }.toSet
+      assert(streamFlags == batchFlags)
+      assert(streamFlags.exists(_._2), "fixture must contain near-dups")
+
+      // replay: store data files unchanged, flag partition identical
+      val tables = Seq(EmbeddingStore.bandsTable(sName), EmbeddingStore.vecsTable(sName))
+      val b0 = batchIds.head
+      val before = spark.read.parquet(s"$flagsRoot/batch_id=$b0")
+        .collect().map(_.toString).sorted.toSeq
+      val files0 = tables.map(StoreGuard.dataFileCount(spark, _)).sum
+      val b0vecs = rest.join(log.filter(col("batch_id") === b0).select("vec_id"), "vec_id")
+      CorpusStream.ingestEmbeddingsBatch(spark, b0vecs, sName, flagsRoot, b0)
+      assert(tables.map(StoreGuard.dataFileCount(spark, _)).sum == files0,
+        "replayed batch must append nothing")
+      val after = spark.read.parquet(s"$flagsRoot/batch_id=$b0")
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "replayed flag partition must be identical")
+    } finally {
+      Seq(sName, bName).foreach(EmbeddingStore.drop(spark, _))
+    }
+  }
 }
