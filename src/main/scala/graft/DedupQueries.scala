@@ -849,14 +849,17 @@ object DedupQueries {
       gh AS (
         SELECT doc_id, g, count(bp.p) = 5 AS hit
         FROM tp LEFT JOIN bpos bp USING (p)
-        GROUP BY 1, 2)
+        GROUP BY 1, 2),
+      ghh AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h,
+          max(CASE WHEN hit THEN 1 ELSE 0 END) AS hit
+        FROM gh GROUP BY 1, 2)
       SELECT doc_id,
         count(*) AS n_grams,
-        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_hits,
-        sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / count(*) AS maybe_frac,
-        CAST(CASE WHEN sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
-             THEN 1 ELSE 0 END AS INTEGER) AS flagged
-      FROM gh GROUP BY 1
+        CAST(sum(hit) AS BIGINT) AS n_maybe_hits,
+        sum(hit) * 1.0 / count(*) AS maybe_frac,
+        CAST(CASE WHEN sum(hit) > 0 THEN 1 ELSE 0 END AS INTEGER) AS flagged
+      FROM ghh GROUP BY 1
     """.stripMargin.trim))
 
   def all: Seq[QueryDef] =

@@ -396,13 +396,22 @@ object Dedup {
     // thing that ever leaves the benchmark side, at any benchmark size
     val bitmap = bPos.agg(bloomOr(col("p"))).head().getAs[Array[Byte]](0)
     val hitsOf = toCol(BloomHitsExpr(toExpr(col("shingle")), kHashes, mBits, bitmap))
+    // probe + hash MAP-SIDE, then d09's wire discipline: grams travel
+    // through the one train-side shuffle as 60-bit md5-prefix longs
+    // (8 bytes), never as k-word strings — h is the SAME md5's first 15
+    // hex chars the bloom positions derive from, so the oracle replays
+    // both from one md5(g). countDistinct(when(hit, h)) counts a hash
+    // once if ANY of its occurrences hit, which is exactly per-distinct-
+    // gram membership (equal grams hash and probe identically).
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     shingles(train, k)
-      .select(col("doc_id"), col("shingle")).distinct()
-      .withColumn("__hit", hitsOf === lit(kHashes))
+      .select(col("doc_id"), gramHash(col("shingle")).as("h"),
+        (hitsOf === lit(kHashes)).as("__hit"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_maybe_hits"))
+        countDistinct(col("h")).as("n_grams"),
+        countDistinct(when(col("__hit"), col("h"))).as("n_maybe_hits"))
       .withColumn("maybe_frac", col("n_maybe_hits") / col("n_grams"))
       .withColumn("flagged", when(col("n_maybe_hits") > 0, 1).otherwise(0))
   }

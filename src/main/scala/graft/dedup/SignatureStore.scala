@@ -61,6 +61,19 @@ object SignatureStore {
   def recover(spark: SparkSession, name: String): Boolean =
     guard(name).recover(spark)
 
+  /** Discharge a dead writer's recovery state WITHOUT rolling back —
+    * for a caller holding durable proof the writer's mutation fully
+    * committed (a commit marker written by ingest's `onCommitted` hook):
+    * the pending snapshot and lock are then leftovers of a writer that
+    * died BETWEEN its commit mark and its own cleanup, and recovery
+    * would wrongly undo committed appends. Never call without such
+    * proof — see [[graft.streaming.CorpusStream]].
+    */
+  def dischargeCommitted(spark: SparkSession, name: String): Unit = {
+    guard(name).clearPending(spark)
+    guard(name).unlock(spark)
+  }
+
   /** Re-register the store's tables from their durable warehouse
     * locations into THIS session's catalog. The catalog is per-process
     * (in-memory) while the bucketed table dirs are durable, so a store
@@ -315,9 +328,23 @@ object SignatureStore {
     *   preserve the store take a [[snapshot]] first and [[rollback]] on
     *   failure, which restores it bit-for-bit.
     */
+  /** @param onFlags commit hook: called with the (checkpointed) flag
+    *   frame AFTER it is final but BEFORE any append mutates the store —
+    *   a caller that persists flags here (the streaming ingest log) gets
+    *   "flags before appends" ordering, so a crash mid-append leaves
+    *   flags a rollback-then-rerun reproduces identically.
+    * @param onCommitted commit hook: called after the appends and the
+    *   generation bump, BEFORE the pending file clears — the one point
+    *   where "this ingest fully happened" can be marked durably with no
+    *   window against the crash-recovery authorization (marker present +
+    *   pending present reads as committed; marker absent + pending
+    *   present rolls back).
+    */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       threshold: Double = 0.5,
-      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame =
+      onStage: (String, Double) => Unit = (_, _) => (),
+      onFlags: DataFrame => Unit = _ => (),
+      onCommitted: () => Unit = () => ()): DataFrame =
     locked(spark, name) { // single-writer: a concurrent ingest fails fast
     // persist the pre-ingest snapshot for the duration: if this WRITER
     // dies (not merely throws — a live failure clears it below), a
@@ -369,6 +396,7 @@ object SignatureStore {
             when(col("is_rep") === false, col("cluster"))).as("dup_of"))
         .localCheckpoint(true) // returned to the caller — must not pin the cache manager
     }
+    onFlags(flags) // before any append — see the param doc
     val keepIds = flags.filter(!col("is_dup")).select("doc_id")
     val ksh = bsh.join(keepIds, "doc_id")
     staged("appends") {
@@ -377,6 +405,7 @@ object SignatureStore {
         name, buckets)
     }
     guard(name).bumpGen(spark) // completed mutation — stale snapshots now refuse
+    onCommitted() // durable "fully happened" mark, still under the pending authorization
     // pending clears ONLY on success (or when a rollback completes —
     // StoreGuard.doRollback clears it): a live failure keeps the
     // authorization on disk until the caller's compensating rollback

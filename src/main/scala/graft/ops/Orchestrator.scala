@@ -374,8 +374,15 @@ object Orchestrator {
             case e: Exception =>
               val err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
               System.err.println(s"[maintenance] $what failed (continuing): $err")
-              onMaintain(MaintainResult(what, "", 0, 0, skipped = false,
+              // the reporting itself must not re-abort the sweep: a
+              // throwing onMaintain (e.g. its log sink is down during
+              // the same outage that failed the unit) would otherwise
+              // escape this catch and starve every remaining unit —
+              // the exact failure mode isolated() exists to prevent
+              try onMaintain(MaintainResult(what, "", 0, 0, skipped = false,
                 error = Some(err)))
+              catch { case e2: Exception => System.err.println(
+                s"[maintenance] $what onMaintain failed: ${e2.getMessage}") }
               notifier.foreach { cfg =>
                 val (subject, body) = Notifier.format(Notifier.RunSummary(
                   s"maintenance $what", 0, 0, 1, 0.0, Some(err)))

@@ -343,9 +343,16 @@ object EmbeddingStore {
     * bucket key and never reshuffles; the exact re-verify touches only
     * banded candidates. Nothing rescans or rewrites the history.
     */
+  /** `onFlags`/`onCommitted` are the streaming-ingest commit hooks —
+    * same contract as [[graft.dedup.SignatureStore.ingest]]: flags
+    * surface BEFORE any append, the committed mark lands after the
+    * generation bump and before the pending clear.
+    */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.9): DataFrame = locked(spark, name) {
+      threshold: Double = 0.9,
+      onFlags: DataFrame => Unit = _ => (),
+      onCommitted: () => Unit = () => ()): DataFrame = locked(spark, name) {
     val meta = spark.table(metaTable(name)).head()
     requireCurrentKernel(name, meta)
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
@@ -426,6 +433,7 @@ object EmbeddingStore {
             when(col("is_rep") === false, col("cluster"))).as("dup_of"))
         .localCheckpoint(true)
 
+      onFlags(flags) // before any append — see SignatureStore.ingest
       val keepIds = flags.filter(!col("is_dup")).select("vec_id")
       bBands.join(keepIds, "vec_id")
         .select("vec_id", "band", "band_hash", "band_key")
@@ -440,10 +448,20 @@ object EmbeddingStore {
         .bucketBy(buckets, "vec_id").sortBy("vec_id")
         .saveAsTable(vecsTable(name))
       guard(name).bumpGen(spark)
+      onCommitted() // durable "fully happened" mark, still under the pending authorization
       // pending clears ONLY on success or on a completed rollback
       // (StoreGuard.doRollback) — see SignatureStore.ingest
       guard(name).clearPending(spark)
       flags
     }
+  }
+
+  /** Discharge a dead writer's recovery state WITHOUT rolling back —
+    * same contract and warning as
+    * [[graft.dedup.SignatureStore.dischargeCommitted]].
+    */
+  def dischargeCommitted(spark: SparkSession, name: String): Unit = {
+    guard(name).clearPending(spark)
+    guard(name).unlock(spark)
   }
 }

@@ -1,45 +1,54 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.dedup.SignatureStore
+import graft.similarity.EmbeddingStore
 
 /** Structured-Streaming runtime for CONTINUOUS corpus ingestion — the
-  * incremental form of the d08 cadence (daily batch → dedupe against
-  * the persistent [[SignatureStore]] → append survivors): arriving
-  * document files become micro-batches, each micro-batch runs the
-  * identical store ingest, and the per-document flags land in a
-  * batch-partitioned parquet log. `foreachBatch` is the right streaming
-  * primitive here because the STORE is the state — bucketed on disk,
-  * shared with the batch CLI and the maintenance jobs — and Spark's
-  * managed streaming state (which is per-query, checkpoint-owned)
-  * cannot be that.
+  * incremental form of the d08/s06 cadence (daily batch → dedupe
+  * against the persistent [[SignatureStore]]/[[EmbeddingStore]] →
+  * append survivors): arriving files become micro-batches, each
+  * micro-batch runs the identical store ingest, and the per-document
+  * flags land in a batch-partitioned parquet log. `foreachBatch` is the
+  * right streaming primitive here because the STORE is the state —
+  * bucketed on disk, shared with the batch CLI and the maintenance
+  * jobs — and Spark's managed streaming state (per-query,
+  * checkpoint-owned) cannot be that.
   *
-  * Exactly-once story, in two halves:
-  *  - The store: a batch's appends are all-or-nothing at the flag level
-  *    (ingest's pending/rollback discipline), and a REPLAYED batch
-  *    appends nothing — every previously-kept document now exact-matches
-  *    its own stored copy, every previously-dropped one still matches
-  *    whatever it matched before, so the store converges regardless of
-  *    redelivery.
-  *  - The flag log: a replayed keeper comes back `is_dup = true,
-  *    dup_of = doc_id` — the SELF-match. It cannot mean anything else:
-  *    had any other stored doc matched at the threshold, the original
-  *    run would already have flagged it (the store only grew by this
-  *    batch's survivors in between, and two surviving batch-mates above
-  *    the threshold would have been clustered into one). Rewriting
-  *    self-matches back to "kept" therefore reconstructs the original
-  *    flags bit-for-bit, and the log write is `overwrite` into a
-  *    `batch_id=N` partition — idempotent under checkpoint replay.
-  *    (Corollary: doc_ids must be unique per corpus — re-crawling a
-  *    CHANGED document under the same id would read as a replay.)
+  * Exactly-once under checkpoint redelivery, by construction (never by
+  * re-running the dedup against a store the previous attempt already
+  * mutated — re-ingesting a committed batch would re-dedupe it against
+  * its own survivors, with subtle wrong flags on transitive duplicate
+  * chains):
+  *
+  *  - the store ingest already persists its pre-batch snapshot (the
+  *    pending file) for the whole mutation and restores it on
+  *    [[SignatureStore.recover]];
+  *  - the flag partition is written BEFORE any append (ingest's
+  *    `onFlags` hook), so a crash mid-append rolls the store back and
+  *    the re-run — starting from the identical pre-batch state —
+  *    overwrites the partition with identical content;
+  *  - a durable `_COMMITTED` marker lands inside the flag partition
+  *    after the appends and the generation bump, BEFORE the pending
+  *    file clears (ingest's `onCommitted` hook).
+  *
+  * Replay decision at batch start: marker present → the batch fully
+  * committed (flags included — they precede the marker): SKIP, only
+  * discharging the moot recovery state a writer dead in the
+  * marker→pending-clear window still owes. Marker absent + pending
+  * present → the attempt died mid-mutation: recover restores the
+  * pre-batch store and the batch re-runs cleanly. Marker absent + no
+  * pending → nothing durable happened: plain run. Every crash window
+  * falls into exactly one arm, so a redelivered batch never appends and
+  * never changes a flag.
   *
   * Single-writer contract: the stream owns the store for its lifetime
-  * (micro-batches are sequential, so a pending file found at batch
-  * start can only be this query's own crashed predecessor — recovered
-  * automatically when `autoRecover`). A concurrent manual ingest fails
-  * fast on the store lock, by design; if a foreign writer may share the
-  * store, pass `autoRecover = false` and arbitrate recovery manually.
+  * (micro-batches are sequential, so recovery state found at batch
+  * start can only belong to this query's own crashed predecessor). A
+  * concurrent manual ingest fails fast on the store lock, by design; if
+  * a foreign writer may share the store, pass `autoRecover = false` and
+  * arbitrate recovery manually.
   */
 object CorpusStream {
 
@@ -54,24 +63,41 @@ object CorpusStream {
     r.parquet(dir)
   }
 
-  /** One micro-batch of the ingest stream, factored out so the
+  /** The commit-marker protocol around one store ingest (see class
+    * doc) — shared by both store flavors. `run(partition, onCommitted)`
+    * executes the store ingest with the two hooks bound.
+    */
+  private def committed(spark: SparkSession, flagsRoot: String, batchId: Long,
+      autoRecover: Boolean, recoverStore: () => Unit, discharge: () => Unit)
+      (run: (String, () => Unit) => Unit): Unit = {
+    val part = new Path(s"$flagsRoot/batch_id=$batchId")
+    val marker = new Path(part, "_COMMITTED")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      if (autoRecover) discharge()
+      return
+    }
+    if (autoRecover) recoverStore()
+    run(part.toString, () => { fs.createNewFile(marker); () })
+  }
+
+  /** One micro-batch of the document ingest stream, factored out so the
     * exactly-once contract is testable without a streaming query:
-    * recover a crashed predecessor (optional), run the store ingest,
-    * rewrite replay self-matches, overwrite the batch's flag partition.
-    * Re-invoking with the same (batch, batchId) is a no-op on the store
-    * and reproduces the identical flag partition.
+    * re-invoking with the same (batch, batchId) after a completed run is
+    * a pure no-op; after a crash it resumes per the protocol above.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, storeName: String,
       flagsRoot: String, batchId: Long, threshold: Double = 0.5,
       autoRecover: Boolean = true): Unit = {
     SignatureStore.ensureRegistered(spark, storeName)
-    if (autoRecover) SignatureStore.recover(spark, storeName)
-    val flags = SignatureStore.ingest(spark, batch, storeName, threshold)
-      // replay hygiene (see class doc): a self-match is a redelivered
-      // keeper, not a duplicate — restore its original flag
-      .withColumn("is_dup", col("is_dup") && col("dup_of") =!= col("doc_id"))
-      .withColumn("dup_of", when(col("dup_of") =!= col("doc_id"), col("dup_of")))
-    flags.write.mode("overwrite").parquet(s"$flagsRoot/batch_id=$batchId")
+    committed(spark, flagsRoot, batchId, autoRecover,
+      () => { SignatureStore.recover(spark, storeName); () },
+      () => SignatureStore.dischargeCommitted(spark, storeName)) { (part, mark) =>
+      SignatureStore.ingest(spark, batch, storeName, threshold,
+        onFlags = f => f.write.mode("overwrite").parquet(part),
+        onCommitted = mark)
+      ()
+    }
   }
 
   /** The continuous ingest query: documents stream in, flags stream out
@@ -107,24 +133,20 @@ object CorpusStream {
   }
 
   /** One micro-batch of the embedding ingest stream — the
-    * [[graft.similarity.EmbeddingStore]] twin of [[ingestBatch]]. The
-    * replay argument carries over verbatim: a redelivered keeper
-    * exact-matches its own stored vector (cosine 1.0 ≥ any threshold)
-    * and nothing else (had another stored vector matched, the original
-    * run would have flagged it; two surviving batch-mates above the
-    * threshold would have been one cluster), so `dup_of == vec_id` is
-    * the replay marker and the per-batch flag overwrite is idempotent.
+    * [[EmbeddingStore]] twin of [[ingestBatch]], same protocol.
     */
   def ingestEmbeddingsBatch(spark: SparkSession, batch: DataFrame, storeName: String,
       flagsRoot: String, batchId: Long, threshold: Double = 0.9,
       autoRecover: Boolean = true): Unit = {
-    import graft.similarity.EmbeddingStore
     EmbeddingStore.ensureRegistered(spark, storeName)
-    if (autoRecover) EmbeddingStore.recover(spark, storeName)
-    val flags = EmbeddingStore.ingest(spark, batch, storeName, threshold = threshold)
-      .withColumn("is_dup", col("is_dup") && col("dup_of") =!= col("vec_id"))
-      .withColumn("dup_of", when(col("dup_of") =!= col("vec_id"), col("dup_of")))
-    flags.write.mode("overwrite").parquet(s"$flagsRoot/batch_id=$batchId")
+    committed(spark, flagsRoot, batchId, autoRecover,
+      () => { EmbeddingStore.recover(spark, storeName); () },
+      () => EmbeddingStore.dischargeCommitted(spark, storeName)) { (part, mark) =>
+      EmbeddingStore.ingest(spark, batch, storeName, threshold = threshold,
+        onFlags = f => f.write.mode("overwrite").parquet(part),
+        onCommitted = mark)
+      ()
+    }
   }
 
   /** The continuous embedding-ingest query — [[ingestStream]]'s twin. */

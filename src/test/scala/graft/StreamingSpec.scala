@@ -289,12 +289,18 @@ class StreamingSpec extends SparkSpec {
       assert(streamFlags == batchFlags)
       assert(streamFlags.exists(_._2), "fixture must contain duplicates")
 
-      // checkpoint-replay contract: re-running a delivered batch appends
-      // nothing (every keeper self-matches its stored copy) and rewrites
-      // an IDENTICAL flag partition (self-matches restored to 'kept')
+      // checkpoint-replay contract: a committed batch carries its
+      // _COMMITTED marker (written before the pending clear), so a
+      // replay SKIPS the ingest entirely — appends nothing, flags
+      // byte-identical
       val tables = Seq(SignatureStore.bandsTable(sName),
         SignatureStore.shinglesTable(sName), SignatureStore.sizesTable(sName))
       val b0 = batchIds.head
+      val fs = new org.apache.hadoop.fs.Path(flagsRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(batchIds.forall(b => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=$b/_COMMITTED"))),
+        "every completed batch must carry its commit marker")
       val before = spark.read.parquet(s"$flagsRoot/batch_id=$b0")
         .collect().map(_.toString).sorted.toSeq
       val files0 = tables.map(StoreGuard.dataFileCount(spark, _)).sum
