@@ -378,4 +378,68 @@ class StreamingSpec extends SparkSpec {
       Seq(sName, bName).foreach(EmbeddingStore.drop(spark, _))
     }
   }
+
+  test("corpus ingest crash windows: death after appends recovers and re-runs identically; death before pending-clear discharges and skips") {
+    import graft.streaming.CorpusStream
+    import graft.dedup.{SignatureStore, StoreGuard}
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs.filter(col("doc_id") % 10 === 0)
+    val batch = docs.filter(col("doc_id") % 10 === 1)
+    val sName = "graft_cstream_crash_spec"
+    val bName = "graft_cbatch_crash_spec"
+    Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
+    SignatureStore.build(spark, hist, sName)
+    SignatureStore.build(spark, hist, bName)
+    val flagsRoot = java.nio.file.Files.createTempDirectory("graft-crash-flags").toString
+    val fs = new org.apache.hadoop.fs.Path(flagsRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = s"$flagsRoot/batch_id=7"
+    val marker = new org.apache.hadoop.fs.Path(s"$part/_COMMITTED")
+    try {
+      // window A: the writer dies AFTER the appends and gen bump but
+      // BEFORE the commit marker — flags are on disk, the store holds
+      // the batch, pending still authorizes recovery
+      val e = intercept[RuntimeException](SignatureStore.ingest(spark, batch, sName,
+        onFlags = f => f.write.mode("overwrite").parquet(part),
+        onCommitted = () => sys.error("died before the marker")))
+      assert(e.getMessage.contains("died"), e.getMessage)
+      assert(!fs.exists(marker))
+      // the redelivered batch must recover (undo the half-committed
+      // appends) and re-run to the IDENTICAL flags — never re-dedupe
+      // the batch against its own survivors
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 7L)
+      assert(fs.exists(marker), "re-run must commit")
+      val got = spark.read.parquet(part).collect().map(_.toString).sorted.toSeq
+      val want = SignatureStore.ingest(spark, batch, bName)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "recovered re-run must reproduce the batch-API flags")
+
+      // window B: the writer dies BETWEEN the marker and the pending
+      // clear — manufacture its leftovers (pending + lock siblings of
+      // the meta dir), then a replay must SKIP the ingest, discharge
+      // the moot recovery state, and leave store + flags untouched
+      val metaLoc = StoreGuard.tableLocation(spark, SignatureStore.metaTable(sName))
+      val pendingP = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".pending")
+      val lockP = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
+      val out = fs.create(pendingP, true)
+      try out.write("bogus-snapshot-line".getBytes("UTF-8")) finally out.close()
+      fs.createNewFile(lockP)
+      val tables = Seq(SignatureStore.bandsTable(sName),
+        SignatureStore.shinglesTable(sName), SignatureStore.sizesTable(sName))
+      val files0 = tables.map(StoreGuard.dataFileCount(spark, _)).sum
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 7L)
+      assert(!fs.exists(pendingP), "moot pending must be discharged")
+      assert(!fs.exists(lockP), "dead writer's lock must be released")
+      assert(tables.map(StoreGuard.dataFileCount(spark, _)).sum == files0,
+        "skip path must not touch the store")
+      assert(spark.read.parquet(part).collect().map(_.toString).sorted.toSeq == got,
+        "skip path must not touch the flags")
+      // and the store still accepts the NEXT batch normally
+      CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 2),
+        sName, flagsRoot, 8L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=8/_COMMITTED")))
+    } finally {
+      Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
+    }
+  }
 }
