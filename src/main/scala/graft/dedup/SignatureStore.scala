@@ -70,8 +70,16 @@ object SignatureStore {
     * proof — see [[graft.streaming.CorpusStream]].
     */
   def dischargeCommitted(spark: SparkSession, name: String): Unit = {
-    guard(name).clearPending(spark)
-    guard(name).unlock(spark)
+    val g = guard(name)
+    // the pending file is the proof a DEAD writer held the lock; a
+    // replay of a cleanly-completed batch finds neither, and must not
+    // unlock — the lock could belong to a LIVE writer (manual ingest,
+    // monthly maintenance), and deleting it would break mutual
+    // exclusion with silently interleaved appends
+    if (g.pendingExists(spark)) {
+      g.clearPending(spark)
+      g.unlock(spark)
+    }
   }
 
   /** Re-register the store's tables from their durable warehouse

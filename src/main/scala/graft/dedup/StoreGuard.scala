@@ -80,6 +80,17 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
   }
 
+  /** Whether an in-flight ingest's pending snapshot exists on disk —
+    * the durable proof that a (possibly dead) writer holds the store
+    * mid-mutation. Dischargers key off this so they never delete a
+    * lock that is NOT recovery state (e.g. a live maintenance writer's,
+    * which writes no pending file).
+    */
+  def pendingExists(spark: SparkSession): Boolean = {
+    val p = pendingPath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Release a crashed writer's lock (manual step; [[recover]] does
     * this AND restores the pre-ingest snapshot in one call).
     */
@@ -301,7 +312,15 @@ private[graft] object StoreGuard {
       if (!fs.exists(p)) 0
       else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val resumingSwap = dataFilesAt(src) > 0 && dataFilesAt(dst) == 0
-    if (!resumingSwap && !needed) return false
+    if (!resumingSwap && !needed) {
+      // no swap this run, but the live table holds data — any staged
+      // sibling (either suffix) is a dead writer's pre-reset leftover,
+      // not a sole copy; drop it now so it can never be adopted later
+      // by the sole-copy heuristic after an unrelated crashed swap
+      // empties the table dir
+      if (dataFilesAt(dst) > 0) clearStagedSiblings(spark, table)
+      return false
+    }
     if (!resumingSwap) {
       resetTable(spark, staged) // a dead writer's half-written staging
       stage(staged)
@@ -324,8 +343,29 @@ private[graft] object StoreGuard {
     spark.sql(s"CREATE TABLE `$table` ($cols) USING parquet " +
       s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS " +
       s"LOCATION '$dst'")
+    // the table now holds the swapped data, so a lingering staged
+    // sibling of the OTHER suffix family (a compactor dead between its
+    // reset and rename, later superseded by this reband — or vice
+    // versa) is stale content: delete it, or a future crashed swap
+    // that empties the table dir would let the sole-copy resume adopt
+    // outdated bands
+    clearStagedSiblings(spark, table)
     true
   }
+
+  /** Staged-sibling suffixes every REBUILD-class rewrite stages under —
+    * extend when a new [[stagedSwap]] caller introduces one, so
+    * completed swaps keep cleaning ALL families.
+    */
+  private val StagedSuffixes = Seq("__compacting", "__rebanding")
+
+  /** Drop any staged sibling of `table` (both suffix families), catalog
+    * entry and directory. Call ONLY when the live table holds data —
+    * with an empty table dir a staged sibling may be a dead writer's
+    * SOLE copy, which [[stagedSwap]]'s resume path must adopt, not lose.
+    */
+  private def clearStagedSiblings(spark: SparkSession, table: String): Unit =
+    StagedSuffixes.foreach(suf => resetTable(spark, table + suf))
 
   /** Rewrite a bucketed store table's files down to ~`buckets` files
     * WITHOUT changing content — the maintenance answer to bucket-aligned

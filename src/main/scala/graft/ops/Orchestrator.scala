@@ -432,8 +432,18 @@ object Orchestrator {
 
   // ---- training-corpus dedup as an orchestrated op (SURVEY §2.H) -----
 
+  /** `lshAudit`: the embedding cadence's per-ingest LSH bucket
+    * accounting ([[graft.similarity.EmbeddingStore.IngestAudit]]) —
+    * nonzero `cappedBuckets`/`cappedRows` mean candidate generation
+    * skipped hot buckets this batch, i.e. a measured recall loss the
+    * run report and notification must surface (the 30× scale sweep
+    * showed ~n^1.3 candidate growth on CORRELATED embeddings, exactly
+    * the regime where buckets hit the cap). None for the text cadence
+    * and for runs that failed before banding.
+    */
   final case class CorpusResult(store: String, batchRows: Long, dups: Long,
-      survivors: Long, elapsedSec: Double, error: Option[String])
+      survivors: Long, elapsedSec: Double, error: Option[String],
+      lshAudit: Option[graft.similarity.EmbeddingStore.IngestAudit] = None)
 
   /** Sink pipeline name for a corpus store's flag table. */
   def corpusPipeline(store: String): String = s"corpus_$store"
@@ -492,19 +502,29 @@ object Orchestrator {
   }
 
   /** The embedding twin of [[corpusIngest]] — same single-writer unit,
-    * same commit-together semantics, flags MERGE by vec-id business key.
+    * same commit-together semantics, flags MERGE by vec-id business
+    * key. The ingest's LSH bucket audit rides the result and the
+    * notification: cap drops are recall loss, and this cadence is where
+    * production would otherwise never see them.
     */
   def corpusIngestEmbeddings(spark: SparkSession, store: String, batch: DataFrame,
       notifier: Option[Notifier.Config] = None,
-      sink: Sink = VersionedSink()): CorpusResult = {
+      sink: Sink = VersionedSink(),
+      bucketCap: Int = 1000): CorpusResult = {
     import graft.similarity.EmbeddingStore
+    val audit = new java.util.concurrent.atomic.AtomicReference[
+      Option[EmbeddingStore.IngestAudit]](None)
     runStoreIngest(spark, store, "vec_id", "corpus-ingest-emb",
       ensure = () => EmbeddingStore.ensureRegistered(spark, store),
       locked = EmbeddingStore.locked(spark, store)(_),
       takeSnapshot = () => EmbeddingStore.snapshot(spark, store),
-      runIngest = () => EmbeddingStore.ingest(spark, batch, store),
+      runIngest = () => EmbeddingStore.ingest(spark, batch, store,
+        bucketCap = bucketCap, onAudit = a => audit.set(Some(a))),
       doRollback = snap => EmbeddingStore.rollback(spark, store, snap),
-      notifier, sink)
+      notifier, sink,
+      // fires for failed runs too: the audit lands before any append,
+      // so a batch that died mid-append still reports its drop counts
+      finish = r => r.copy(lshAudit = audit.get()))
   }
 
   /** The store-agnostic ingest unit both corpus cadences share: the
@@ -525,9 +545,10 @@ object Orchestrator {
       runIngest: () => DataFrame,
       doRollback: Set[String] => Unit,
       notifier: Option[Notifier.Config],
-      sink: Sink): CorpusResult = {
+      sink: Sink,
+      finish: CorpusResult => CorpusResult = identity): CorpusResult = {
     val t0 = System.nanoTime()
-    val result =
+    val result = finish(
       try {
         // a missing/never-built store must surface as a formatted
         // CorpusResult error (and fire the notifier), not an uncaught
@@ -562,13 +583,26 @@ object Orchestrator {
             .getOrElse("")
           CorpusResult(store, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
             Some(s"${e.getClass.getSimpleName}: ${e.getMessage}$rbNote"))
-      }
+      })
     notifier.foreach { cfg =>
       val (subject, body) = Notifier.format(Notifier.RunSummary(
         s"$jobLabel $store", result.survivors, result.dups,
         if (result.error.isDefined) 1 else 0, result.elapsedSec, result.error))
-      Notifier.send(cfg, subject, body) // never fails the run
+      Notifier.send(cfg, subject,
+        (body +: lshAuditLines(result)).mkString("\n")) // never fails the run
     }
     result
   }
+
+  /** The notification's drop-accounting lines — next to the
+    * survivor/dup counts so an operator reading the daily mail sees a
+    * recall loss the moment it starts, not at the next manual audit.
+    */
+  def lshAuditLines(result: CorpusResult): Seq[String] =
+    result.lshAudit.toSeq.map { a =>
+      s"LSH buckets: ${a.occupiedBuckets} occupied, max occupancy ${a.maxBucket}; " +
+        s"capped: ${a.cappedBuckets} buckets / ${a.cappedRows} rows" +
+        (if (a.cappedBuckets > 0) " — RECALL LOSS: hot buckets skipped; " +
+          "raise bucketCap or reband/shard the store" else "")
+    }
 }

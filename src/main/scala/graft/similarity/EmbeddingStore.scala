@@ -50,6 +50,27 @@ object EmbeddingStore {
       else { val (p, r) = Similarity.lshSpecFor(n); Spec(p, r) }
   }
 
+  /** Per-ingest LSH bucket accounting — the production form of
+    * [[Similarity.lshBucketAudit]]'s contract that cap drops are a
+    * recall loss and MUST NOT be silent. Occupancies are over the
+    * band_keys the batch touches, counting batch AND stored members
+    * (the combined corpus a full-corpus LSH would hash into those
+    * buckets); `cappedBuckets`/`cappedRows` are what the ingest's
+    * candidate generation actually skipped. Delivered through ingest's
+    * `onAudit` hook as its own action (the inline `observe` alternative
+    * is best-effort under AQE empty-relation propagation — SURVEY
+    * note 23), so the counts can never be lost, and the orchestrated
+    * cadences file them in the run report/notification.
+    */
+  final case class IngestAudit(nBatch: Long, planes: Int, bandBits: Int,
+      occupiedBuckets: Long, cappedBuckets: Long, cappedRows: Long,
+      maxBucket: Long) {
+    def json: String =
+      s"""{"n_batch":$nBatch,"planes":$planes,"band_bits":$bandBits,""" +
+        s""""occupied_buckets":$occupiedBuckets,"capped_buckets":$cappedBuckets,""" +
+        s""""capped_rows":$cappedRows,"max_bucket":$maxBucket}"""
+  }
+
   def bandsTable(name: String): String = s"${name}_ebands"
   def vecsTable(name: String): String = s"${name}_evecs"
   def metaTable(name: String): String = s"${name}_emeta"
@@ -93,6 +114,42 @@ object EmbeddingStore {
       .toDF("planes", "band_bits", "buckets", "dims", "kernel")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
   }
+
+  /** `<meta-dir>.rebanding` sibling marker: present exactly while a
+    * reband's commit sequence may have the bands table and `_emeta`
+    * DISAGREEING on geometry (bands rewritten, meta not yet
+    * overwritten). Without it that crash window is silent: probe is
+    * lock-free and ingest's band keys simply stop colliding with the
+    * stored bands — zero matches, no error. A sibling of the meta dir
+    * (like the lock and pending files) so no table rewrite can delete
+    * it; re-running reband completes the sequence and clears it.
+    */
+  private def rebandMarkerPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val m = StoreGuard.tableLocation(spark, metaTable(name))
+    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".rebanding")
+  }
+  private def rebandInFlight(spark: SparkSession, name: String): Boolean = {
+    val p = rebandMarkerPath(spark, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  private def setRebandMarker(spark: SparkSession, name: String, on: Boolean): Unit = {
+    val p = rebandMarkerPath(spark, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (on) { fs.mkdirs(p.getParent); fs.createNewFile(p); () }
+    else { fs.delete(p, false); () }
+  }
+
+  /** Refuse to band a batch (or probe) while an unfinished reband may
+    * have left bands and meta on different geometries — banding with
+    * the stale spec would MISS stored near-dups silently.
+    */
+  private def requireNoRebandWindow(spark: SparkSession, name: String): Unit =
+    require(!rebandInFlight(spark, name),
+      s"embedding store '$name' has an unfinished reband " +
+        s"(${rebandMarkerPath(spark, name)}): the bands table and _emeta may " +
+        "disagree on band geometry, so batch bands could silently miss stored " +
+        "near-dups — re-run reband (Runner --maintain-store-emb) to complete " +
+        "it (recover/unlock first if the writer died holding the lock)")
 
   def snapshot(spark: SparkSession, name: String): Set[String] =
     guard(name).snapshot(spark)
@@ -196,6 +253,13 @@ object EmbeddingStore {
     // stored bands no longer match what this engine would hash, and
     // both are cured by the same vectors-to-bands rewrite
     val outdated = spec2 != spec || kernelOf(meta) != Similarity.LshKernelVersion
+    // the `.rebanding` marker brackets the whole mutation: from before
+    // the bands rewrite until AFTER the meta overwrite, bands and meta
+    // may disagree on geometry — ingest/probe refuse while it exists
+    // (requireNoRebandWindow) instead of silently missing matches. A
+    // dead rebander's marker survives its crash; this re-run completes
+    // the sequence and clears it below.
+    if (n > 0 && outdated) setRebandMarker(spark, name, on = true)
     // an EMPTY store has no bands to rewrite (and a zero-file bucketed
     // write stages no readable parquet — compactTable's floor guards
     // the same edge): skip the swap, re-pin the meta below
@@ -210,18 +274,24 @@ object EmbeddingStore {
         .bucketBy(buckets, "band_key").sortBy("band_key")
         .saveAsTable(staged)
     }
-    if (!swapped && !outdated) false
-    else {
-      writeMeta(spark, name, spec2, buckets, dims)
-      guard(name).bumpGen(spark)
-      true
-    }
+    val changed =
+      if (!swapped && !outdated) false
+      else {
+        writeMeta(spark, name, spec2, buckets, dims)
+        guard(name).bumpGen(spark)
+        true
+      }
+    // bands and meta agree again (or never disagreed) — also heals a
+    // predecessor dead between its meta overwrite and its own clear
+    setRebandMarker(spark, name, on = false)
+    changed
   }
 
   /** Drop the store's tables and their locations (idempotent). */
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(StoreGuard.resetTable(spark, _))
     guard(name).clearPending(spark)
+    setRebandMarker(spark, name, on = false) // no store, no window
   }
 
   /** Canonical (vec_id, emb array<double>) projection of a corpus. */
@@ -274,6 +344,7 @@ object EmbeddingStore {
   def incrementalPairs(spark: SparkSession, batch: DataFrame, name: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9): DataFrame = {
+    requireNoRebandWindow(spark, name)
     val meta = spark.table(metaTable(name)).head()
     requireCurrentKernel(name, meta)
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
@@ -327,6 +398,9 @@ object EmbeddingStore {
     }
     writeMeta(spark, name, spec0, buckets, dims)
     guard(name).bumpGen(spark)
+    // a full rebuild re-pins bands and meta together — any marker left
+    // by a rebander that died before this build is moot now
+    setRebandMarker(spark, name, on = false)
   }
 
   /** Dedup `batch` against the store and within itself; append the
@@ -347,12 +421,27 @@ object EmbeddingStore {
     * same contract as [[graft.dedup.SignatureStore.ingest]]: flags
     * surface BEFORE any append, the committed mark lands after the
     * generation bump and before the pending clear.
+    *
+    * `bucketCap`/`onAudit`: a band bucket whose combined batch+store
+    * occupancy exceeds `bucketCap` is SKIPPED by candidate generation —
+    * the same degenerate-bucket protection as
+    * [[Similarity.lshCosinePairs]] (one bucket of m near-identical
+    * vectors is m²/2 candidate pairs; at corpus scale a single hot
+    * bucket would dominate the whole ingest). Skipping is a recall
+    * loss, so every drop is counted and delivered to `onAudit` as an
+    * [[IngestAudit]] before any append — the accounting
+    * `Similarity.lshBucketAudit` promises, guaranteed here by its own
+    * action. Survivors still append their FULL band signatures: the cap
+    * prunes this batch's candidate pairs, never the stored state.
     */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9,
       onFlags: DataFrame => Unit = _ => (),
-      onCommitted: () => Unit = () => ()): DataFrame = locked(spark, name) {
+      onCommitted: () => Unit = () => (),
+      bucketCap: Int = 1000,
+      onAudit: IngestAudit => Unit = _ => ()): DataFrame = locked(spark, name) {
+    requireNoRebandWindow(spark, name)
     val meta = spark.table(metaTable(name)).head()
     requireCurrentKernel(name, meta)
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
@@ -389,6 +478,35 @@ object EmbeddingStore {
       val v = base.withColumn("ns", Similarity.normSq(col("emb"))).localCheckpoint(true)
       val bBands = bandsOf(base, spec).localCheckpoint(true)
 
+      // bucket occupancy over the band_keys this batch touches, counting
+      // batch AND stored members — buckets the batch does not touch can
+      // produce neither candidates nor drops, so the store side is a
+      // semi-join INTO its bucketing (only the small key set shuffles),
+      // never a full-store aggregate
+      val batchCnt = bBands.groupBy("band_key").agg(count(lit(1)).as("n_batch"))
+      val occ = batchCnt
+        .join(spark.table(bandsTable(name))
+            .join(batchCnt.select("band_key"), "band_key")
+            .groupBy("band_key").agg(count(lit(1)).as("n_store")),
+          Seq("band_key"), "left")
+        .select(col("band_key"),
+          (col("n_batch") + coalesce(col("n_store"), lit(0L))).as("occ"))
+        .localCheckpoint(true) // audit agg + hot-key filter both read it
+      val auditRow = occ.agg(count(lit(1)),
+        sum(when(col("occ") > bucketCap, 1L).otherwise(0L)),
+        sum(when(col("occ") > bucketCap, col("occ")).otherwise(0L)),
+        max(col("occ"))).head()
+      onAudit(IngestAudit(ids.count(), spec.planes, spec.bandBits,
+        auditRow.getLong(0),
+        if (auditRow.isNullAt(1)) 0L else auditRow.getLong(1),
+        if (auditRow.isNullAt(2)) 0L else auditRow.getLong(2),
+        if (auditRow.isNullAt(3)) 0L else auditRow.getLong(3)))
+      // candidate generation skips hot buckets (accounted above); the
+      // hot-key set is tiny (only over-cap keys) and broadcast
+      val hotKeys = occ.filter(col("occ") > bucketCap).select("band_key")
+        .localCheckpoint(true)
+      val bBandsOk = bBands.join(hotKeys, Seq("band_key"), "left_anti")
+
       // exact decimal cosine between candidate (new, hist-or-new) pairs
       def verified(cand: DataFrame, hist: DataFrame): DataFrame =
         cand
@@ -406,14 +524,14 @@ object EmbeddingStore {
 
       // 1. against the store: candidates from a band_key equi-join INTO
       // the store's bucketing (only the batch side shuffles)
-      val histDup = crossVerified(spark, name, v, bBands, threshold)
+      val histDup = crossVerified(spark, name, v, bBandsOk, threshold)
         .groupBy(col("new_id").as("vec_id"))
         .agg(min(col("other_id")).as("hist_dup_of"))
         .localCheckpoint(true)
 
       // 2. within the batch, among history-survivors only
       val survIds = ids.join(histDup, Seq("vec_id"), "left_anti")
-      val sBands = bBands.join(survIds, "vec_id")
+      val sBands = bBandsOk.join(survIds, "vec_id")
       val selfCand = sBands.select(col("band_key"), col("vec_id").as("new_id"))
         .join(sBands.select(col("band_key"), col("vec_id").as("other_id")), "band_key")
         .filter(col("new_id") < col("other_id"))
@@ -457,11 +575,18 @@ object EmbeddingStore {
   }
 
   /** Discharge a dead writer's recovery state WITHOUT rolling back —
-    * same contract and warning as
+    * same contract, same pending-proof gate, and same warning as
     * [[graft.dedup.SignatureStore.dischargeCommitted]].
     */
   def dischargeCommitted(spark: SparkSession, name: String): Unit = {
-    guard(name).clearPending(spark)
-    guard(name).unlock(spark)
+    val g = guard(name)
+    if (g.pendingExists(spark)) {
+      g.clearPending(spark)
+      g.unlock(spark)
+    }
   }
+
+  /** Release a crashed writer's lock — see [[StoreGuard.unlock]]. */
+  def unlock(spark: SparkSession, name: String): Unit =
+    guard(name).unlock(spark)
 }

@@ -36,19 +36,26 @@ import graft.similarity.EmbeddingStore
   * Replay decision at batch start: marker present → the batch fully
   * committed (flags included — they precede the marker): SKIP, only
   * discharging the moot recovery state a writer dead in the
-  * marker→pending-clear window still owes. Marker absent + pending
+  * marker→pending-clear window still owes (pending-gated, so a clean
+  * completion's replay touches nothing). Marker absent + pending
   * present → the attempt died mid-mutation: recover restores the
   * pre-batch store and the batch re-runs cleanly. Marker absent + no
-  * pending → nothing durable happened: plain run. Every crash window
-  * falls into exactly one arm, so a redelivered batch never appends and
-  * never changes a flag.
+  * pending → nothing durable happened: plain run, first discharging a
+  * lock a predecessor dead BETWEEN lock acquisition and the pending
+  * write left behind (that window leaves no pending file for recover()
+  * to key off, and without the discharge the redelivered ingest would
+  * fail fast on the dead lock forever). Every crash window falls into
+  * exactly one arm, so a redelivered batch never appends and never
+  * changes a flag.
   *
   * Single-writer contract: the stream owns the store for its lifetime
-  * (micro-batches are sequential, so recovery state found at batch
-  * start can only belong to this query's own crashed predecessor). A
-  * concurrent manual ingest fails fast on the store lock, by design; if
-  * a foreign writer may share the store, pass `autoRecover = false` and
-  * arbitrate recovery manually.
+  * (micro-batches are sequential, so ANY recovery state — pending file
+  * or bare lock — found at batch start can only belong to this query's
+  * own crashed predecessor, which is exactly why the plain-run arm may
+  * discharge a pending-less lock). The flip side: with `autoRecover =
+  * true` a foreign writer must NOT share the store — its lock would be
+  * discharged, not failed on. If a foreign writer may share the store,
+  * pass `autoRecover = false` and arbitrate recovery manually.
   */
 object CorpusStream {
 
@@ -68,16 +75,32 @@ object CorpusStream {
     * executes the store ingest with the two hooks bound.
     */
   private def committed(spark: SparkSession, flagsRoot: String, batchId: Long,
-      autoRecover: Boolean, recoverStore: () => Unit, discharge: () => Unit)
+      autoRecover: Boolean, recoverStore: () => Boolean, discharge: () => Unit,
+      forceUnlock: () => Unit)
       (run: (String, () => Unit) => Unit): Unit = {
     val part = new Path(s"$flagsRoot/batch_id=$batchId")
     val marker = new Path(part, "_COMMITTED")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
+      // fully committed: discharge only what a writer dead in the
+      // marker→pending-clear window still owes. dischargeCommitted is
+      // pending-gated, so a replay of a CLEANLY completed batch (no
+      // recovery state at all) is a strict no-op — it can never delete
+      // a lock some other writer holds
       if (autoRecover) discharge()
       return
     }
-    if (autoRecover) recoverStore()
+    if (autoRecover && !recoverStore()) {
+      // recover() found no pending file and deliberately left the lock
+      // alone (in general it could belong to a live build/drop) — but
+      // under the stream's single-writer contract ANY lock found at
+      // batch start belongs to a dead predecessor that died between
+      // lock acquisition and the pending write, i.e. before anything
+      // durable happened: discharge it here, or this batch's ingest
+      // fails fast on the dead lock on every redelivery and the
+      // streaming query crash-loops until a manual unlock
+      forceUnlock()
+    }
     run(part.toString, () => { fs.createNewFile(marker); () })
   }
 
@@ -91,8 +114,9 @@ object CorpusStream {
       autoRecover: Boolean = true): Unit = {
     SignatureStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
-      () => { SignatureStore.recover(spark, storeName); () },
-      () => SignatureStore.dischargeCommitted(spark, storeName)) { (part, mark) =>
+      () => SignatureStore.recover(spark, storeName),
+      () => SignatureStore.dischargeCommitted(spark, storeName),
+      () => SignatureStore.unlock(spark, storeName)) { (part, mark) =>
       SignatureStore.ingest(spark, batch, storeName, threshold,
         onFlags = f => f.write.mode("overwrite").parquet(part),
         onCommitted = mark)
@@ -133,18 +157,39 @@ object CorpusStream {
   }
 
   /** One micro-batch of the embedding ingest stream — the
-    * [[EmbeddingStore]] twin of [[ingestBatch]], same protocol.
+    * [[EmbeddingStore]] twin of [[ingestBatch]], same protocol. The
+    * ingest's LSH bucket audit is persisted as `_lsh_audit.json` inside
+    * the batch's flag partition (underscore-prefixed, so parquet
+    * readers of the flag log skip it): cap drops are recall loss, and a
+    * continuously-running query has no daily notification mail — the
+    * flag log IS its run report. Written after the flags parquet (whose
+    * overwrite clears the partition dir) and before the `_COMMITTED`
+    * marker, so a committed batch always carries its accounting and a
+    * crashed one is rewritten on the re-run.
     */
   def ingestEmbeddingsBatch(spark: SparkSession, batch: DataFrame, storeName: String,
       flagsRoot: String, batchId: Long, threshold: Double = 0.9,
-      autoRecover: Boolean = true): Unit = {
+      autoRecover: Boolean = true, bucketCap: Int = 1000): Unit = {
     EmbeddingStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
-      () => { EmbeddingStore.recover(spark, storeName); () },
-      () => EmbeddingStore.dischargeCommitted(spark, storeName)) { (part, mark) =>
+      () => EmbeddingStore.recover(spark, storeName),
+      () => EmbeddingStore.dischargeCommitted(spark, storeName),
+      () => EmbeddingStore.unlock(spark, storeName)) { (part, mark) =>
+      val audit = new java.util.concurrent.atomic.AtomicReference[
+        Option[EmbeddingStore.IngestAudit]](None)
       EmbeddingStore.ingest(spark, batch, storeName, threshold = threshold,
-        onFlags = f => f.write.mode("overwrite").parquet(part),
-        onCommitted = mark)
+        onFlags = f => {
+          f.write.mode("overwrite").parquet(part)
+          audit.get().foreach { a =>
+            val p = new Path(part, "_lsh_audit.json")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val out = fs.create(p, true)
+            try out.write(a.json.getBytes("UTF-8")) finally out.close()
+          }
+        },
+        onCommitted = mark,
+        bucketCap = bucketCap,
+        onAudit = a => audit.set(Some(a)))
       ()
     }
   }
@@ -152,6 +197,7 @@ object CorpusStream {
   /** The continuous embedding-ingest query — [[ingestStream]]'s twin. */
   def ingestEmbeddingsStream(vecs: DataFrame, storeName: String, flagsRoot: String,
       checkpoint: String, threshold: Double = 0.9, autoRecover: Boolean = true,
+      bucketCap: Int = 1000,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -160,7 +206,7 @@ object CorpusStream {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestEmbeddingsBatch(batch.sparkSession, batch.toDF(), storeName,
-          flagsRoot, batchId, threshold, autoRecover)
+          flagsRoot, batchId, threshold, autoRecover, bucketCap)
       }
       .start()
 }

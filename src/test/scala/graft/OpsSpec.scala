@@ -341,6 +341,77 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding ingest files LSH cap-drop accounting: zero under the normal cap, nonzero and notified under a forced cap (the r13 observability gap)") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.ops.{Notifier, Orchestrator}
+    import graft.similarity.EmbeddingStore
+    val store = "graft_ecorpus_audit_spec"
+    val sink = Orchestrator.VersionedSink()
+    val root = sink.rootOf(spark, Orchestrator.corpusPipeline(store))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root.stripPrefix("file:")))
+    EmbeddingStore.drop(spark, store)
+    import TestVectors.vec
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sendMail", (ex: HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(202, -1); ex.close()
+    })
+    server.start()
+    try {
+      val cfg = Notifier.Config(
+        enabled = true,
+        endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/sendMail",
+        recipients = Seq("ops@example.test"),
+        tokens = new graft.sinks.TokenProvider {
+          def token(): String = "t"; def refresh(): String = "t"
+        })
+      Orchestrator.corpusInitEmbeddings(spark, store)
+      // normal cap: tiny fixture occupancies are nowhere near 1000 —
+      // the audit must still be filed, with zero drops
+      val r1 = Orchestrator.corpusIngestEmbeddings(spark, store,
+        Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding"), Some(cfg), sink)
+      assert(r1.error.isEmpty, r1)
+      val a1 = r1.lshAudit.getOrElse(fail(s"audit missing from $r1"))
+      assert(a1.nBatch == 2 && a1.occupiedBuckets > 0 && a1.maxBucket >= 1, a1)
+      assert(a1.cappedBuckets == 0 && a1.cappedRows == 0, a1)
+      assert(Orchestrator.lshAuditLines(r1).head.contains("capped: 0 buckets"))
+      // forced cap=1: the batch twin of a stored vector puts 2 members
+      // in every shared bucket -> all candidate buckets are dropped.
+      // The accounting must say so, AND the recall loss must be real
+      // (the twin sails through unflagged).
+      val r2 = Orchestrator.corpusIngestEmbeddings(spark, store,
+        Seq((11L, vec(1))).toDF("vec_id", "embedding"), Some(cfg), sink,
+        bucketCap = 1)
+      assert(r2.error.isEmpty, r2)
+      val a2 = r2.lshAudit.getOrElse(fail(s"audit missing from $r2"))
+      assert(a2.cappedBuckets > 0 && a2.cappedRows >= 2, a2)
+      assert(r2.dups == 0 && r2.survivors == 1,
+        s"capped buckets must actually skip candidates: $r2")
+      assert(Orchestrator.lshAuditLines(r2).head.contains("RECALL LOSS"))
+      // and the notification mail carries the accounting next to the
+      // survivor/dup counts — the operator-visible path the r13 verdict
+      // found missing
+      val sent = bodies.toArray(Array.empty[String]).toSeq
+      assert(sent.size == 2, s"want 2 mails, got ${sent.size}")
+      assert(sent.head.contains("capped: 0 buckets"), sent.head)
+      assert(sent.last.contains("RECALL LOSS"), sent.last)
+      // the same geometry WITHOUT the cap catches the twin (sanity that
+      // the drop, not the geometry, hid it)
+      val r3 = Orchestrator.corpusIngestEmbeddings(spark, store,
+        Seq((21L, vec(2))).toDF("vec_id", "embedding"), None, sink)
+      assert(r3.dups == 1 && r3.lshAudit.exists(_.cappedBuckets == 0), r3)
+    } finally {
+      server.stop(0)
+      EmbeddingStore.drop(spark, store)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.stripPrefix("file:")))
+    }
+  }
+
   test("orchestrator maintenance: sync, compact clustered by key, vacuum, still readable (E1/D6)") {
     import graft.ops.Orchestrator
     import graft.sinks.VersionedTable

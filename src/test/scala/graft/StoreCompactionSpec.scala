@@ -229,6 +229,94 @@ class StoreCompactionSpec extends SparkSpec {
     Seq(name, fresh).foreach(EmbeddingStore.drop(spark, _))
   }
 
+  test("reband crash window is DETECTABLE: the .rebanding marker makes ingest and probes refuse; completing reband heals") {
+    import spark.implicits._
+    val name = "graft_reband_marker_spec"
+    EmbeddingStore.drop(spark, name)
+    EmbeddingStore.build(spark,
+      (0L until 50L).map(i => (i, TestVectors.vec(i.toInt))).toDF("vec_id", "embedding"),
+      name)
+    val metaLoc = loc(EmbeddingStore.metaTable(name))
+    val markerP = new Path(metaLoc.getParent, metaLoc.getName + ".rebanding")
+    try {
+      // a rebander dead anywhere between its bands rewrite and its meta
+      // overwrite leaves the marker on disk (it brackets the whole
+      // commit sequence) — bands and meta may then disagree on
+      // geometry, and a batch banded with the stale spec would miss
+      // stored near-dups with NO error. Both write and read paths must
+      // refuse loudly instead.
+      fs.createNewFile(markerP)
+      val batch = Seq((1000L, TestVectors.vec(1))).toDF("vec_id", "embedding")
+      val e1 = intercept[IllegalArgumentException](
+        EmbeddingStore.ingest(spark, batch, name))
+      assert(e1.getMessage.contains("unfinished reband"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        EmbeddingStore.incrementalPairs(spark, batch, name))
+      assert(e2.getMessage.contains("unfinished reband"), e2.getMessage)
+      // re-running reband completes the sequence (here a no-op — bands
+      // and meta in fact agree) and clears the marker
+      EmbeddingStore.reband(spark, name)
+      assert(!fs.exists(markerP), "reband must clear the marker on every exit")
+      val flags = EmbeddingStore.ingest(spark, batch, name)
+      assert(flags.count() == 1)
+      // a real reband leaves no marker behind either: outdate the pin
+      // (legacy fixed geometry), rewrite, and verify the window closed
+      val m = spark.table(EmbeddingStore.metaTable(name)).head()
+      Seq((32, 8, m.getAs[Int]("buckets"), m.getAs[Int]("dims"), Similarity.LshKernelVersion))
+        .toDF("planes", "band_bits", "buckets", "dims", "kernel")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(EmbeddingStore.metaTable(name))
+      assert(EmbeddingStore.reband(spark, name))
+      assert(!fs.exists(markerP))
+      assert(EmbeddingStore.incrementalPairs(spark, batch, name).count() >= 0)
+    } finally EmbeddingStore.drop(spark, name)
+  }
+
+  test("completed swaps clear stale staged siblings of BOTH suffix families (and the needed=false early return does too)") {
+    import spark.implicits._
+    val name = "graft_staged_gc_spec"
+    EmbeddingStore.drop(spark, name)
+    EmbeddingStore.build(spark,
+      (0L until 40L).map(i => (i, TestVectors.vec(i.toInt))).toDF("vec_id", "embedding"),
+      name)
+    try {
+      val bandsT = EmbeddingStore.bandsTable(name)
+      // a compactor dead between stage-complete and its entry reset
+      // leaves a staged sibling WHILE the live table still has data —
+      // stale content, not a sole copy. If it lingers and a LATER
+      // crashed swap empties the table dir, the sole-copy resume would
+      // adopt these outdated bands over the store.
+      def plantStale(suffix: String): String = {
+        val staged = s"$bandsT$suffix"
+        spark.table(bandsT).limit(5).repartition(16, col("band_key"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(16, "band_key").sortBy("band_key").saveAsTable(staged)
+        staged
+      }
+      // path 1: a REAL swap (reband after outdating the pin) clears the
+      // other family's leftover
+      val stale1 = plantStale("__compacting")
+      val m = spark.table(EmbeddingStore.metaTable(name)).head()
+      Seq((32, 8, m.getAs[Int]("buckets"), m.getAs[Int]("dims"), Similarity.LshKernelVersion))
+        .toDF("planes", "band_bits", "buckets", "dims", "kernel")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(EmbeddingStore.metaTable(name))
+      assert(EmbeddingStore.reband(spark, name))
+      assert(!fs.exists(loc(stale1)),
+        "a completed reband must delete the stale __compacting sibling")
+      assert(!spark.catalog.tableExists(stale1))
+      // path 2: a no-op maintenance pass (compact with the table at its
+      // file floor -> needed=false early return) also clears leftovers
+      val stale2 = plantStale("__rebanding")
+      EmbeddingStore.compact(spark, name)
+      assert(!fs.exists(loc(stale2)),
+        "the needed=false early return must delete stale staged siblings")
+      assert(!spark.catalog.tableExists(stale2))
+      // the live table is untouched throughout
+      assert(spark.table(bandsT).count() > 0)
+    } finally EmbeddingStore.drop(spark, name)
+  }
+
   test("reband on an EMPTY store: meta re-pin only, no staged rewrite, still ingestable") {
     val name = "graft_reband_empty_spec"
     EmbeddingStore.drop(spark, name)

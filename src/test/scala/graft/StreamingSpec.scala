@@ -379,6 +379,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming embedding batches persist _lsh_audit.json in their flag partition; a forced cap records the drop") {
+    import graft.streaming.CorpusStream
+    import graft.similarity.EmbeddingStore
+    import TestVectors.vec
+    val sName = "graft_estream_audit_spec"
+    EmbeddingStore.drop(spark, sName)
+    EmbeddingStore.build(spark,
+      Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding"), sName)
+    val flagsRoot = java.nio.file.Files.createTempDirectory("graft-eaudit-flags").toString
+    val fs = new org.apache.hadoop.fs.Path(flagsRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def audit(b: Long): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=$b/_lsh_audit.json")
+      assert(fs.exists(p), s"batch $b must carry its LSH accounting: $p")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    try {
+      // normal cap: audit present, zero drops, the twin IS flagged
+      CorpusStream.ingestEmbeddingsBatch(spark,
+        Seq((100L, vec(1))).toDF("vec_id", "embedding"), sName, flagsRoot, 0L)
+      assert(audit(0L).contains("\"capped_buckets\":0"), audit(0L))
+      val f0 = spark.read.parquet(s"$flagsRoot/batch_id=0")
+        .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      assert(f0 == Map(100L -> true), f0)
+      // forced cap=1: every shared bucket holds >=2 members -> dropped;
+      // the audit in the flag log records the recall loss the flags
+      // themselves can no longer show
+      CorpusStream.ingestEmbeddingsBatch(spark,
+        Seq((200L, vec(2))).toDF("vec_id", "embedding"), sName, flagsRoot, 1L,
+        bucketCap = 1)
+      val a1 = audit(1L)
+      assert(!a1.contains("\"capped_buckets\":0"), a1)
+      assert(a1.contains("\"capped_rows\""), a1)
+      val f1 = spark.read.parquet(s"$flagsRoot/batch_id=1")
+        .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      assert(f1 == Map(200L -> false), s"capped bucket must skip the candidate: $f1")
+      // the audit survives a committed-batch replay (skip arm rewrites
+      // nothing)
+      CorpusStream.ingestEmbeddingsBatch(spark,
+        Seq((200L, vec(2))).toDF("vec_id", "embedding"), sName, flagsRoot, 1L,
+        bucketCap = 1)
+      assert(audit(1L) == a1)
+    } finally EmbeddingStore.drop(spark, sName)
+  }
+
   test("corpus ingest crash windows: death after appends recovers and re-runs identically; death before pending-clear discharges and skips") {
     import graft.streaming.CorpusStream
     import graft.dedup.{SignatureStore, StoreGuard}
@@ -438,6 +484,34 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 2),
         sName, flagsRoot, 8L)
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=8/_COMMITTED")))
+
+      // window C: the writer dies BETWEEN lock acquisition and the
+      // pending write — lock on disk, no pending, no marker. recover()
+      // has nothing to key off, so without the plain-run arm's
+      // discharge the redelivered ingest would fail fast on the dead
+      // lock on every retry (crash-loop). The stream must discharge
+      // the stale lock and run the batch to a normal commit.
+      fs.createNewFile(lockP)
+      // proof the lock genuinely blocks a direct ingest
+      val locked = intercept[RuntimeException](
+        SignatureStore.ingest(spark, docs.filter(col("doc_id") % 10 === 3), sName))
+      assert(locked.getMessage.contains("locked"), locked.getMessage)
+      CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 3),
+        sName, flagsRoot, 9L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=9/_COMMITTED")),
+        "stale pending-less lock must be discharged, not crash-looped on")
+      assert(!fs.exists(lockP), "batch completion releases the discharged lock")
+
+      // pending-proof gate: a replay of a CLEANLY committed batch must
+      // not delete a lock some other (live) writer holds — there is no
+      // pending file, so dischargeCommitted has no proof of a dead
+      // writer and must leave the lock alone
+      fs.createNewFile(lockP)
+      CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 3),
+        sName, flagsRoot, 9L)
+      assert(fs.exists(lockP),
+        "committed-batch replay must not break a live writer's lock")
+      fs.delete(lockP, false)
     } finally {
       Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
     }
