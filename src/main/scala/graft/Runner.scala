@@ -68,6 +68,20 @@ object Runner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --bpe-merges <path>: bind the session's bpe_tokens/bpe_token_id
+    // kernels to a real model vocabulary (standard merges.txt format)
+    // instead of the pinned fixture — the opt-in a production
+    // token-budget pipeline (t11 packing / t13 chunking in real-token
+    // mode) uses once its tokenizer is chosen. t14's oracle-bound query
+    // re-registers the fixture itself, so the correctness gate is
+    // unaffected.
+    opts.get("bpe-merges").foreach { p =>
+      val merges = graft.text.Bpe.loadMerges(p,
+        spark.sparkContext.hadoopConfiguration)
+      graft.text.BpeFunctions.register(spark, new graft.text.Bpe.Vocab(merges))
+      println(s"[bpe] registered ${merges.size} merges from $p")
+    }
+
     if (opts.contains("maintain")) {
       // table maintenance for the versioned sinks: OPTIMIZE-style
       // small-file compaction + retention vacuum — the scheduled

@@ -232,4 +232,57 @@ class TextSpec extends SparkSpec {
       assert(chunks((1L, 0)) == "the value")
     }
   }
+
+  test("merges.txt loader: real-format fixture binds the session kernels to a model vocabulary; malformed files refuse") {
+    import graft.text.{Bpe, BpeFunctions}
+    import graft.text.TextFunctions.normText
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-merges")
+    def write(name: String, lines: String*): String = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, java.util.Arrays.asList(lines: _*))
+      f.toString
+    }
+    // the standard format: #version header, one space-separated pair
+    // per line, rank = line order
+    val path = write("merges.txt",
+      "#version: 0.2", "t h", "th e", "h e", "l l", "he ll", "hell o")
+    val merges = Bpe.loadMerges(path)
+    assert(merges == Vector(("t", "h"), ("th", "e"), ("h", "e"), ("l", "l"),
+      ("he", "ll"), ("hell", "o")))
+    // the loaded vocabulary encodes with ITS ranks: "hello" chains
+    // through he/ll/hell/hello, while the pinned fixture's chains
+    // ("value") don't exist here
+    val vocab = new Bpe.Vocab(merges)
+    assert(vocab.encodePiece("hello").toSeq == Seq("hello"))
+    assert(vocab.encodePiece("the").toSeq == Seq("the"))
+    assert(vocab.encodePiece("value").toSeq == "value".map(_.toString))
+    assert(vocab.tokenId("hello") == 256 + 5 && vocab.tokenId("th") == 256)
+    // session binding: the re-registered kernels drive the DataFrame
+    // path with the loaded vocabulary (the Runner --bpe-merges flow)
+    BpeFunctions.register(spark, vocab)
+    try {
+      withDocs(Seq(1L -> "Hello the value")) { d =>
+        val toks = Tables.documents(spark, d)
+          .withColumn("norm", normText(col("text")))
+          .select(explode(expr("bpe_tokens(norm)")).as("tok"))
+          .withColumn("id", expr("bpe_token_id(tok)"))
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+        assert(toks.take(2) == Seq(("hello", 261), ("the", 257)), toks)
+        assert(toks.drop(2).map(_._1) == Seq("v", "a", "l", "u", "e"), toks)
+      }
+    } finally BpeFunctions.register(spark) // restore the pinned default
+    // the default (oracle-bound) vocabulary is untouched by the load
+    assert(Bpe.encodePiece("value").toSeq == Seq("value"))
+    assert(Bpe.tokenId("the") == 257)
+    // refusals: a silently skipped line would shift every later rank
+    val e1 = intercept[RuntimeException](
+      Bpe.loadMerges(write("bad.txt", "#version: 0.2", "a b c")))
+    assert(e1.getMessage.contains("expected 'A B'"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      Bpe.loadMerges(write("dup.txt", "a b", "c d", "a b")))
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      Bpe.loadMerges(write("empty.txt", "#version: 0.2", "")))
+    assert(e3.getMessage.contains("no merges"), e3.getMessage)
+  }
 }
