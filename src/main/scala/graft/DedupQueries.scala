@@ -377,7 +377,7 @@ object DedupQueries {
     */
   private val storeSnaps = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
-  private def dedupStore(s: SparkSession, dir: String): (String, Set[String]) = {
+  private[graft] def dedupStore(s: SparkSession, dir: String): (String, Set[String]) = {
     val slug = OncePerJvm.slug(dir)
     val name = s"graft_dedup_sigstore_$slug"
     OncePerJvm(name, slug) {

@@ -95,6 +95,36 @@ object ScaleCheck {
     require(marker.createNewFile(), s"could not create $marker")
   }
 
+  /** Harness-only measurement target (deliberately NOT in the
+    * Verify/Bench registry — its flags-equal-the-batch-API contract is
+    * StreamingSpec's): the d08 store ingest THROUGH the streaming
+    * micro-batch wrapper ([[streaming.CorpusStream.ingestBatch]]), so
+    * the wrapper's own overhead — commit-marker probe, recovery probe,
+    * flag-partition overwrite — is measured on top of the store ingest
+    * d08 times directly. Each run uses a fresh batch id (a replayed id
+    * would hit the skip arm and time nothing) and rolls the store back
+    * so every run starts from the identical pre-batch state.
+    */
+  private val streamBatchId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val streamFlagsRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def harnessOnly: Map[String, QueryDef] = Map(
+    "cs01_stream_ingest_wrapper" -> QueryDef(
+      "cs01_stream_ingest_wrapper",
+      (s, dir) => {
+        val (name, snap) = DedupQueries.dedupStore(s, dir)
+        val flagsRoot = streamFlagsRoots.getOrElseUpdate(dir,
+          java.nio.file.Files.createTempDirectory("graft-scale-stream").toString)
+        val b = streamBatchId.incrementAndGet()
+        try {
+          streaming.CorpusStream.ingestBatch(s,
+            Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), name,
+            flagsRoot, b)
+          s.read.parquet(s"$flagsRoot/batch_id=$b")
+        } finally dedup.SignatureStore.rollback(s, name, snap)
+      },
+      None,
+      prepare = Some((s, dir) => { DedupQueries.dedupStore(s, dir); () })))
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -104,7 +134,11 @@ object ScaleCheck {
       "d02_ngram_jaccard", "d05_embedding_neardup", "d08_ingest_flags",
       "s06_embedding_store_ingest", "d12_substring_dedup", "d13_substring_cut",
       "s03_ivf_index_topk", "st02_sessionization", "m03_audio_frames",
-      "d16_bloom_decontamination"))
+      "d16_bloom_decontamination", "cs01_stream_ingest_wrapper",
+      // the remaining reference e2e pipelines: at factor 10 over sf0.1
+      // the fact side is ~6M rows ≈ sf1 — the 10×-the-reference-scale
+      // evidence for the five pipelines in one artifact
+      "e06_daily_sales_e2e", "e13_inventory_e2e", "e14_clockinout_e2e"))
     val scaleDir = s"/tmp/graft_scale/x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val watchdogSec = sys.env.get("SPARK_GRAFT_WATCHDOG_SEC").map(_.toInt).getOrElse(600)
@@ -195,7 +229,8 @@ object ScaleCheck {
       interesting.map(k => s""""$k":${m.getOrElse(k, 0L)}""").mkString("{", ",", "}")
 
     val rows = names.map { n =>
-      val q = Queries.byName.getOrElse(n, sys.error(s"unknown query $n"))
+      val q = harnessOnly.getOrElse(n,
+        Queries.byName.getOrElse(n, sys.error(s"unknown query $n")))
       val (rb, mb) = measure(q, baseDir)
       val (rs, ms) = measure(q, scaleDir)
       val ratio = for (b <- rb.toOption; s <- rs.toOption) yield s / b
