@@ -40,6 +40,22 @@ object SignatureStore {
 
   final case class Spec(k: Int = 3, bands: Int = 8, maxDf: Int = 100)
 
+  /** Per-ingest band-bucket accounting — the text twin of
+    * [[graft.similarity.EmbeddingStore.IngestAudit]]. The MinHash
+    * candidate join is UNCAPPED (the df cap bounds the verify index,
+    * not the band buckets), so a bucket of m same-signature documents
+    * costs m²/2 candidate pairs; this histogram makes that term
+    * observable in the daily run report BEFORE it dominates an ingest.
+    * Occupancies count batch∪store members of each batch-touched
+    * band_key, delivered through ingest's `onAudit` as its own action.
+    */
+  final case class IngestAudit(nBatch: Long, bands: Int,
+      occupiedBuckets: Long, maxBucket: Long) {
+    def json: String =
+      s"""{"n_batch":$nBatch,"bands":$bands,""" +
+        s""""occupied_buckets":$occupiedBuckets,"max_bucket":$maxBucket}"""
+  }
+
   def bandsTable(name: String): String = s"${name}_bands"
   def shinglesTable(name: String): String = s"${name}_shingles"
   def sizesTable(name: String): String = s"${name}_sizes"
@@ -348,11 +364,17 @@ object SignatureStore {
     *   pending present reads as committed; marker absent + pending
     *   present rolls back).
     */
+  /** @param onAudit accounting hook: called with the batch's
+    *   [[IngestAudit]] band-bucket histogram before any append —
+    *   the orchestrated/streaming cadences file it in their run
+    *   reports (same contract as the embedding store's audit).
+    */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
       threshold: Double = 0.5,
       onStage: (String, Double) => Unit = (_, _) => (),
       onFlags: DataFrame => Unit = _ => (),
-      onCommitted: () => Unit = () => ()): DataFrame =
+      onCommitted: () => Unit = () => (),
+      onAudit: IngestAudit => Unit = _ => ()): DataFrame =
     locked(spark, name) { // single-writer: a concurrent ingest fails fast
     // persist the pre-ingest snapshot for the duration: if this WRITER
     // dies (not merely throws — a live failure clears it below), a
@@ -380,6 +402,23 @@ object SignatureStore {
     // filter of this table, not a re-aggregation of the shingle pass
     val bBands = staged("batch bands")(
       Dedup.bandsFromShingles(bsh, spec.bands).localCheckpoint(true))
+    staged("bucket audit") {
+      // occupancy over the band_keys this batch touches, batch∪store
+      // members — the store side is a semi-join INTO its bucketing
+      // (only the small key set shuffles), never a full-store aggregate
+      val batchCnt = bBands
+        .select(concat_ws(":", col("band"), col("band_hash")).as("band_key"))
+        .groupBy("band_key").agg(count(lit(1)).as("n_batch"))
+      val row = batchCnt
+        .join(spark.table(bandsTable(name))
+            .join(batchCnt.select("band_key"), "band_key")
+            .groupBy("band_key").agg(count(lit(1)).as("n_store")),
+          Seq("band_key"), "left")
+        .select((col("n_batch") + coalesce(col("n_store"), lit(0L))).as("occ"))
+        .agg(count(lit(1)), max(col("occ"))).head()
+      onAudit(IngestAudit(ids.count(), spec.bands,
+        row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+    }
     val histDup = staged("store join") {
       pairsAgainstStore(spark, name, bBands, bIdx, threshold)
         .groupBy(col("new_id").as("doc_id"))

@@ -443,7 +443,8 @@ object Orchestrator {
     */
   final case class CorpusResult(store: String, batchRows: Long, dups: Long,
       survivors: Long, elapsedSec: Double, error: Option[String],
-      lshAudit: Option[graft.similarity.EmbeddingStore.IngestAudit] = None)
+      lshAudit: Option[graft.similarity.EmbeddingStore.IngestAudit] = None,
+      bandAudit: Option[graft.dedup.SignatureStore.IngestAudit] = None)
 
   /** Sink pipeline name for a corpus store's flag table. */
   def corpusPipeline(store: String): String = s"corpus_$store"
@@ -481,13 +482,17 @@ object Orchestrator {
       notifier: Option[Notifier.Config] = None,
       sink: Sink = VersionedSink()): CorpusResult = {
     import graft.dedup.SignatureStore
+    val audit = new java.util.concurrent.atomic.AtomicReference[
+      Option[SignatureStore.IngestAudit]](None)
     runStoreIngest(spark, store, "doc_id", "corpus-ingest",
       ensure = () => SignatureStore.ensureRegistered(spark, store),
       locked = SignatureStore.locked(spark, store)(_),
       takeSnapshot = () => SignatureStore.snapshot(spark, store),
-      runIngest = () => SignatureStore.ingest(spark, batch, store),
+      runIngest = () => SignatureStore.ingest(spark, batch, store,
+        onAudit = a => audit.set(Some(a))),
       doRollback = snap => SignatureStore.rollback(spark, store, snap),
-      notifier, sink)
+      notifier, sink,
+      finish = r => r.copy(bandAudit = audit.get()))
   }
 
   /** The embedding twin of [[corpusInit]]: an empty embedding store
@@ -604,5 +609,13 @@ object Orchestrator {
         s"capped: ${a.cappedBuckets} buckets / ${a.cappedRows} rows" +
         (if (a.cappedBuckets > 0) " — RECALL LOSS: hot buckets skipped; " +
           "raise bucketCap or reband/shard the store" else "")
+    } ++ result.bandAudit.toSeq.map { a =>
+      // the MinHash candidate join is uncapped, so hot buckets are a
+      // COST cliff (m²/2 candidate pairs), not a recall loss — surface
+      // the histogram so the operator sees the term growing
+      s"MinHash band buckets: ${a.occupiedBuckets} occupied, " +
+        s"max occupancy ${a.maxBucket} (uncapped candidate join — a hot " +
+        "bucket of m docs costs m²/2 candidates; exact-dedup upstream " +
+        "keeps identical-doc clusters out)"
     }
 }

@@ -117,9 +117,23 @@ object CorpusStream {
       () => SignatureStore.recover(spark, storeName),
       () => SignatureStore.dischargeCommitted(spark, storeName),
       () => SignatureStore.unlock(spark, storeName)) { (part, mark) =>
+      // band-bucket histogram persisted per batch as the embedding
+      // twin persists `_lsh_audit.json` — after the flags parquet
+      // (whose overwrite clears the partition), before the marker
+      val audit = new java.util.concurrent.atomic.AtomicReference[
+        Option[SignatureStore.IngestAudit]](None)
       SignatureStore.ingest(spark, batch, storeName, threshold,
-        onFlags = f => f.write.mode("overwrite").parquet(part),
-        onCommitted = mark)
+        onFlags = f => {
+          f.write.mode("overwrite").parquet(part)
+          audit.get().foreach { a =>
+            val p = new Path(part, "_band_audit.json")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val out = fs.create(p, true)
+            try out.write(a.json.getBytes("UTF-8")) finally out.close()
+          }
+        },
+        onCommitted = mark,
+        onAudit = a => audit.set(Some(a)))
       ()
     }
   }

@@ -264,6 +264,11 @@ class OpsSpec extends SparkSpec {
         .toDF("doc_id", "text")
       val r1 = Orchestrator.corpusIngest(spark, store, day1, None, sink)
       assert(r1.error.isEmpty && r1.batchRows == 3 && r1.dups == 1 && r1.survivors == 2, r1)
+      // the band-bucket histogram rides the result and the report line:
+      // the near-dup pair shares >=1 band, so some bucket holds 2
+      val ba = r1.bandAudit.getOrElse(fail(s"band audit missing from $r1"))
+      assert(ba.nBatch == 3 && ba.occupiedBuckets > 0 && ba.maxBucket >= 2, ba)
+      assert(Orchestrator.lshAuditLines(r1).exists(_.contains("MinHash band buckets")))
       val f1 = VersionedTable.read(spark, root)
         .select("doc_id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])]
         .collect().map { case (k, v, d) => k -> ((v, d)) }.toMap

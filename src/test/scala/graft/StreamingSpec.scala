@@ -484,6 +484,15 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 2),
         sName, flagsRoot, 8L)
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=8/_COMMITTED")))
+      // every committed text batch carries its band-bucket accounting
+      // (the embedding twin's _lsh_audit.json contract)
+      val bAudit = new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=8/_band_audit.json")
+      assert(fs.exists(bAudit), s"missing $bAudit")
+      locally {
+        val in = fs.open(bAudit)
+        val j = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        assert(j.contains("\"occupied_buckets\":") && j.contains("\"max_bucket\":"), j)
+      }
 
       // window C: the writer dies BETWEEN lock acquisition and the
       // pending write — lock on disk, no pending, no marker. recover()
