@@ -124,7 +124,8 @@ object Runner {
       return
     }
 
-    if (opts.contains("maintain-store") || opts.contains("maintain-store-emb")) {
+    if (opts.contains("maintain-store") || opts.contains("maintain-store-emb") ||
+        opts.contains("ivf-retrain")) {
       // store maintenance: compact a signature/embedding store's
       // bucketed tables back to ~`buckets` files each (a year of daily
       // ingests is ~365 files/bucket with no remediation — the store
@@ -155,6 +156,21 @@ object Runner {
             "adaptive geometry for its current size")
           compact(spark, store)
         })
+      }
+      // IVF index maintenance: --ivf-retrain <root> [--nlist N] re-runs
+      // the coarse quantizer over the index's own contents (base +
+      // appended deltas — the index IS the corpus copy), folding the
+      // deltas into one fresh versioned vectors/ dir and re-deriving
+      // centroids for the post-append distribution — the monthly slot
+      // that settles frozen-centroid drift, as reband does for the
+      // embedding store's geometry.
+      opts.get("ivf-retrain").foreach { root =>
+        val nlist = opts.getOrElse("nlist", "8").toInt
+        val v = graft.similarity.IvfIndex.retrain(spark, root, nlist = nlist,
+          iters = opts.getOrElse("iters", "2").toInt,
+          sampleMod = opts.getOrElse("sample-mod", "1").toInt)
+        println(s"[maintain-ivf] $root retrained -> v$v (deltas folded, " +
+          s"$nlist cells re-derived)")
       }
       spark.stop()
       return

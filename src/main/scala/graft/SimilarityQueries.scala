@@ -145,35 +145,10 @@ object SimilarityQueries {
       WHERE rn <= 5
     """.stripMargin.trim))
 
-  /** The persisted IVF index (build-once / probe-many,
-    * [[graft.similarity.IvfIndex]]) over IN-ENGINE TRAINED cells: the
-    * sampled-Lloyd's coarse quantizer (`IvfIndex.train` — md5-mod
-    * sample, salted-md5 seed ranking, 2 Lloyd iterations, decimal-exact
-    * means) assigns every vector a cell, the index is built into a
-    * scratch root, and the same top-5 is answered through the on-disk
-    * layout — cell-partitioned vectors, broadcast centroids,
-    * probed-cell partition pruning.
-    *
-    * The oracle replays the ENTIRE path in SQL — sample filter, seed
-    * ranking, both unrolled Lloyd iterations, the full-corpus
-    * assignment, the recomputed full-member centroids, probe ranking
-    * and scoring — with the same decimal(28,12) kernels, so the trained
-    * quantizer itself (not just the probe mechanics) is hash-verified
-    * bit-for-bit.
-    *
-    * Bench-cost note: train+build runs once per JVM (first touch or the
-    * bench's untimed `prepare`; ~1 s/Lloyd iteration + ~2 s full
-    * assignment + ~2 s build writes at sf0.1) and every timed run pays
-    * the probe alone — production is build-once/probe-many, and training
-    * cost is bounded by `sampleMod`, not corpus size. The oracle still
-    * verifies the ENTIRE path each round because the deterministic
-    * trainer produces the identical index the probe reads.
+  /** One Lloyd iteration in SQL: centroid norms -> per-(vector, cell)
+    * dots -> argmin((cns - 2 dot), cell) -> decimal-exact new means.
     */
-  val s03: QueryDef = {
-    val nlist = 8; val iters = 2; val sampleMod = 2
-    // one Lloyd iteration in SQL: centroid norms -> per-(vector, cell)
-    // dots -> argmin((cns - 2 dot), cell) -> decimal-exact new means
-    def lloydIter(k: Int): String = s"""
+  private def ivfLloydIter(k: Int): String = s"""
       n${k - 1} AS (
         SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM c${k - 1} GROUP BY 1),
       d$k AS (
@@ -187,38 +162,21 @@ object SimilarityQueries {
       c$k AS (
         SELECT a.cell, e.pos, ${O.dsum("e.val", 12)} / COUNT(e.val) AS cval
         FROM smp e JOIN a$k a ON a.vec_id = e.vec_id GROUP BY 1, 2),"""
-    // Build-once/probe-many: the trained index is constructed once per
-    // JVM per data dir (fresh delete + rebuild on first touch, so a
-    // prior process's index can never go stale) and every later call —
-    // including a bench's 2nd/3rd runs, warmed via `prepare` — pays only
-    // the 2-probe pruned top-k, which is the amortized production cost.
-    def ensureIndex(s: SparkSession, dir: String): String = {
-      import graft.similarity.IvfIndex
-      // keyed by the dir's slug (matching the root's name) so a path
-      // alias like a trailing slash can't rebuild into the same root
-      val root = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
-        s"graft_s03_ivf_index_${OncePerJvm.slug(dir)}")
-      OncePerJvm("graft_s03_ivf_index", OncePerJvm.slug(dir)) {
-        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-        IvfIndex.buildTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
-          root.toString, nlist = nlist, iters = iters, sampleMod = sampleMod)
-      }
-      root.toString
-    }
-    QueryDef(
-      "s03_ivf_index_topk",
-      (s, dir) => {
-        import graft.similarity.IvfIndex
-        val root = ensureIndex(s, dir)
-        IvfIndex.topK(s, root,
-          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, probes = 2)
-      },
-      Some(s"""
+
+  /** The FULL train -> assign -> probe replay over `corpusFrom` (a table
+    * name or aliased subquery yielding (vec_id, embedding)) — ONE
+    * template shared by s03 (trained over `embeddings`) and s07
+    * (retrained over base ∪ appended batch), so a retrained index is
+    * verified BY CONSTRUCTION against training-over-its-own-contents:
+    * hash equality means `retrain` reproduced exactly what
+    * `buildTrained` over the union corpus would, centroid drift
+    * corrected and deltas folded.
+    */
+  private def ivfTrainProbeSql(corpusFrom: String, nlist: Int, iters: Int,
+      sampleMod: Int, k: Int, probes: Int): String = s"""
         WITH ex0 AS (
           SELECT vec_id, embedding, unnest(range(1, len(embedding)+1)) AS pos
-          FROM embeddings),
+          FROM $corpusFrom),
         ex AS (
           SELECT vec_id, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS val, pos
           FROM ex0),
@@ -233,7 +191,7 @@ object SimilarityQueries {
         c0 AS (
           SELECT s.cell, e.pos, e.val AS cval
           FROM smp e JOIN seeds s ON s.vec_id = e.vec_id),
-        ${(1 to iters).map(lloydIter).mkString("\n")}
+        ${(1 to iters).map(ivfLloydIter).mkString("\n")}
         nf AS (
           SELECT cell, ${O.dsum("cval * cval", 12)} AS cns FROM c$iters GROUP BY 1),
         df AS (
@@ -264,7 +222,7 @@ object SimilarityQueries {
             FROM qc
             JOIN vn ON vn.vec_id = q_id
             JOIN centn USING (cell))
-          WHERE rn <= 2),
+          WHERE rn <= $probes),
         cand AS (
           SELECT p.q_id, a.vec_id AS n_id
           FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id != p.q_id),
@@ -281,8 +239,65 @@ object SimilarityQueries {
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
           FROM scored)
-        WHERE rn <= 5
-      """.stripMargin.trim),
+        WHERE rn <= $k
+      """.stripMargin.trim
+
+  /** The persisted IVF index (build-once / probe-many,
+    * [[graft.similarity.IvfIndex]]) over IN-ENGINE TRAINED cells: the
+    * sampled-Lloyd's coarse quantizer (`IvfIndex.train` — md5-mod
+    * sample, salted-md5 seed ranking, 2 Lloyd iterations, decimal-exact
+    * means) assigns every vector a cell, the index is built into a
+    * scratch root, and the same top-5 is answered through the on-disk
+    * layout — cell-partitioned vectors, broadcast centroids,
+    * probed-cell partition pruning.
+    *
+    * The oracle replays the ENTIRE path in SQL — sample filter, seed
+    * ranking, both unrolled Lloyd iterations, the full-corpus
+    * assignment, the recomputed full-member centroids, probe ranking
+    * and scoring — with the same decimal(28,12) kernels, so the trained
+    * quantizer itself (not just the probe mechanics) is hash-verified
+    * bit-for-bit.
+    *
+    * Bench-cost note: train+build runs once per JVM (first touch or the
+    * bench's untimed `prepare`; ~1 s/Lloyd iteration + ~2 s full
+    * assignment + ~2 s build writes at sf0.1) and every timed run pays
+    * the probe alone — production is build-once/probe-many, and training
+    * cost is bounded by `sampleMod`, not corpus size. The oracle still
+    * verifies the ENTIRE path each round because the deterministic
+    * trainer produces the identical index the probe reads.
+    */
+  val s03: QueryDef = {
+    val nlist = 8; val iters = 2; val sampleMod = 2
+    // Build-once/probe-many: the trained index is constructed once per
+    // JVM per data dir (fresh delete + rebuild on first touch, so a
+    // prior process's index can never go stale) and every later call —
+    // including a bench's 2nd/3rd runs, warmed via `prepare` — pays only
+    // the 2-probe pruned top-k, which is the amortized production cost.
+    def ensureIndex(s: SparkSession, dir: String): String = {
+      import graft.similarity.IvfIndex
+      // keyed by the dir's slug (matching the root's name) so a path
+      // alias like a trailing slash can't rebuild into the same root
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        s"graft_s03_ivf_index_${OncePerJvm.slug(dir)}")
+      OncePerJvm("graft_s03_ivf_index", OncePerJvm.slug(dir)) {
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        IvfIndex.buildTrained(Tables.embeddings(s, dir), "vec_id", "embedding",
+          root.toString, nlist = nlist, iters = iters, sampleMod = sampleMod)
+      }
+      root.toString
+    }
+    QueryDef(
+      "s03_ivf_index_topk",
+      (s, dir) => {
+        import graft.similarity.IvfIndex
+        val root = ensureIndex(s, dir)
+        IvfIndex.topK(s, root,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, probes = 2)
+      },
+      Some(ivfTrainProbeSql("embeddings", nlist, iters, sampleMod,
+        k = 5, probes = 2)),
       prepare = Some((s, dir) => { ensureIndex(s, dir); () }))
   }
 
@@ -650,5 +665,63 @@ object SimilarityQueries {
     """.stripMargin.trim),
     prepare = Some((s, dir) => { embStore(s, dir); () }))
 
-  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Retrained-index top-5 (s07): the index lifecycle's third phase,
+    * end-to-end — `buildTrained` over the base corpus, a day of
+    * frozen-centroid [[graft.similarity.IvfIndex.append]]s (the batch
+    * is a shifted id-space slice so it is SQL-expressible), then
+    * [[graft.similarity.IvfIndex.retrain]]: the quantizer re-runs over
+    * the index's OWN contents (base ∪ deltas — no source rescan),
+    * folding the deltas into one fresh `vectors/` and re-deriving
+    * centroids that describe the post-append distribution. The oracle
+    * is the IDENTICAL training template as s03 replayed over the union
+    * corpus, so a hash match proves retrain(index) ==
+    * buildTrained(index contents) bit-for-bit — drift correction
+    * verified, not asserted. Bench-cost: the lifecycle runs once per
+    * JVM (prepare); timed runs pay the 2-probe pruned top-k, which
+    * after retrain scans ONE vector dir again (the delta-proliferation
+    * debt settled).
+    */
+  val s07: QueryDef = {
+    val nlist = 8; val iters = 2; val sampleMod = 2
+    // queries stay in the BASE slice (vec_id < 8) so the oracle can draw
+    // them from the union corpus's own rows
+    def isBatch = col("vec_id") % 4 === 3 && col("vec_id") >= 8
+    def ensureIndex(s: SparkSession, dir: String): String = {
+      import graft.similarity.IvfIndex
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+        s"graft_s07_ivf_retrain_${OncePerJvm.slug(dir)}")
+      OncePerJvm("graft_s07_ivf_retrain", OncePerJvm.slug(dir)) {
+        root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+        val emb = Tables.embeddings(s, dir)
+        IvfIndex.buildTrained(emb.filter(!isBatch), "vec_id", "embedding",
+          root.toString, nlist = nlist, iters = iters, sampleMod = sampleMod)
+        IvfIndex.append(emb.filter(isBatch)
+            .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", root.toString)
+        IvfIndex.retrain(s, root.toString, nlist = nlist, iters = iters,
+          sampleMod = sampleMod)
+      }
+      root.toString
+    }
+    QueryDef(
+      "s07_ivf_retrain_topk",
+      (s, dir) => {
+        import graft.similarity.IvfIndex
+        val root = ensureIndex(s, dir)
+        IvfIndex.topK(s, root,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, probes = 2)
+      },
+      Some(ivfTrainProbeSql(
+        """(SELECT vec_id, embedding FROM embeddings
+           WHERE NOT (vec_id % 4 = 3 AND vec_id >= 8)
+           UNION ALL
+           SELECT vec_id + 3000000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id % 4 = 3 AND vec_id >= 8) corpus""",
+        nlist, iters, sampleMod, k = 5, probes = 2)),
+      prepare = Some((s, dir) => { ensureIndex(s, dir); () }))
+  }
+
+  def all: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

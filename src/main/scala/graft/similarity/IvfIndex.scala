@@ -338,6 +338,36 @@ object IvfIndex {
     finally cells.unpersist()
   }
 
+  /** Maintenance RETRAIN — the missing third phase of the index
+    * lifecycle (build → append/day → retrain/month). Frozen-centroid
+    * appends are classic IVF ingest, but they accumulate two debts the
+    * probe path slowly pays: centroid DRIFT (appended vectors belong to
+    * cells whose means no longer describe them — probe recall decays as
+    * the corpus distribution moves) and delta PROLIFERATION (every
+    * append adds one more pruned scan per probe). `retrain` settles
+    * both: it reads the newest version's full contents — base
+    * `vectors/` plus every published delta; the index IS the corpus
+    * copy, so no source rescan — re-runs the coarse quantizer over
+    * them, and publishes a fresh `v<N+1>` with one `vectors/` dir and
+    * means that describe the CURRENT corpus. Publish is [[build]]'s
+    * one-rename contract: readers of v<N> are undisturbed, a crash
+    * leaves v<N> intact and current, and `retainVersions` keeps it for
+    * pinned readers. The result is bit-identical to `buildTrained`
+    * over the same union corpus (training is deterministic and the
+    * stored vectors are byte-exact), which is exactly what the s07
+    * oracle replays in SQL.
+    */
+  def retrain(spark: SparkSession, root: String, nlist: Int, iters: Int = 2,
+      sampleMod: Int = 1, retainVersions: Int = 2): Int = {
+    val ver = newestVersion(spark, root)
+    require(ver > 0, s"no published index at $root to retrain")
+    val corpus = vectorDirs(spark, root, ver)
+      .map(d => spark.read.parquet(d).select("vec_id", "emb"))
+      .reduce(_ unionByName _)
+    buildTrained(corpus, "vec_id", "emb", root, nlist, iters, sampleMod,
+      retainVersions)
+  }
+
   /** Top-k by cosine for each query vector, probing the `probes` nearest
     * cells. The probed-cell list is control-plane-small (≤ queries ×
     * probes values), so collecting it to build the partition-pruning

@@ -185,6 +185,48 @@ class IvfIndexSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, probes = 2).count() > 0)
   }
 
+  test("retrain folds deltas and re-derives centroids: equals a fresh buildTrained over the union, old version retained") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString + "/idx"
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-rt2").toString + "/idx"
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"))
+    IvfIndex.buildTrained(base, "vec_id", "embedding", root,
+      nlist = 8, iters = 2, sampleMod = 2)
+    IvfIndex.append(batch, "vec_id", "embedding", root)
+    // retrain publishes v2 with ONE vectors dir (the delta debt settled)
+    assert(IvfIndex.retrain(spark, root, nlist = 8, iters = 2, sampleMod = 2) == 2)
+    val v2 = new java.io.File(s"$root/v00002")
+    assert(v2.isDirectory)
+    val children = v2.listFiles().map(_.getName).toSet
+    assert(children.contains("vectors") && children.contains("centroids"), children)
+    assert(!children.exists(_.startsWith("delta-")), children)
+    // the previous version survives for pinned readers (retainVersions=2)
+    assert(new java.io.File(s"$root/v00001").isDirectory)
+    // retrain == buildTrained over the union corpus, probe-for-probe:
+    // the index round-trips its own contents, so the retrained
+    // centroids are exactly the union-trained ones (the s07 oracle
+    // proves the same bit-for-bit in SQL)
+    IvfIndex.buildTrained(
+      base.select(col("vec_id"), col("embedding")).unionByName(batch),
+      "vec_id", "embedding", fresh, nlist = 8, iters = 2, sampleMod = 2)
+    def probe(r: String) = IvfIndex.topK(spark, r,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, probes = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(probe(root) == probe(fresh),
+      "retrained index diverged from a fresh build over the same corpus")
+    // drifted batch vectors now live in re-derived cells: the retrained
+    // centroid table reflects the union corpus (8 cells, full coverage)
+    val cells = spark.read.parquet(s"$root/v00002/vectors")
+      .select("vec_id").count()
+    assert(cells == base.count() + batch.count(), "retrain lost vectors")
+    // no index -> loud failure
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.retrain(spark, "/tmp/graft-no-such-index", nlist = 8))
+    assert(e.getMessage.contains("no published index"), e.getMessage)
+  }
+
   test("append reservations: orphans past the grace period are GC'd, live ones " +
       "are respected, a publish releases its own marker") {
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-gc").toString + "/idx"
