@@ -165,12 +165,14 @@ object Runner {
       // that settles frozen-centroid drift, as reband does for the
       // embedding store's geometry.
       opts.get("ivf-retrain").foreach { root =>
-        val nlist = opts.getOrElse("nlist", "8").toInt
-        val v = graft.similarity.IvfIndex.retrain(spark, root, nlist = nlist,
+        // --nlist 0 (default) keeps the index's own cell count, read
+        // from the published centroid table — the no-config sweep form
+        val v = graft.similarity.IvfIndex.retrain(spark, root,
+          nlist = opts.getOrElse("nlist", "0").toInt,
           iters = opts.getOrElse("iters", "2").toInt,
           sampleMod = opts.getOrElse("sample-mod", "1").toInt)
         println(s"[maintain-ivf] $root retrained -> v$v (deltas folded, " +
-          s"$nlist cells re-derived)")
+          "centroids re-derived)")
       }
       spark.stop()
       return
@@ -242,7 +244,8 @@ object Runner {
         // --store a,b / --store-emb c: corpus stores compacted in the
         // same monthly maintenance slot as the versioned pipeline roots
         corpusStores = opts.get("store").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
-        embeddingStores = opts.get("store-emb").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+        embeddingStores = opts.get("store-emb").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        ivfIndexRoots = opts.get("ivf-index").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
       println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
       new Scheduler.Loop(jobs).run(maxFires)
       spark.stop()

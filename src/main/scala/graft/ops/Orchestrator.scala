@@ -352,7 +352,8 @@ object Orchestrator {
       onResult: RunResult => Unit = _ => (),
       onMaintain: MaintainResult => Unit = _ => (),
       corpusStores: Seq[String] = Nil,
-      embeddingStores: Seq[String] = Nil): Seq[Scheduler.Job] =
+      embeddingStores: Seq[String] = Nil,
+      ivfIndexRoots: Seq[String] = Nil): Seq[Scheduler.Job] =
     Scheduler.referenceJobs(
       runIncremental = () =>
         runAll(spark, sfDir, Rolling(14), notifier, sink).foreach(onResult),
@@ -401,6 +402,13 @@ object Orchestrator {
           graft.similarity.EmbeddingStore.ensureRegistered(spark, s)
           graft.similarity.EmbeddingStore.reband(spark, s)
           graft.similarity.EmbeddingStore.compact(spark, s)
+        })
+        // IVF indexes take the same monthly slot: retrain settles the
+        // frozen-centroid drift and delta proliferation a month of
+        // appends accumulates (nlist self-derived from the published
+        // centroid table — no per-index training config in the sweep)
+        ivfIndexRoots.foreach(r => isolated(s"ivf index $r") {
+          graft.similarity.IvfIndex.retrain(spark, r); ()
         })
       }))
 

@@ -357,14 +357,19 @@ object IvfIndex {
     * stored vectors are byte-exact), which is exactly what the s07
     * oracle replays in SQL.
     */
-  def retrain(spark: SparkSession, root: String, nlist: Int, iters: Int = 2,
+  def retrain(spark: SparkSession, root: String, nlist: Int = 0, iters: Int = 2,
       sampleMod: Int = 1, retainVersions: Int = 2): Int = {
     val ver = newestVersion(spark, root)
     require(ver > 0, s"no published index at $root to retrain")
+    // nlist = 0 (the maintenance default): keep the index's own cell
+    // count — read from the published centroid table, so the scheduled
+    // sweep needs no per-index training config
+    val n = if (nlist > 0) nlist
+      else spark.read.parquet(centroidsPath(root, ver)).count().toInt
     val corpus = vectorDirs(spark, root, ver)
       .map(d => spark.read.parquet(d).select("vec_id", "emb"))
       .reduce(_ unionByName _)
-    buildTrained(corpus, "vec_id", "emb", root, nlist, iters, sampleMod,
+    buildTrained(corpus, "vec_id", "emb", root, n, iters, sampleMod,
       retainVersions)
   }
 

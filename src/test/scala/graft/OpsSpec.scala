@@ -606,17 +606,29 @@ class OpsSpec extends SparkSpec {
         entered.countDown(); release.await()
       })
       writer.start(); entered.await()
+      // the IVF units ride the same sweep: a healthy index after a
+      // BOGUS root (whose retrain fails fast) must still get its slot
+      import graft.similarity.IvfIndex
+      val ivfRoot = java.nio.file.Files.createTempDirectory("graft-maint-ivf")
+        .toString + "/idx"
+      IvfIndex.buildTrained(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        ivfRoot, nlist = 4, iters = 1, sampleMod = 2)
       try {
         // the locked store is FIRST in the sweep: its fail-fast must be
         // contained, and the healthy store must still get its slot
         val jobs = Orchestrator.scheduledJobs(spark, sfDir,
-          corpusStores = Seq(locked, healthy))
+          corpusStores = Seq(locked, healthy),
+          ivfIndexRoots = Seq("/tmp/graft-no-such-ivf-index", ivfRoot))
         jobs.find(_.name == "monthly_maintenance").get.run()
       } finally { release.countDown(); writer.join() }
       // compact bumps the generation marker even at the file floor — the
       // healthy store's snapshot must have moved, proving it was reached
       assert(SignatureStore.snapshot(spark, healthy) != before,
         "healthy store was starved by the locked one")
+      // the healthy index was retrained in the same sweep (nlist derived
+      // from its own centroid table), despite the bogus root before it
+      assert(new java.io.File(s"$ivfRoot/v00002").isDirectory,
+        "healthy ivf index was starved by the bogus root")
     } finally Seq(locked, healthy).foreach(SignatureStore.drop(spark, _))
   }
 
