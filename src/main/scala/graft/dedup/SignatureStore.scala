@@ -159,6 +159,13 @@ object SignatureStore {
   def unlock(spark: SparkSession, name: String): Unit =
     guard(name).unlock(spark)
 
+  /** Discharge the store's lock only when its stamped owner is
+    * verifiably dead — see [[StoreGuard.dischargeDeadLock]].
+    */
+  def dischargeDeadLock(spark: SparkSession, name: String,
+      strict: Boolean): Boolean =
+    guard(name).dischargeDeadLock(spark, strict)
+
   /** Run `f` as the store's single writer — see [[StoreGuard.locked]]. */
   def locked[A](spark: SparkSession, name: String)(f: => A): A =
     guard(name).locked(spark)(f)

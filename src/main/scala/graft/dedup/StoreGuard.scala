@@ -99,6 +99,70 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
   }
 
+  /** The stamped owner of the current lock file: `Some(owner)` when the
+    * lock exists and carries a parseable stamp, `None` when it exists
+    * unstamped (a pre-stamp writer, an external tool, or a writer dead
+    * inside the two-call create→stamp window). Throws nothing; absence
+    * of the lock itself is [[lockExists]]'s job.
+    */
+  def lockOwner(spark: SparkSession): Option[StoreGuard.LockOwner] = {
+    val p = lockPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      StoreGuard.parseOwner(s)
+    }
+  }
+
+  def lockExists(spark: SparkSession): Boolean = {
+    val p = lockPath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Discharge the store's lock ONLY when its stamped owner is
+    * verifiably dead — the safe form of a forced unlock. Every lock
+    * this engine takes is stamped with (pid, host, process-uuid, epoch)
+    * at acquisition, so deadness is checkable: same host + pid no
+    * longer alive ⇒ the writer can never release its own lock and the
+    * discharge cannot break mutual exclusion. Returns true when a dead
+    * lock was discharged, false when there is no lock at all.
+    *
+    * `strict` decides what happens when the lock CANNOT be proven dead
+    * (live pid, foreign host, or an unstamped lock): `strict = true`
+    * fails fast with an actionable message — for callers that need the
+    * lock next (the streaming plain-run arm) and must not crash-loop
+    * silently; `strict = false` leaves the lock alone and returns
+    * false — for best-effort cleanup where a live foreign writer is a
+    * legitimate state (the committed-replay arm).
+    */
+  def dischargeDeadLock(spark: SparkSession, strict: Boolean): Boolean = {
+    val p = lockPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    def refuse(why: String): Boolean =
+      if (strict) sys.error(s"store '$metaTable' is locked ($p) and the lock " +
+        s"cannot be safely discharged: $why — verify the writer is dead, then " +
+        "unlock(...) manually")
+      else false
+    lockOwner(spark) match {
+      case None =>
+        refuse("the lock carries no owner stamp (a pre-stamp writer, an external " +
+          "tool, or a writer dead inside the create→stamp window)")
+      case Some(o) if o.host != StoreGuard.localHost =>
+        refuse(s"owner pid ${o.pid} lives on host '${o.host}' — liveness is not " +
+          s"checkable from '${StoreGuard.localHost}'")
+      case Some(o) if StoreGuard.pidAlive(o.pid) =>
+        refuse(s"owner pid ${o.pid} on this host is STILL ALIVE (a live ingest, " +
+          "build, or maintenance sweep)")
+      case Some(_) =>
+        fs.delete(p, false)
+        true
+    }
+  }
+
   /** Run `f` as the store's single writer. Reentrant within a thread —
     * composite units (snapshot → ingest → publish → rollback-on-fail)
     * take the lock once and the inner mutators join it. A concurrent
@@ -114,6 +178,18 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     if (!fs.createNewFile(p))
       sys.error(s"store '$metaTable' is locked by a concurrent writer ($p); " +
         "if that writer crashed, recover(...) restores the store and releases the lock")
+    // stamp the freshly-claimed lock with this writer's identity (pid,
+    // host, process uuid, epoch) so a LATER process can tell a dead
+    // predecessor's lock from a live foreign writer's and discharge
+    // only the former ([[dischargeDeadLock]]). The claim (createNewFile,
+    // atomic) and the stamp (overwrite of the file we now own) are two
+    // calls; a writer dead in between leaves an unstamped lock, which
+    // dischargers treat as NOT verifiably dead — fail-safe, at the cost
+    // of a manual unlock for that microsecond window.
+    locally {
+      val out = fs.create(p, true)
+      try out.write(StoreGuard.ownerStamp.getBytes("UTF-8")) finally out.close()
+    }
     heldLocks.get += key
     try f finally { heldLocks.get -= key; fs.delete(p, false) }
   }
@@ -248,6 +324,42 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
 
 private[graft] object StoreGuard {
   private val GenRe = raw"_gen-(\d+)-([0-9a-f]+)".r
+
+  /** A stamped lock's owner identity, as written at acquisition. */
+  final case class LockOwner(pid: Long, host: String, proc: String, epochMs: Long)
+
+  /** One uuid per JVM — distinguishes two writer processes that happen
+    * to recycle a pid (and identifies "our own" locks in diagnostics).
+    */
+  private val processTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private[dedup] lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "localhost" }
+
+  private[dedup] def pidAlive(pid: Long): Boolean =
+    ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+
+  /** The stamp [[StoreGuard.locked]] writes into a claimed lock file. */
+  private[graft] def ownerStamp: String =
+    s"pid=${ProcessHandle.current().pid()} host=$localHost " +
+      s"proc=$processTag epoch=${System.currentTimeMillis()}"
+
+  /** Stamp text for an arbitrary pid — test seam for fabricating a dead
+    * or live foreign writer's lock without forking a real ingest.
+    */
+  private[graft] def ownerStampFor(pid: Long): String =
+    s"pid=$pid host=$localHost proc=deadbeef epoch=${System.currentTimeMillis()}"
+
+  private val OwnerRe =
+    raw"pid=(\d+) host=(\S+) proc=([0-9a-f]+) epoch=(\d+)".r
+
+  private[dedup] def parseOwner(s: String): Option[LockOwner] = s match {
+    case OwnerRe(pid, host, proc, epoch) =>
+      Some(LockOwner(pid.toLong, host, proc, epoch.toLong))
+    case _ => None
+  }
 
   /** Generation uuids written by THIS process — the "was that bump
     * ours?" test rollback uses to allow undoing its own trial ingest.

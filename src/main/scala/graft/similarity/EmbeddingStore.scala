@@ -589,4 +589,11 @@ object EmbeddingStore {
   /** Release a crashed writer's lock — see [[StoreGuard.unlock]]. */
   def unlock(spark: SparkSession, name: String): Unit =
     guard(name).unlock(spark)
+
+  /** Discharge the store's lock only when its stamped owner is
+    * verifiably dead — see [[graft.dedup.StoreGuard.dischargeDeadLock]].
+    */
+  def dischargeDeadLock(spark: SparkSession, name: String,
+      strict: Boolean): Boolean =
+    guard(name).dischargeDeadLock(spark, strict)
 }

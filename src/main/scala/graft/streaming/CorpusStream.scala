@@ -48,14 +48,20 @@ import graft.similarity.EmbeddingStore
   * exactly one arm, so a redelivered batch never appends and never
   * changes a flag.
   *
-  * Single-writer contract: the stream owns the store for its lifetime
-  * (micro-batches are sequential, so ANY recovery state — pending file
-  * or bare lock — found at batch start can only belong to this query's
-  * own crashed predecessor, which is exactly why the plain-run arm may
-  * discharge a pending-less lock). The flip side: with `autoRecover =
-  * true` a foreign writer must NOT share the store — its lock would be
-  * discharged, not failed on. If a foreign writer may share the store,
-  * pass `autoRecover = false` and arbitrate recovery manually.
+  * Single-writer contract, owner-arbitrated: the stream owns the store
+  * for its lifetime (micro-batches are sequential, so recovery state
+  * found at batch start normally belongs to this query's own crashed
+  * predecessor). Pending-less locks are NOT taken on faith, though —
+  * every lock the engine writes carries an owner stamp (pid, host,
+  * process uuid; [[graft.dedup.StoreGuard.locked]]), and the plain-run
+  * arm discharges one only when that owner is VERIFIABLY DEAD. A
+  * mis-scheduled live foreign writer (a manual ingest, the monthly
+  * maintenance compact/reband sweep) keeps its mutual exclusion: the
+  * batch fails fast with instructions instead of silently deleting the
+  * live lock and interleaving with a staged table swap. Unverifiable
+  * locks (foreign host, no stamp) also fail fast — deadness that can't
+  * be proven is treated as life. `autoRecover = false` turns off all
+  * automatic arbitration for operators who want it manual.
   */
 object CorpusStream {
 
@@ -76,30 +82,46 @@ object CorpusStream {
     */
   private def committed(spark: SparkSession, flagsRoot: String, batchId: Long,
       autoRecover: Boolean, recoverStore: () => Boolean, discharge: () => Unit,
-      forceUnlock: () => Unit)
+      dischargeDead: Boolean => Boolean)
       (run: (String, () => Unit) => Unit): Unit = {
     val part = new Path(s"$flagsRoot/batch_id=$batchId")
     val marker = new Path(part, "_COMMITTED")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
-      // fully committed: discharge only what a writer dead in the
-      // marker→pending-clear window still owes. dischargeCommitted is
-      // pending-gated, so a replay of a CLEANLY completed batch (no
-      // recovery state at all) is a strict no-op — it can never delete
-      // a lock some other writer holds
-      if (autoRecover) discharge()
+      if (autoRecover) {
+        // fully committed: discharge only what a writer dead in the
+        // marker→pending-clear window still owes. dischargeCommitted is
+        // pending-gated, so a replay of a CLEANLY completed batch (no
+        // recovery state at all) is a strict no-op — it can never delete
+        // a lock some other writer holds
+        discharge()
+        // a writer dead one step LATER — between the pending clear and
+        // its own unlock — leaves marker + no pending + a dead lock,
+        // which the pending-gated discharge above cannot touch. The
+        // marker is durable proof the mutation fully committed, so that
+        // lock is pure leftovers — but only the owner stamp can tell it
+        // from a LIVE foreign writer's (maintenance sharing the store),
+        // hence the non-strict dead-owner discharge: verifiably dead ⇒
+        // released (an AvailableNow stream whose LAST batch died there
+        // would otherwise stay locked until a manual unlock), live or
+        // unverifiable ⇒ left alone, exactly as before
+        dischargeDead(false)
+      }
       return
     }
     if (autoRecover && !recoverStore()) {
-      // recover() found no pending file and deliberately left the lock
-      // alone (in general it could belong to a live build/drop) — but
-      // under the stream's single-writer contract ANY lock found at
-      // batch start belongs to a dead predecessor that died between
-      // lock acquisition and the pending write, i.e. before anything
-      // durable happened: discharge it here, or this batch's ingest
-      // fails fast on the dead lock on every redelivery and the
-      // streaming query crash-loops until a manual unlock
-      forceUnlock()
+      // recover() found no pending file and deliberately left any lock
+      // alone (it could belong to a live build/drop). A predecessor of
+      // THIS stream that died between lock acquisition and the pending
+      // write leaves exactly that state — lock, no pending, no marker —
+      // and without a discharge this batch fails fast on the dead lock
+      // on every redelivery (crash-loop until a manual unlock). The
+      // owner stamp arbitrates: verifiably dead ⇒ discharged; still
+      // alive or unverifiable (foreign host, unstamped) ⇒ fail FAST
+      // with instructions (strict) — a live maintenance writer sharing
+      // the store keeps its mutual exclusion instead of having its lock
+      // silently deleted
+      dischargeDead(true)
     }
     run(part.toString, () => { fs.createNewFile(marker); () })
   }
@@ -116,7 +138,7 @@ object CorpusStream {
     committed(spark, flagsRoot, batchId, autoRecover,
       () => SignatureStore.recover(spark, storeName),
       () => SignatureStore.dischargeCommitted(spark, storeName),
-      () => SignatureStore.unlock(spark, storeName)) { (part, mark) =>
+      strict => SignatureStore.dischargeDeadLock(spark, storeName, strict)) { (part, mark) =>
       // band-bucket histogram persisted per batch as the embedding
       // twin persists `_lsh_audit.json` — after the flags parquet
       // (whose overwrite clears the partition), before the marker
@@ -188,7 +210,7 @@ object CorpusStream {
     committed(spark, flagsRoot, batchId, autoRecover,
       () => EmbeddingStore.recover(spark, storeName),
       () => EmbeddingStore.dischargeCommitted(spark, storeName),
-      () => EmbeddingStore.unlock(spark, storeName)) { (part, mark) =>
+      strict => EmbeddingStore.dischargeDeadLock(spark, storeName, strict)) { (part, mark) =>
       val audit = new java.util.concurrent.atomic.AtomicReference[
         Option[EmbeddingStore.IngestAudit]](None)
       EmbeddingStore.ingest(spark, batch, storeName, threshold = threshold,

@@ -498,9 +498,17 @@ class StreamingSpec extends SparkSpec {
       // pending write — lock on disk, no pending, no marker. recover()
       // has nothing to key off, so without the plain-run arm's
       // discharge the redelivered ingest would fail fast on the dead
-      // lock on every retry (crash-loop). The stream must discharge
-      // the stale lock and run the batch to a normal commit.
+      // lock on every retry (crash-loop). The stream must verify the
+      // stamped owner is DEAD, discharge the stale lock, and run the
+      // batch to a normal commit. (A real predecessor stamps its lock
+      // at acquisition; fabricate the same state with a genuinely dead
+      // pid — a reaped child process.)
       fs.createNewFile(lockP)
+      locally {
+        val out = fs.create(lockP, true)
+        try out.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally out.close()
+      }
       // proof the lock genuinely blocks a direct ingest
       val locked = intercept[RuntimeException](
         SignatureStore.ingest(spark, docs.filter(col("doc_id") % 10 === 3), sName))
@@ -521,8 +529,95 @@ class StreamingSpec extends SparkSpec {
       assert(fs.exists(lockP),
         "committed-batch replay must not break a live writer's lock")
       fs.delete(lockP, false)
+
+      // window D (marker + no pending + DEAD lock): the writer died
+      // between its pending clear and its own unlock. The marker is
+      // durable proof the mutation committed, so the replay must
+      // release the dead predecessor's lock — an AvailableNow stream
+      // whose LAST batch died there would otherwise stay locked until
+      // a manual unlock
+      locally {
+        val out = fs.create(lockP, true)
+        try out.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally out.close()
+      }
+      CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 3),
+        sName, flagsRoot, 9L)
+      assert(!fs.exists(lockP),
+        "committed-batch replay must release a verifiably-dead predecessor's lock")
     } finally {
       Seq(sName, bName).foreach(SignatureStore.drop(spark, _))
     }
+  }
+
+  test("owner-stamped locks: a LIVE foreign writer's lock fails the batch fast; maintenance and a stream interleave safely") {
+    import graft.streaming.CorpusStream
+    import graft.dedup.{SignatureStore, StoreGuard}
+    val docs = Tables.documents(spark, sfDir)
+    val sName = "graft_cstream_owner_spec"
+    SignatureStore.drop(spark, sName)
+    SignatureStore.build(spark, docs.filter(col("doc_id") % 10 === 0), sName)
+    val flagsRoot = java.nio.file.Files.createTempDirectory("graft-owner-flags").toString
+    val metaLoc = StoreGuard.tableLocation(spark, SignatureStore.metaTable(sName))
+    val lockP = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
+    val fs = lockP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = docs.filter(col("doc_id") % 10 === 1)
+    try {
+      // a lock stamped by a LIVE pid (this very JVM — what a concurrent
+      // maintenance sweep in another session looks like): the batch
+      // must FAIL with instructions, never silently delete the lock
+      locally {
+        val out = fs.create(lockP, true)
+        try out.write(StoreGuard.ownerStampFor(
+          ProcessHandle.current().pid()).getBytes("UTF-8"))
+        finally out.close()
+      }
+      val live = intercept[RuntimeException](
+        CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 0L))
+      assert(live.getMessage.contains("STILL ALIVE"), live.getMessage)
+      assert(fs.exists(lockP), "a live foreign writer's lock must survive the failed batch")
+
+      // an UNSTAMPED lock (external tool, pre-stamp writer): deadness
+      // is unverifiable, so the batch must also fail fast
+      locally {
+        val out = fs.create(lockP, true)
+        try out.write(Array.emptyByteArray) finally out.close()
+      }
+      val unk = intercept[RuntimeException](
+        CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 0L))
+      assert(unk.getMessage.contains("no owner stamp"), unk.getMessage)
+      fs.delete(lockP, false)
+
+      // live interleave: maintenance (compact) holds the real lock in
+      // another thread while a micro-batch arrives — the batch fails
+      // fast; once maintenance releases, the SAME batch commits
+      val hold = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => SignatureStore.locked(spark, sName) {
+        hold.countDown(); release.await()
+      })
+      t.start(); hold.await()
+      try {
+        val busy = intercept[RuntimeException](
+          CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L))
+        assert(busy.getMessage.contains("STILL ALIVE"), busy.getMessage)
+      } finally { release.countDown(); t.join() }
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=1/_COMMITTED")),
+        "after maintenance releases the lock the stream proceeds normally")
+    } finally SignatureStore.drop(spark, sName)
+  }
+
+  /** A genuinely dead pid: fork a no-op child and reap it. */
+  private def deadPid(): Long = {
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    val pid = p.pid()
+    // the handle may linger an instant after waitFor on some JVMs
+    var spins = 0
+    while (ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false) && spins < 100) {
+      Thread.sleep(10); spins += 1
+    }
+    pid
   }
 }
