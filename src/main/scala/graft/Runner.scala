@@ -75,11 +75,16 @@ object Runner {
     // mode) uses once its tokenizer is chosen. t14's oracle-bound query
     // re-registers the fixture itself, so the correctness gate is
     // unaffected.
+    // loadVocab arbitrates the pre-tokenization mode: a GPT-2-family
+    // byte-level merges file (Ġ markers) auto-selects byte-level
+    // encoding; a vocabulary whose merges can't fire under the fixture
+    // pre-tokenizer refuses loudly instead of silently inflating counts
     opts.get("bpe-merges").foreach { p =>
-      val merges = graft.text.Bpe.loadMerges(p,
+      val vocab = graft.text.Bpe.loadVocab(p,
         spark.sparkContext.hadoopConfiguration)
-      graft.text.BpeFunctions.register(spark, new graft.text.Bpe.Vocab(merges))
-      println(s"[bpe] registered ${merges.size} merges from $p")
+      graft.text.BpeFunctions.register(spark, vocab)
+      println(s"[bpe] registered ${vocab.merges.size} merges from $p" +
+        (if (vocab.byteLevel) " (byte-level)" else ""))
     }
 
     if (opts.contains("maintain")) {

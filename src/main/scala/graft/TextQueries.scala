@@ -640,7 +640,7 @@ object TextQueries {
         SELECT piece, unnest(string_split(trim(sym, chr(31)), chr(31)||chr(31))) AS token
         FROM fin),
       ptokc AS (SELECT piece, token, COUNT(*) AS k FROM ptok GROUP BY 1, 2),
-      ids AS (SELECT a || b AS token, 256 + MIN(rank) AS id FROM merges GROUP BY 1)
+      ids AS (SELECT a || b AS token, 1114112 + MIN(rank) AS id FROM merges GROUP BY 1)
       SELECT pc.doc_id, pt.token,
         CAST(COALESCE(CASE WHEN len(pt.token) = 1 THEN unicode(pt.token) END, i.id, -1) AS INTEGER) AS token_id,
         CAST(SUM(pc.np * pt.k) AS BIGINT) AS cnt

@@ -172,10 +172,11 @@ class TextSpec extends SparkSpec {
     // (i,n) then (in,g): 'ing' chains; 'inin' merges both non-overlapping
     assert(Bpe.encodePiece("ing").toSeq == Seq("ing"))
     assert(Bpe.encodePiece("inin").toSeq == Seq("in", "in"))
-    // token ids: code point for single chars, 256+rank for merges
+    // token ids: code point for single chars, MergedIdBase+rank for
+    // merges (past MAX_CODE_POINT, so the spaces can never collide)
     assert(Bpe.tokenId("q") == 'q'.toInt)
-    assert(Bpe.tokenId("th") == 256)
-    assert(Bpe.tokenId("the") == 257)
+    assert(Bpe.tokenId("th") == Bpe.MergedIdBase)
+    assert(Bpe.tokenId("the") == Bpe.MergedIdBase + 1)
     assert(Bpe.tokenId("zz") == -1) // not an encoder-producible token
     // unknown (non-ASCII) characters are base tokens with their code point
     assert(Bpe.tokenId("é") == 0xe9)
@@ -196,8 +197,8 @@ class TextSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
       // norm = "the value, the value!": pieces the/value/,/the/value/!
       assert((rows - ((4L, "the")) - ((4L, "👍"))) == Map(
-        (1L, "the") -> ((257, 2L)),
-        (1L, "value") -> ((261, 2L)),
+        (1L, "the") -> ((graft.text.Bpe.MergedIdBase + 1, 2L)),
+        (1L, "value") -> ((graft.text.Bpe.MergedIdBase + 5, 2L)),
         (1L, ",") -> ((','.toInt, 1L)),
         (1L, "!") -> (('!'.toInt, 1L))), rows)
       // empty/blank docs produce no token rows at all (no null tokens)
@@ -205,7 +206,7 @@ class TextSpec extends SparkSpec {
       // a supplementary character survives the whole doc pipeline as one
       // token with its real code point (not two mangled surrogates)
       assert(rows((4L, "👍")) == ((0x1f44d, 2L)), rows)
-      assert(rows((4L, "the")) == ((257, 1L)), rows)
+      assert(rows((4L, "the")) == ((graft.text.Bpe.MergedIdBase + 1, 1L)), rows)
     }
   }
 
@@ -256,7 +257,11 @@ class TextSpec extends SparkSpec {
     assert(vocab.encodePiece("hello").toSeq == Seq("hello"))
     assert(vocab.encodePiece("the").toSeq == Seq("the"))
     assert(vocab.encodePiece("value").toSeq == "value".map(_.toString))
-    assert(vocab.tokenId("hello") == 256 + 5 && vocab.tokenId("th") == 256)
+    // merged ids live past MAX_CODE_POINT so they can never collide
+    // with a single character's code point (e.g. 'Ā' = U+0100 = 256)
+    assert(vocab.tokenId("hello") == Bpe.MergedIdBase + 5 &&
+      vocab.tokenId("th") == Bpe.MergedIdBase)
+    assert(vocab.tokenId("Ā") == 0x100, "single-char ids stay code points")
     // session binding: the re-registered kernels drive the DataFrame
     // path with the loaded vocabulary (the Runner --bpe-merges flow)
     BpeFunctions.register(spark, vocab)
@@ -267,13 +272,14 @@ class TextSpec extends SparkSpec {
           .select(explode(expr("bpe_tokens(norm)")).as("tok"))
           .withColumn("id", expr("bpe_token_id(tok)"))
           .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-        assert(toks.take(2) == Seq(("hello", 261), ("the", 257)), toks)
+        assert(toks.take(2) == Seq(("hello", Bpe.MergedIdBase + 5),
+          ("the", Bpe.MergedIdBase + 1)), toks)
         assert(toks.drop(2).map(_._1) == Seq("v", "a", "l", "u", "e"), toks)
       }
     } finally BpeFunctions.register(spark) // restore the pinned default
     // the default (oracle-bound) vocabulary is untouched by the load
     assert(Bpe.encodePiece("value").toSeq == Seq("value"))
-    assert(Bpe.tokenId("the") == 257)
+    assert(Bpe.tokenId("the") == Bpe.MergedIdBase + 1)
     // refusals: a silently skipped line would shift every later rank
     val e1 = intercept[RuntimeException](
       Bpe.loadMerges(write("bad.txt", "#version: 0.2", "a b c")))
@@ -284,5 +290,115 @@ class TextSpec extends SparkSpec {
     val e3 = intercept[RuntimeException](
       Bpe.loadMerges(write("empty.txt", "#version: 0.2", "")))
     assert(e3.getMessage.contains("no merges"), e3.getMessage)
+  }
+
+  test("loadVocab arbitrates pre-tokenization mode: byte-level vocabularies auto-detect, fixture-dead merges refuse loudly") {
+    import graft.text.Bpe
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-vocab")
+    def write(name: String, content: String): String = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+      f.toString
+    }
+    // a GPT-2-style byte-level file: Ġ (U+0120) marks a leading space.
+    // Auto-detected; its merges FIRE (they'd all be dead under the
+    // fixture pre-tokenizer, which lowercases and strips spaces)
+    val bl = Bpe.loadVocab(write("bl.txt",
+      "#version: 0.2\nĠ t\nĠt h\nĠth e\nT h\nTh e\nh e"))
+    assert(bl.byteLevel, "Ġ in a symbol must select byte-level mode")
+    val toks = bl.encodeDoc(org.apache.spark.unsafe.types.UTF8String
+      .fromString("The the")).toArray[AnyRef](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(toks == Seq("The", "Ġthe"), toks)
+    // lossless by construction: unmapped token bytes reproduce the text
+    assert(new String(Bpe.unmapBytes(toks), "UTF-8") == "The the")
+    // case-sensitive merges fire in byte mode ("The"), and ids stay
+    // injective: single chars are code points, merges live past them
+    assert(bl.tokenId("The") == Bpe.MergedIdBase + 4)
+    assert(bl.tokenId("Ġ") == 0x120)
+
+    // a case-sensitive vocabulary with NO byte markers: unreachable
+    // under the fixture pre-tokenizer -> the auto load must FAIL, not
+    // silently inflate token counts
+    val deadPath = write("dead.txt", "#version: 0.2\nT h\nTh e\nt h")
+    val e = intercept[RuntimeException](Bpe.loadVocab(deadPath))
+    assert(e.getMessage.contains("can never fire"), e.getMessage)
+    // the explicit opt-in loads (and warns on stderr)
+    val forced = Bpe.loadVocab(deadPath, byteLevel = Some(false))
+    assert(!forced.byteLevel && forced.merges.size == 3)
+    // forcing byte-level is also allowed — the merges are reachable there
+    assert(Bpe.loadVocab(deadPath, byteLevel = Some(true)).byteLevel)
+  }
+
+  test("realistic-size vocabulary: thousands of trained merges round-trip merges.txt and drive the codegen kernel") {
+    import graft.text.{Bpe, BpeFunctions}
+    import graft.text.TextFunctions.normText
+    // the driver corpus has only ~31 distinct words — far too few for a
+    // realistic vocabulary. Build a deterministic Zipf-distributed
+    // lexicon from English syllables instead (shared subword structure
+    // is exactly what BPE training exploits) and train at real size:
+    // proves the merge loop, the id space, and the codegen
+    // reference-object path all hold at thousands of merges.
+    val syll = Vector("a", "ab", "al", "an", "ar", "at", "con", "de", "dis",
+      "e", "en", "er", "es", "ic", "in", "ing", "ion", "is", "it", "le",
+      "ly", "ment", "ness", "o", "on", "or", "ous", "pre", "pro", "re",
+      "st", "ter", "th", "ti", "tion", "un", "ure", "us", "ve", "qu")
+    def word(i: Int): String = {
+      // avalanche the (i, j) pair so adjacent-syllable combinations
+      // cover the full pair space — a linear mix yields only |syll|
+      // distinct adjacencies and the training exhausts at ~150 merges
+      def syl(j: Int): Int = {
+        var h = i * 1000003 + j * 7919
+        h ^= h >>> 13; h *= 0x5bd1e995; h ^= h >>> 15
+        math.abs(h) % syll.size
+      }
+      val n = 2 + i % 3
+      (0 until n).map(j => syll(syl(j))).mkString
+    }
+    val lexicon = (0 until 6000).map(word).distinct
+    val pieceCounts: Map[String, Long] = lexicon.zipWithIndex
+      .map { case (w, i) => w -> math.max(1L, 6000L / (i + 1)) }.toMap
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(pieceCounts, 3000)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size >= 2000,
+      s"expected a realistic vocabulary, got ${merges.size} merges")
+    // round-trip through the standard file format + the load-time checks
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-big")
+      .resolve("merges.txt")
+    java.nio.file.Files.write(path, Bpe.mergesFileContent(merges).getBytes("UTF-8"))
+    val vocab = Bpe.loadVocab(path.toString)
+    assert(!vocab.byteLevel && vocab.merges == merges)
+    // the most frequent word must fully merge; ids must stay injective
+    // across the whole merged space (the MergedIdBase guarantee)
+    assert(vocab.encodePiece(lexicon.head).length == 1)
+    assert(vocab.tokenId(vocab.encodePiece(lexicon.head).head) >= Bpe.MergedIdBase)
+    // the loaded vocabulary rides the plan as a codegen reference
+    // object — prove the full Spark path at real vocabulary size
+    BpeFunctions.register(spark, vocab)
+    try {
+      val docs = (0 until 2000).map { d =>
+        (d.toLong, (0 until 30).map(k => lexicon(
+          math.abs(d * 131 + k * k * 7) % lexicon.size)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t1 = System.nanoTime()
+      val stats = docs
+        .withColumn("norm", normText(col("text")))
+        .select(explode(expr("bpe_tokens(norm)")).as("tok"))
+        .withColumn("id", expr("bpe_token_id(tok)"))
+        .agg(count(lit(1)), sum(length(col("tok"))), min(col("id")),
+          count(when(col("id") >= Bpe.MergedIdBase, 1)))
+        .head()
+      val encodeSec = (System.nanoTime() - t1) / 1e9
+      val (nTok, nChar, minId) = (stats.getLong(0), stats.getLong(1), stats.getInt(2))
+      val nMerged = stats.getLong(3)
+      assert(nTok > 0 && nChar > nTok * 2,
+        s"a trained vocabulary must actually merge: $nTok tokens / $nChar chars")
+      assert(nMerged > nTok / 2,
+        s"most tokens should be merged symbols at this vocab size: $nMerged of $nTok")
+      assert(minId >= 0, "every encoder output token must have an id")
+      info(f"trained ${merges.size} merges in $trainSec%.1f s; " +
+        f"encoded 60k words -> $nTok tokens ($nMerged merged) in $encodeSec%.1f s")
+    } finally BpeFunctions.register(spark) // restore the pinned default
   }
 }
