@@ -107,6 +107,60 @@ object ScaleCheck {
     */
   private val streamBatchId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val streamFlagsRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Synthetic corpus with CONTROLLED duplicate-cluster structure,
+    * derived from the documents table's ids so the base and scaled dirs
+    * scale it together. Two regimes, disjoint token namespaces, both
+    * within a key-shifted copy (`pos` = id within copy, `c` = copy):
+    *  - most docs form 5-member near-clique clusters (group = pos/5, 16
+    *    shared group-salted tokens + 3 member-unique ones → pairwise
+    *    J = 14/20 = 0.7) — the realistic duplicate shape;
+    *  - every 20th doc joins a sliding-window CHAIN (member k = pos/20
+    *    holds tokens 2k..2k+15, so adjacent members share 12 of their
+    *    14 shingles → J = 0.75, k±2 → J ≈ 0.56, k±3 → 0.4 < threshold)
+    *    — edges reach at most 2 hops, so the component's diameter is
+    *    ~half the chain length (~150 at sf0.1 base): the adversarial
+    *    topology for iterative components, where rounds would track
+    *    diameter without [[dedup.Dedup.clusters]]'s pointer jumping.
+    */
+  private def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id")
+      .withColumn("c", expr(s"doc_id div ${Stride}L"))
+      .withColumn("pos", expr(s"doc_id % ${Stride}L"))
+      .withColumn("text", expr(
+        """CASE WHEN pos % 20 = 0 THEN
+             concat_ws(' ', transform(sequence(2*(pos div 20), 2*(pos div 20) + 15),
+               j -> concat('c', c, 'q', j)))
+           ELSE
+             concat(concat_ws(' ', transform(sequence(0, 15),
+               j -> concat('g', c, 'x', pos div 5, 'w', j))),
+               ' u', pos, 'a u', pos, 'b u', pos, 'c')
+           END"""))
+      .select(col("doc_id"), col("text"))
+
+  private val ivfRoots = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val appendEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Base IVF index per (dir, tag) — s05/s07's geometry (nlist 8,
+    * 2 Lloyd iters, half-sampled training) over 4/5 of the embeddings,
+    * optionally with the remaining 1/5 appended as a frozen-centroid
+    * delta. Built once per dir in prepare; the timed bodies mutate on
+    * top of it.
+    */
+  private def ensureIvfBase(s: SparkSession, dir: String, tag: String,
+      withDelta: Boolean): String =
+    ivfRoots.getOrElseUpdate((dir, tag), {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-scale-$tag")
+        .toString + "/idx"
+      val emb = Tables.embeddings(s, dir)
+      similarity.IvfIndex.buildTrained(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", root, nlist = 8, iters = 2, sampleMod = 2)
+      if (withDelta)
+        similarity.IvfIndex.append(emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", root)
+      root
+    })
+
   private def harnessOnly: Map[String, QueryDef] = Map(
     "cs01_stream_ingest_wrapper" -> QueryDef(
       "cs01_stream_ingest_wrapper",
@@ -123,7 +177,54 @@ object ScaleCheck {
         } finally dedup.SignatureStore.rollback(s, name, snap)
       },
       None,
-      prepare = Some((s, dir) => { DedupQueries.dedupStore(s, dir); () })))
+      prepare = Some((s, dir) => { DedupQueries.dedupStore(s, dir); () })),
+
+    // d06's engine (LSH pairs -> components) over the controlled
+    // cluster-structure corpus: measures per-round shuffle ~ |edges| and
+    // the pointer-jumped round count on BOTH the clique-heavy realistic
+    // case and the long-chain adversarial one in a single run
+    "d06x_cluster_scale" -> QueryDef(
+      "d06x_cluster_scale",
+      (s, dir) => {
+        val docs = clusteredCorpus(s, dir)
+        dedup.Dedup.clusters(dedup.Dedup.minhashLshPairs(docs), docs)
+      },
+      None),
+
+    // s05's mutation cost: a frozen-centroid append of a FRESH 1/5-size
+    // batch per run (shifted ids — the index is append-only, and a
+    // second identical batch would measure nothing new); O(batch)
+    // against the published centroids by design
+    "s05x_ivf_append" -> QueryDef(
+      "s05x_ivf_append",
+      (s, dir) => {
+        val root = ensureIvfBase(s, dir, "s05x", withDelta = false)
+        val shift = 3000000L * appendEpoch.incrementAndGet()
+        val n = similarity.IvfIndex.append(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + shift).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", root)
+        s.range(1).select(lit(n).as("appended"))
+      },
+      None,
+      prepare = Some((s, dir) => { ensureIvfBase(s, dir, "s05x", withDelta = false); () })),
+
+    // s07's maintenance cost: retrain reads the index's full contents
+    // (base + delta) and re-runs the quantizer — the ONE lifecycle op
+    // whose cost tracks the index, not the batch. Run 1 retrains
+    // base+delta; run 2 retrains the already-folded index (same vector
+    // count, minus the delta read) — min-of-2 still times the full
+    // training sample + reassignment + publish
+    "s07x_ivf_retrain" -> QueryDef(
+      "s07x_ivf_retrain",
+      (s, dir) => {
+        val root = ensureIvfBase(s, dir, "s07x", withDelta = true)
+        val n = similarity.IvfIndex.retrain(s, root, nlist = 8, iters = 2,
+          sampleMod = 2)
+        s.range(1).select(lit(n).as("cells"))
+      },
+      None,
+      prepare = Some((s, dir) => { ensureIvfBase(s, dir, "s07x", withDelta = true); () })))
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -135,6 +236,7 @@ object ScaleCheck {
       "s06_embedding_store_ingest", "d12_substring_dedup", "d13_substring_cut",
       "s03_ivf_index_topk", "st02_sessionization", "m03_audio_frames",
       "d16_bloom_decontamination", "cs01_stream_ingest_wrapper",
+      "d06x_cluster_scale", "s05x_ivf_append", "s07x_ivf_retrain",
       // the remaining reference e2e pipelines: at factor 10 over sf0.1
       // the fact side is ~6M rows ≈ sf1 — the 10×-the-reference-scale
       // evidence for the five pipelines in one artifact

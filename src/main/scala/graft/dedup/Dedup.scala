@@ -132,22 +132,31 @@ object Dedup {
     * map-side partial) — a single narrow shuffle on doc_id.
     */
   /** [[minhashBands]] over pre-exploded shingle rows. */
-  def bandsFromShingles(sh: DataFrame, bands: Int = 8): DataFrame = {
+  def bandsFromShingles(sh: DataFrame, bands: Int = 8, rows: Int = 2): DataFrame = {
     val hashed = sh
       .withColumn("__h",
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP)
-    val minCols = (0 until 2 * bands).map(i => min(perm(col("__h"), i)).as(s"__m$i"))
+    val minCols = (0 until rows * bands).map(i => min(perm(col("__h"), i)).as(s"__m$i"))
     hashed.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
-          concat_ws("_",
-            col(s"__m${2 * b}").cast("string"),
-            col(s"__m${2 * b + 1}").cast("string"))): _*)).as(Seq("band", "band_hash")))
+          concat_ws("_", (0 until rows).map(r =>
+            col(s"__m${rows * b + r}").cast("string")): _*)): _*)).as(Seq("band", "band_hash")))
   }
 
-  def minhashBands(docs: DataFrame, k: Int = 3, bands: Int = 8): DataFrame =
-    bandsFromShingles(shingles(docs, k), bands)
+  /** @param rows minhash rows per band — the band-bucket SELECTIVITY
+    *   knob: a band collides with probability J^rows, so raising rows
+    *   from the default 2 (the oracle-pinned geometry every d-query
+    *   replays) to 3+ is the remediation when a boilerplate-heavy
+    *   corpus grows hot band buckets (docs with moderate mutual J
+    *   colliding en masse drive the uncapped candidate join's m²/2
+    *   term). Recall at a given J drops with rows (1-(1-J^r)^b), so a
+    *   retune pairs more rows with more bands — see
+    *   [[SignatureStore.retune]].
+    */
+  def minhashBands(docs: DataFrame, k: Int = 3, bands: Int = 8, rows: Int = 2): DataFrame =
+    bandsFromShingles(shingles(docs, k), bands, rows)
 
   /** LSH candidates (pairs sharing any band bucket) re-verified with
     * exact Jaccard over the inverted index. The verify join is keyed on
@@ -212,25 +221,32 @@ object Dedup {
     *
     * Scale shape: each round is one shuffle-join of the symmetric edge
     * list against the label table keyed on vertex id plus a min
-    * aggregate — cost tracks |edges|, never a pair blowup. Rounds needed
-    * = component diameter; duplicate clusters are near-cliques (diameter
-    * 1–2: every copy collides with the same source bucket), so this
-    * converges in 2–3 rounds on real corpora. Each round's labels are
-    * eagerly `localCheckpoint`ed: the label table feeds TWICE into the
-    * next round (the neighbor-min aggregate and the join back), so a
-    * mere `persist()` still DOUBLES the logical plan every round —
-    * analysis and cache lookup walk a 2^rounds tree long before any
-    * data moves (a persist pin is not a lineage truncation; same family
-    * as the round-5 lesson pinned in `IvfIndex.train`). The checkpoint
-    * cuts each round's plan to a constant-size `LogicalRDD` while the
-    * labels stay distributed in executor storage; superseded rounds are
-    * freed by the context cleaner when their RDDs go out of scope. On a
-    * multi-executor cluster a reliable `checkpoint()` (HDFS dir) trades
-    * executor-loss tolerance for the same truncation. A `maxRounds` cap
-    * guards pathological chain topologies (a >cap-diameter chain of
-    * pairwise near-dups would need alternating star contraction, which
-    * no near-dup pair generator produces in practice); convergence is
-    * `require`d, never silently partial.
+    * aggregate, followed by a POINTER-JUMP self-join of the label table
+    * (`lbl := min(lbl, lbl(lbl))`) — cost per round tracks
+    * |edges| + |vertices|, never a pair blowup. The jump is what makes
+    * rounds O(log diameter) instead of O(diameter): a label reaching a
+    * node k hops from the component min doubles its reach every round
+    * (the classic pointer-doubling/Shiloach–Vishkin trick), so a
+    * 1000-long chain of pairwise near-dups — the adversarial topology
+    * for plain min-propagation, which would need 1000 full-shuffle
+    * rounds and blow the round cap — settles in ~10. Duplicate clusters
+    * on real corpora are near-cliques (diameter 1–2, 2–3 rounds), so
+    * the jump costs one extra |V| hash join on the common case and
+    * removes the cliff on the rare one; `maxRounds = 50` now covers any
+    * diameter up to 2^50. Each round's labels are eagerly
+    * `localCheckpoint`ed: the label table feeds multiple consumers in
+    * the next round (the neighbor-min aggregate, the join back, BOTH
+    * sides of the jump self-join), so a mere `persist()` would DOUBLE
+    * the logical plan every round — analysis and cache lookup walk a
+    * 2^rounds tree long before any data moves (a persist pin is not a
+    * lineage truncation; same family as the round-5 lesson pinned in
+    * `IvfIndex.train`). The checkpoint cuts each round's plan to a
+    * constant-size `LogicalRDD` while the labels stay distributed in
+    * executor storage; superseded rounds are freed by the context
+    * cleaner when their RDDs go out of scope. On a multi-executor
+    * cluster a reliable `checkpoint()` (HDFS dir) trades executor-loss
+    * tolerance for the same truncation. Convergence is `require`d,
+    * never silently partial.
     */
   def clusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
       aCol: String = "doc_a", bCol: String = "doc_b",
@@ -249,9 +265,19 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // hop: pull the min label across one edge
+      val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true) // feeds both sides of the jump join below
+      // jump: lbl := min(lbl, lbl(lbl)) — pointer doubling. A label is
+      // always the id of a node in the same component (it arrived over
+      // edges), so chasing it one level stays within the component and
+      // doubles how far the component min has propagated per round
+      val next = hop
+        .join(hop.select(col("id").as("lbl"), col("lbl").as("jump")), Seq("lbl"), "left")
+        .select(col("id"), col("prev"),
+          least(col("lbl"), coalesce(col("jump"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       // labels only decrease, so any strict drop means another round
       converged = next.filter(col("lbl") < col("prev")).isEmpty

@@ -38,7 +38,22 @@ import org.apache.spark.sql.functions._
   */
 object SignatureStore {
 
-  final case class Spec(k: Int = 3, bands: Int = 8, maxDf: Int = 100)
+  /** @param rows minhash rows per band ([[Dedup.minhashBands]]) — the
+    *   band-selectivity knob [[retune]] raises when the band audit
+    *   shows hot buckets. Pinned in the meta table like every other
+    *   build parameter so batch-side banding can never diverge from
+    *   the stored history's (stores built before the knob existed read
+    *   back as the then-hardcoded 2).
+    */
+  final case class Spec(k: Int = 3, bands: Int = 8, maxDf: Int = 100,
+      rows: Int = 2)
+
+  /** Read the pinned build parameters back from the meta row (absent
+    * `rows` column = a pre-knob store = 2).
+    */
+  private def specOf(meta: org.apache.spark.sql.Row): Spec =
+    Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"),
+      if (meta.schema.fieldNames.contains("rows")) meta.getAs[Int]("rows") else 2)
 
   /** Per-ingest band-bucket accounting — the text twin of
     * [[graft.similarity.EmbeddingStore.IngestAudit]]. The MinHash
@@ -145,7 +160,7 @@ object SignatureStore {
         spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet $cluster LOCATION '$p'")
       }
     register(metaTable(name), None,
-      "`k` INT, `bands` INT, `max_df` INT, `buckets` INT", 0)
+      "`k` INT, `bands` INT, `max_df` INT, `buckets` INT, `rows` INT", 0)
     lazy val buckets = spark.table(metaTable(name)).head().getAs[Int]("buckets")
     register(bandsTable(name), Some("band_key"),
       "`doc_id` BIGINT, `band` INT, `band_hash` STRING, `band_key` STRING", buckets)
@@ -191,6 +206,7 @@ object SignatureStore {
     // delete the tables out from under its appends (the lock file is a
     // SIBLING of the table dirs, so the reset below cannot remove it)
     import spark.implicits._
+    require(spec.rows >= 1 && spec.bands >= 1, s"invalid banding geometry $spec")
     allTables(name).foreach(reset(spark, _))
     // repartition onto the bucket key before every bucketed write:
     // Spark's bucketed writer emits one file per (task, bucket-present-
@@ -202,7 +218,7 @@ object SignatureStore {
     // files per write, at the cost of one extra |input| shuffle in the
     // (monthly) build / (per-batch) append — the right trade at any
     // scale.
-    Dedup.minhashBands(history, spec.k, spec.bands)
+    Dedup.minhashBands(history, spec.k, spec.bands, spec.rows)
       .withColumn("band_key", concat_ws(":", col("band"), col("band_hash")))
       .repartition(buckets, col("band_key"))
       .write.mode("overwrite").format("parquet")
@@ -220,11 +236,35 @@ object SignatureStore {
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .saveAsTable(sizesTable(name))
     } finally index.unpersist()
-    Seq((spec.k, spec.bands, spec.maxDf, buckets))
-      .toDF("k", "bands", "max_df", "buckets")
+    Seq((spec.k, spec.bands, spec.maxDf, buckets, spec.rows))
+      .toDF("k", "bands", "max_df", "buckets", "rows")
       .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
     guard(name).bumpGen(spark) // generation 1 — this build is "ours"
   }
+
+  /** Hot-bucket REMEDIATION — the operator response when the band
+    * audit ([[IngestAudit]], surfaced per-ingest in the run report and
+    * the streaming flag log) shows `max_bucket` growing: rebuild the
+    * store from the source corpus with a TIGHTENED banding geometry.
+    * The uncapped candidate join costs a hot bucket of m docs m²/2
+    * pairs, and capping it (the embedding twin's remedy) would be
+    * recall loss here — the MinHash remedy is selectivity: a band
+    * collides with probability J^rows, so raising `rows` collapses the
+    * moderate-J boilerplate mass that drives hot buckets (e.g. J=0.4:
+    * rows 2 → 16% per band, rows 3 → 6.4%) while a paired `bands`
+    * raise keeps recall at the dedup threshold (b=16/r=3 keeps ≥98% at
+    * J≥0.7 where b=8/r=2 had ≥99.8%; at J=0.5, 88% vs 98% — the
+    * operator trades tail recall for a bounded candidate join and the
+    * audit verifies the trade landed). Geometry is re-pinned in the
+    * meta table, so every later batch bands identically; this is a
+    * full rebuild (the store's signatures ARE the geometry), riding
+    * the same monthly slot as the corpus-wide df-cap refresh — O(2×
+    * corpus), the floor for any re-signing maintenance. The default
+    * geometry — and with it every d-query oracle — is untouched.
+    */
+  def retune(spark: SparkSession, history: DataFrame, name: String,
+      spec: Spec, buckets: Int = 16): Unit =
+    build(spark, history, name, spec, buckets)
 
   /** Maintenance compaction (`Runner --maintain-store`): rewrite the
     * store's bucketed tables down to ~`buckets` files each WITHOUT
@@ -395,7 +435,7 @@ object SignatureStore {
       r
     }
     val meta = spark.table(metaTable(name)).head()
-    val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
+    val spec = specOf(meta)
     val buckets = meta.getAs[Int]("buckets")
     // ids come from the batch itself, not the shingle pass — docs with
     // fewer than k tokens have no shingles but still need a flag row
@@ -408,7 +448,7 @@ object SignatureStore {
     // store join, within-survivor LSH, keeper append — is a semi-join
     // filter of this table, not a re-aggregation of the shingle pass
     val bBands = staged("batch bands")(
-      Dedup.bandsFromShingles(bsh, spec.bands).localCheckpoint(true))
+      Dedup.bandsFromShingles(bsh, spec.bands, spec.rows).localCheckpoint(true))
     staged("bucket audit") {
       // occupancy over the band_keys this batch touches, batch∪store
       // members — the store side is a semi-join INTO its bucketing
@@ -480,15 +520,14 @@ object SignatureStore {
     */
   def incrementalPairs(spark: SparkSession, batch: DataFrame, name: String,
       threshold: Double = 0.5): DataFrame = {
-    val meta = spark.table(metaTable(name)).head()
-    val spec = Spec(meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("max_df"))
+    val spec = specOf(spark.table(metaTable(name)).head())
     // one text scan: signatures and index are both aggregates over the
     // checkpointed shingle pass. Eager localCheckpoint, not persist — a
     // persist would stay registered in the cache manager until someone
     // unpersists, a leak in a daily loop; the checkpointed RDDs are
     // freed by the context cleaner when the plan goes out of scope.
     val bsh = Dedup.shingles(batch, spec.k).localCheckpoint(true)
-    pairsAgainstStore(spark, name, Dedup.bandsFromShingles(bsh, spec.bands),
+    pairsAgainstStore(spark, name, Dedup.bandsFromShingles(bsh, spec.bands, spec.rows),
       Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true), threshold)
   }
 

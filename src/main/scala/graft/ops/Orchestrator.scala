@@ -452,7 +452,13 @@ object Orchestrator {
   final case class CorpusResult(store: String, batchRows: Long, dups: Long,
       survivors: Long, elapsedSec: Double, error: Option[String],
       lshAudit: Option[graft.similarity.EmbeddingStore.IngestAudit] = None,
-      bandAudit: Option[graft.dedup.SignatureStore.IngestAudit] = None)
+      bandAudit: Option[graft.dedup.SignatureStore.IngestAudit] = None,
+      /** The escalation verdict, recorded ONCE per ingest by
+        * [[recordAuditAlert]] (the streak counter is stateful, so the
+        * decision must not be re-derived by every formatter that
+        * renders the result).
+        */
+      auditAlert: Option[String] = None)
 
   /** Sink pipeline name for a corpus store's flag table. */
   def corpusPipeline(store: String): String = s"corpus_$store"
@@ -561,7 +567,7 @@ object Orchestrator {
       sink: Sink,
       finish: CorpusResult => CorpusResult = identity): CorpusResult = {
     val t0 = System.nanoTime()
-    val result = finish(
+    val result = recordAuditAlert(finish(
       try {
         // a missing/never-built store must surface as a formatted
         // CorpusResult error (and fire the notifier), not an uncaught
@@ -596,7 +602,7 @@ object Orchestrator {
             .getOrElse("")
           CorpusResult(store, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
             Some(s"${e.getClass.getSimpleName}: ${e.getMessage}$rbNote"))
-      })
+      }))
     notifier.foreach { cfg =>
       val (subject, body) = Notifier.format(Notifier.RunSummary(
         s"$jobLabel $store", result.survivors, result.dups,
@@ -625,5 +631,58 @@ object Orchestrator {
         s"max occupancy ${a.maxBucket} (uncapped candidate join — a hot " +
         "bucket of m docs costs m²/2 candidates; exact-dedup upstream " +
         "keeps identical-doc clusters out)"
+    } ++ result.auditAlert
+
+  /** Per-ingest breach thresholds that turn the audit ACCOUNTING into
+    * operator POLICY: an embedding ingest breaches when any rows were
+    * capped (measured recall loss) or when the fullest bucket passes
+    * `embCapPct`% of the cap (the loss is one growth step away); a text
+    * ingest breaches when the fullest band bucket passes
+    * `textMaxBucket` members (the uncapped candidate join's m²/2 term).
+    */
+  final case class AuditPolicy(embCapPct: Int = 80, textMaxBucket: Long = 1000,
+      consecutive: Int = 3)
+
+  /** Consecutive-breach streaks per store (process-lifetime — the
+    * scheduler daemon owns the cadence, so "K ingests in a row" is its
+    * to count). One noisy batch is data; a streak is a condition.
+    */
+  private val breachStreaks =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private[graft] def resetAuditStreak(store: String): Unit =
+    { breachStreaks.remove(store); () }
+
+  /** Record this ingest against the store's breach streak and stamp the
+    * escalation verdict into the result — called exactly ONCE per
+    * ingest (by [[runStoreIngest]]); formatters must read
+    * `result.auditAlert`, never re-derive it. The alert fires only
+    * after [[AuditPolicy.consecutive]] breaching ingests IN A ROW for
+    * the same store (a clean ingest resets the streak), and names the
+    * remediation the audit points at —
+    * [[graft.similarity.EmbeddingStore.reband]] for the embedding
+    * store, [[graft.dedup.SignatureStore.retune]] (more rows per band)
+    * for the text store. It rides [[lshAuditLines]] and with them the
+    * notification mail and the streaming flag log, so the daily report
+    * escalates from accounting to action.
+    */
+  def recordAuditAlert(result: CorpusResult,
+      policy: AuditPolicy = AuditPolicy()): CorpusResult = {
+    val embBreach = result.lshAudit.exists(a => a.cappedRows > 0 ||
+      (a.bucketCap > 0 && a.maxBucket * 100 >= policy.embCapPct * a.bucketCap))
+    val textBreach = result.bandAudit.exists(_.maxBucket >= policy.textMaxBucket)
+    if (!embBreach && !textBreach) { breachStreaks.remove(result.store); result }
+    else {
+      val n = breachStreaks.updateWith(result.store)(c => Some(c.getOrElse(0) + 1)).get
+      if (n < policy.consecutive) result
+      else result.copy(auditAlert =
+        Some(s"AUDIT ALERT: store '${result.store}' breached its bucket " +
+          s"threshold on $n consecutive ingests — " +
+          (if (embBreach) "schedule EmbeddingStore.reband (or raise bucketCap) " +
+            "before cap drops become sustained recall loss"
+           else "schedule SignatureStore.retune with a tightened banding geometry " +
+            "(more rows per band) before the candidate join's m²/2 term " +
+            "dominates the daily ingest")))
     }
+  }
 }

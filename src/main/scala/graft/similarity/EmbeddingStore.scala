@@ -64,11 +64,12 @@ object EmbeddingStore {
     */
   final case class IngestAudit(nBatch: Long, planes: Int, bandBits: Int,
       occupiedBuckets: Long, cappedBuckets: Long, cappedRows: Long,
-      maxBucket: Long) {
+      maxBucket: Long, bucketCap: Long = 0L) {
     def json: String =
       s"""{"n_batch":$nBatch,"planes":$planes,"band_bits":$bandBits,""" +
         s""""occupied_buckets":$occupiedBuckets,"capped_buckets":$cappedBuckets,""" +
-        s""""capped_rows":$cappedRows,"max_bucket":$maxBucket}"""
+        s""""capped_rows":$cappedRows,"max_bucket":$maxBucket,""" +
+        s""""bucket_cap":$bucketCap}"""
   }
 
   def bandsTable(name: String): String = s"${name}_ebands"
@@ -500,7 +501,8 @@ object EmbeddingStore {
         auditRow.getLong(0),
         if (auditRow.isNullAt(1)) 0L else auditRow.getLong(1),
         if (auditRow.isNullAt(2)) 0L else auditRow.getLong(2),
-        if (auditRow.isNullAt(3)) 0L else auditRow.getLong(3)))
+        if (auditRow.isNullAt(3)) 0L else auditRow.getLong(3),
+        bucketCap.toLong))
       // candidate generation skips hot buckets (accounted above); the
       // hot-key set is tiny (only over-cap keys) and broadcast
       val hotKeys = occ.filter(col("occ") > bucketCap).select("band_key")

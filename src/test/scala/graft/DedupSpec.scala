@@ -260,6 +260,20 @@ class DedupSpec extends SparkSpec {
     assert(out(40L) == ((40L, true)))
   }
 
+  test("clusters: a 200-node chain (diameter 199) converges inside the round cap via pointer jumping") {
+    // plain min-label propagation needs diameter rounds (199 > the
+    // 50-round cap -> require failure); the pointer jump doubles label
+    // reach per round, so this settles in ~log2(199) ~ 8 rounds. The
+    // adversarial topology for any iterative components algorithm.
+    val pairs = (1000L until 1199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (1000L to 1199L).toDF("doc_id")
+    val out = Dedup.clusters(pairs, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 200)
+    (1000L to 1199L).foreach(i =>
+      assert(out(i) == ((1000L, i == 1000L)), s"node $i"))
+  }
+
   test("clusters are consistent with the pair set on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val pairs = Dedup.minhashLshPairs(docs)
@@ -276,6 +290,50 @@ class DedupSpec extends SparkSpec {
       assert(members.keys.min == label)
       assert(members.collect { case (id, (_, true)) => id }.toSeq == Seq(label))
     }
+  }
+
+  test("retune collapses boilerplate hot band buckets; flag decisions unchanged on the fixture (band-audit remediation)") {
+    import graft.dedup.SignatureStore
+    // 40 history docs sharing a 36-token boilerplate block + 20 unique
+    // tokens each: pairwise J ≈ 0.46 (below the 0.5 dedup threshold, so
+    // NONE are duplicates) but ~63% of each doc's shingles are shared,
+    // so the per-band min-hashes land in the boilerplate mass and pile
+    // the corpus into a few hot band buckets — the cost cliff the band
+    // audit watches. The remedy is selectivity, not capping: more rows
+    // per band (collision ~ p^rows) collapses the moderate-J mass while
+    // a true dup (J = 1) still collides in every band.
+    val boiler = (0 until 36).map(i => s"bp$i").mkString(" ")
+    def text(i: Long): String =
+      boiler + " " + (0 until 20).map(j => s"u${i}x$j").mkString(" ")
+    val hist = (0L until 40L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val batch = Seq((100L, text(0L)), (101L, text(101L)), (102L, text(102L)))
+      .toDF("doc_id", "text")
+    def runWith(name: String, spec: SignatureStore.Spec)
+        : (Long, Map[Long, (Boolean, Option[Long])]) = {
+      SignatureStore.drop(spark, name)
+      SignatureStore.retune(spark, hist, name, spec)
+      val audit = new java.util.concurrent.atomic.AtomicReference[
+        Option[SignatureStore.IngestAudit]](None)
+      val flags = SignatureStore.ingest(spark, batch, name,
+          onAudit = a => audit.set(Some(a)))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      SignatureStore.drop(spark, name)
+      (audit.get().get.maxBucket, flags)
+    }
+    val (maxDefault, flagsDefault) = runWith("graft_retune_a", SignatureStore.Spec())
+    val (maxTight, flagsTight) =
+      runWith("graft_retune_b", SignatureStore.Spec(bands = 16, rows = 4))
+    // semantics first: the verbatim dup is caught, boilerplate-only
+    // docs are NOT dups — under BOTH geometries, identically
+    assert(flagsDefault(100L) == ((true, Some(0L))), flagsDefault)
+    assert(flagsDefault(101L)._1 == false && flagsDefault(102L)._1 == false, flagsDefault)
+    assert(flagsTight == flagsDefault,
+      s"retune changed flag decisions: $flagsDefault -> $flagsTight")
+    // the remediation: tightened geometry strictly reduces the hottest
+    // band bucket on the boilerplate corpus
+    assert(maxTight < maxDefault,
+      s"tightened geometry must reduce hot-bucket occupancy: $maxDefault -> $maxTight")
   }
 
   test("signature store: incremental pairs == direct cross-corpus recipe; store never shuffles") {
