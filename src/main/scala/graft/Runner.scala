@@ -130,7 +130,7 @@ object Runner {
     }
 
     if (opts.contains("maintain-store") || opts.contains("maintain-store-emb") ||
-        opts.contains("ivf-retrain")) {
+        opts.contains("ivf-retrain") || opts.contains("corpus-retune")) {
       // store maintenance: compact a signature/embedding store's
       // bucketed tables back to ~`buckets` files each (a year of daily
       // ingests is ~365 files/bucket with no remediation — the store
@@ -161,6 +161,25 @@ object Runner {
             "adaptive geometry for its current size")
           compact(spark, store)
         })
+      }
+      // hot-bucket remediation: --corpus-retune <store> [--bands N
+      // --rows R --max-df D --k K] rebuilds the signature store from
+      // the source corpus with a TIGHTENED banding geometry — the
+      // operator response when the per-ingest band audit (and its
+      // AUDIT ALERT escalation) shows the uncapped candidate join's
+      // hot buckets growing. A full rebuild by design: the store's
+      // signatures ARE the geometry, so this rides the same monthly
+      // slot as the corpus-wide df-cap refresh.
+      opts.get("corpus-retune").foreach { store =>
+        val spec = graft.dedup.SignatureStore.Spec(
+          k = opts.getOrElse("k", "3").toInt,
+          bands = opts.getOrElse("bands", "16").toInt,
+          maxDf = opts.getOrElse("max-df", "100").toInt,
+          rows = opts.getOrElse("rows", "3").toInt)
+        graft.dedup.SignatureStore.retune(spark,
+          Tables.documents(spark, sfDir), store, spec)
+        println(s"[maintain-store] $store retuned to $spec (full rebuild " +
+          "from the source corpus; geometry re-pinned in meta)")
       }
       // IVF index maintenance: --ivf-retrain <root> [--nlist N] re-runs
       // the coarse quantizer over the index's own contents (base +
