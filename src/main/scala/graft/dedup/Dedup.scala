@@ -222,7 +222,10 @@ object Dedup {
     * Scale shape: each round is one shuffle-join of the symmetric edge
     * list against the label table keyed on vertex id plus a min
     * aggregate, followed by a POINTER-JUMP self-join of the label table
-    * (`lbl := min(lbl, lbl(lbl))`) — cost per round tracks
+    * (`lbl := min(lbl, lbl(lbl))`; skipped when the hop converged —
+    * a hop fixpoint is the component min, so the jump is provably a
+    * no-op there, and a 2–3-round near-clique corpus pays for at most
+    * one jump) — cost per round tracks
     * |edges| + |vertices|, never a pair blowup. The jump is what makes
     * rounds O(log diameter) instead of O(diameter): a label reaching a
     * node k hops from the component min doubles its reach every round
@@ -269,19 +272,30 @@ object Dedup {
       val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // feeds both sides of the jump join below
-      // jump: lbl := min(lbl, lbl(lbl)) — pointer doubling. A label is
-      // always the id of a node in the same component (it arrived over
-      // edges), so chasing it one level stays within the component and
-      // doubles how far the component min has propagated per round
-      val next = hop
-        .join(hop.select(col("id").as("lbl"), col("lbl").as("jump")), Seq("lbl"), "left")
-        .select(col("id"), col("prev"),
-          least(col("lbl"), coalesce(col("jump"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      // labels only decrease, so any strict drop means another round
-      converged = next.filter(col("lbl") < col("prev")).isEmpty
-      labels = next.select("id", "lbl")
+        .localCheckpoint(true) // feeds the check and both jump sides below
+      // labels only decrease, so any strict drop means more work. When
+      // the HOP changed nothing we are at the plain-propagation
+      // fixpoint (every label ≤ its neighbors' min), which IS the
+      // component min — the jump is provably a no-op there, so the
+      // final round (and a 2–3-round near-clique corpus generally)
+      // skips the jump join entirely
+      converged = hop.filter(col("lbl") < col("prev")).isEmpty
+      if (converged) {
+        labels = hop.select("id", "lbl")
+      } else {
+        // jump: lbl := min(lbl, lbl(lbl)) — pointer doubling. A label
+        // is always the id of a node in the same component (it arrived
+        // over edges), so chasing it one level stays within the
+        // component, and the component min's reach doubles per round:
+        // rounds are O(log diameter), not O(diameter) — the difference
+        // between a 200-link chain of near-dups converging in ~8
+        // rounds and blowing the round cap
+        labels = hop
+          .join(hop.select(col("id").as("lbl"), col("lbl").as("jump")), Seq("lbl"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("jump"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+      }
       round += 1
     }
     require(converged, s"component labeling did not converge in $maxRounds rounds")
