@@ -330,6 +330,39 @@ class TextSpec extends SparkSpec {
     assert(Bpe.loadVocab(deadPath, byteLevel = Some(true)).byteLevel)
   }
 
+  test("byte-level training: learned merges carry byte markers, round-trip merges.txt into auto-detected byte mode, and encode losslessly") {
+    import graft.text.Bpe
+    // a tiny raw-cased corpus: byte-level training pre-tokenizes with
+    // the GPT-2 regex (space-prefixed pieces) and maps bytes, so the
+    // learned merges MUST contain remapped byte chars (Ġ = space)
+    val texts = (0 until 50).flatMap(_ => Seq(
+      "The cat sat on the mat", "The dog sat on the log",
+      "Cats and dogs, dogs and cats!"))
+    val merges = Bpe.trainFromTexts(texts, 60, byteLevel = true)
+    assert(merges.nonEmpty)
+    assert(merges.exists { case (a, b) => (a + b).contains('Ġ') },
+      s"byte-level training must learn Ġ-marked merges: ${merges.take(10)}")
+    // round-trip: the file format is plain text (every byte maps to a
+    // PRINTABLE char), and loadVocab auto-detects byte mode from it
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-bl")
+      .resolve("merges.txt")
+    java.nio.file.Files.write(path, Bpe.mergesFileContent(merges).getBytes("UTF-8"))
+    val vocab = Bpe.loadVocab(path.toString)
+    assert(vocab.byteLevel && vocab.merges == merges)
+    // lossless by construction on arbitrary raw text — case, spaces,
+    // punctuation, non-ASCII all survive the byte mapping
+    val raw = "The cat — sat; on the MAT? Ärger 10x!"
+    val toks = vocab.encodeDoc(org.apache.spark.unsafe.types.UTF8String
+      .fromString(raw)).toArray[AnyRef](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(new String(Bpe.unmapBytes(toks), "UTF-8") == raw)
+    // trained merges actually fire on in-domain text
+    val inDomain = vocab.encodeDoc(org.apache.spark.unsafe.types.UTF8String
+      .fromString("The cat sat on the mat")).numElements()
+    assert(inDomain < "The cat sat on the mat".length / 2,
+      s"trained byte-level merges must compress in-domain text: $inDomain tokens")
+  }
+
   test("realistic-size vocabulary: thousands of trained merges round-trip merges.txt and drive the codegen kernel") {
     import graft.text.{Bpe, BpeFunctions}
     import graft.text.TextFunctions.normText
