@@ -222,10 +222,11 @@ object Dedup {
     * Scale shape: each round is one shuffle-join of the symmetric edge
     * list against the label table keyed on vertex id plus a min
     * aggregate, followed by a POINTER-JUMP self-join of the label table
-    * (`lbl := min(lbl, lbl(lbl))`; skipped when the hop converged —
-    * a hop fixpoint is the component min, so the jump is provably a
-    * no-op there, and a 2–3-round near-clique corpus pays for at most
-    * one jump) — cost per round tracks
+    * (`lbl := min(lbl, lbl(lbl))`; engaged only from round 3 and
+    * skipped once the hop converges — a hop fixpoint is already the
+    * component min, and every real duplicate cluster is a near-clique
+    * that converges within the first two plain hops, so the common
+    * case pays NO jump at all) — cost per round tracks
     * |edges| + |vertices|, never a pair blowup. The jump is what makes
     * rounds O(log diameter) instead of O(diameter): a label reaching a
     * node k hops from the component min doubles its reach every round
@@ -280,16 +281,20 @@ object Dedup {
       // final round (and a 2–3-round near-clique corpus generally)
       // skips the jump join entirely
       converged = hop.filter(col("lbl") < col("prev")).isEmpty
-      if (converged) {
+      if (converged || round < 2) {
+        // rounds 0–1 are plain hops: a near-clique corpus — every real
+        // duplicate cluster — converges within them, so the common
+        // case pays exactly the pre-jump cost and the jump below only
+        // ever runs on graphs that genuinely have depth
         labels = hop.select("id", "lbl")
       } else {
         // jump: lbl := min(lbl, lbl(lbl)) — pointer doubling. A label
         // is always the id of a node in the same component (it arrived
         // over edges), so chasing it one level stays within the
-        // component, and the component min's reach doubles per round:
-        // rounds are O(log diameter), not O(diameter) — the difference
-        // between a 200-link chain of near-dups converging in ~8
-        // rounds and blowing the round cap
+        // component, and the component min's reach roughly doubles per
+        // round once engaged: rounds are O(log diameter), not
+        // O(diameter) — the difference between a 200-link chain of
+        // near-dups converging in ~9 rounds and blowing the round cap
         labels = hop
           .join(hop.select(col("id").as("lbl"), col("lbl").as("jump")), Seq("lbl"), "left")
           .select(col("id"),
