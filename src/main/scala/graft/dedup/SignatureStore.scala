@@ -92,6 +92,12 @@ object SignatureStore {
   def recover(spark: SparkSession, name: String): Boolean =
     guard(name).recover(spark)
 
+  /** Owner-arbitrated crash recovery for automated callers — see
+    * [[StoreGuard.recoverArbitrated]].
+    */
+  def recoverArbitrated(spark: SparkSession, name: String): Boolean =
+    guard(name).recoverArbitrated(spark)
+
   /** Discharge a dead writer's recovery state WITHOUT rolling back —
     * for a caller holding durable proof the writer's mutation fully
     * committed (a commit marker written by ingest's `onCommitted` hook):
@@ -102,14 +108,21 @@ object SignatureStore {
     */
   def dischargeCommitted(spark: SparkSession, name: String): Unit = {
     val g = guard(name)
-    // the pending file is the proof a DEAD writer held the lock; a
-    // replay of a cleanly-completed batch finds neither, and must not
-    // unlock — the lock could belong to a LIVE writer (manual ingest,
-    // monthly maintenance), and deleting it would break mutual
-    // exclusion with silently interleaved appends
+    // a replay of a cleanly-completed batch finds no pending file and
+    // must not unlock — the lock could belong to a LIVE writer (manual
+    // ingest, monthly maintenance). And a pending file alone is NOT
+    // proof of a dead writer either: a live foreign ingest mid-flight
+    // also has one, and clearing it would destroy that writer's crash
+    // authorization while unlocking breaks mutual exclusion. Treat the
+    // state as a dead writer's residue only when the lock AGREES —
+    // absent (the writer's finally released it), or stamped with a
+    // verifiably dead owner (discharged here); a live or unverifiable
+    // owner keeps both its pending and its lock
     if (g.pendingExists(spark)) {
-      g.clearPending(spark)
-      g.unlock(spark)
+      if (!g.lockExists(spark) || g.dischargeDeadLock(spark, strict = false)) {
+        g.clearPending(spark)
+        g.unlock(spark) // no-op when already discharged/absent
+      }
     }
   }
 

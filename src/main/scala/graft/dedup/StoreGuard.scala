@@ -110,16 +110,30 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      StoreGuard.parseOwner(s)
+      // the owner may release between the exists probe and the open —
+      // a vanished lock is simply "no owner", not an error
+      try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        StoreGuard.parseOwner(s)
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 
   def lockExists(spark: SparkSession): Boolean = {
     val p = lockPath(spark)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whether the current lock's stamped owner is VERIFIABLY dead:
+    * same host, pid no longer alive. A live pid, a foreign host, or a
+    * missing stamp all answer false — deadness that cannot be proven
+    * is treated as life.
+    */
+  def lockOwnerDead(spark: SparkSession): Boolean = lockOwner(spark) match {
+    case Some(o) => o.host == StoreGuard.localHost && !StoreGuard.pidAlive(o.pid)
+    case None => false
   }
 
   /** Discharge the store's lock ONLY when its stamped owner is
@@ -304,6 +318,28 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     * distinguish a dead writer from a slow one, and recovering a LIVE
     * ingest deletes its in-flight appends.
     */
+  /** [[recover]] gated on owner arbitration — the form AUTOMATED
+    * callers (the streaming replay arms) must use. `recover` itself
+    * trusts the pending file as proof of a DEAD writer and leaves the
+    * "is it actually dead?" judgment to the operator; an automated
+    * caller has no operator, and a pending file can equally belong to
+    * a LIVE writer mid-ingest (a manual run or maintenance racing the
+    * stream) — recovering it would roll back its in-flight appends.
+    * So: no pending → false (nothing to do); pending + no lock, or
+    * pending + a lock whose stamped owner is verifiably dead → recover
+    * as usual; pending + a live or unverifiable owner → fail FAST with
+    * instructions instead of destroying a live writer's work.
+    */
+  def recoverArbitrated(spark: SparkSession): Boolean = {
+    if (!pendingExists(spark)) return false
+    if (lockExists(spark) && !lockOwnerDead(spark))
+      sys.error(s"store '$metaTable' has an in-flight ingest (pending snapshot " +
+        "present) whose lock owner cannot be verified dead — refusing automatic " +
+        "recovery: a LIVE writer's in-flight appends would be rolled back. " +
+        "If the writer is confirmed dead, run recover(...) manually.")
+    recover(spark)
+  }
+
   def recover(spark: SparkSession): Boolean = {
     val p = pendingPath(spark)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -158,6 +158,11 @@ object EmbeddingStore {
     guard(name).rollback(spark, snap)
   def recover(spark: SparkSession, name: String): Boolean =
     guard(name).recover(spark)
+  /** Owner-arbitrated recovery for automated callers — see
+    * [[graft.dedup.StoreGuard.recoverArbitrated]].
+    */
+  def recoverArbitrated(spark: SparkSession, name: String): Boolean =
+    guard(name).recoverArbitrated(spark)
   def locked[A](spark: SparkSession, name: String)(f: => A): A =
     guard(name).locked(spark)(f)
 
@@ -582,9 +587,14 @@ object EmbeddingStore {
     */
   def dischargeCommitted(spark: SparkSession, name: String): Unit = {
     val g = guard(name)
+    // owner-gated like the text twin: a pending file alone is not
+    // proof of a dead writer — only act when the lock is absent or its
+    // stamped owner is verifiably dead
     if (g.pendingExists(spark)) {
-      g.clearPending(spark)
-      g.unlock(spark)
+      if (!g.lockExists(spark) || g.dischargeDeadLock(spark, strict = false)) {
+        g.clearPending(spark)
+        g.unlock(spark)
+      }
     }
   }
 

@@ -36,17 +36,22 @@ import graft.similarity.EmbeddingStore
   * Replay decision at batch start: marker present → the batch fully
   * committed (flags included — they precede the marker): SKIP, only
   * discharging the moot recovery state a writer dead in the
-  * marker→pending-clear window still owes (pending-gated, so a clean
-  * completion's replay touches nothing). Marker absent + pending
-  * present → the attempt died mid-mutation: recover restores the
-  * pre-batch store and the batch re-runs cleanly. Marker absent + no
-  * pending → nothing durable happened: plain run, first discharging a
-  * lock a predecessor dead BETWEEN lock acquisition and the pending
-  * write left behind (that window leaves no pending file for recover()
-  * to key off, and without the discharge the redelivered ingest would
-  * fail fast on the dead lock forever). Every crash window falls into
-  * exactly one arm, so a redelivered batch never appends and never
-  * changes a flag.
+  * marker→pending-clear window still owes (pending-gated AND
+  * owner-gated — a clean completion's replay touches nothing, and a
+  * LIVE foreign writer's in-flight pending/lock are left alone).
+  * Marker absent + pending present → the attempt died mid-mutation:
+  * owner-ARBITRATED recovery restores the pre-batch store and the
+  * batch re-runs cleanly — but only when the lock is absent or its
+  * stamped owner is verifiably dead; a pending file can equally belong
+  * to a live foreign ingest mid-flight, and auto-recovering that would
+  * roll back its in-flight appends, so the batch fails fast instead.
+  * Marker absent + no pending → nothing durable happened: plain run,
+  * first discharging a lock a predecessor dead BETWEEN lock
+  * acquisition and the pending write left behind (that window leaves
+  * no pending file for recover() to key off, and without the discharge
+  * the redelivered ingest would fail fast on the dead lock forever).
+  * Every crash window falls into exactly one arm, so a redelivered
+  * batch never appends and never changes a flag.
   *
   * Single-writer contract, owner-arbitrated: the stream owns the store
   * for its lifetime (micro-batches are sequential, so recovery state
@@ -136,7 +141,7 @@ object CorpusStream {
       autoRecover: Boolean = true): Unit = {
     SignatureStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
-      () => SignatureStore.recover(spark, storeName),
+      () => SignatureStore.recoverArbitrated(spark, storeName),
       () => SignatureStore.dischargeCommitted(spark, storeName),
       strict => SignatureStore.dischargeDeadLock(spark, storeName, strict)) { (part, mark) =>
       // band-bucket histogram persisted per batch as the embedding
@@ -208,7 +213,7 @@ object CorpusStream {
       autoRecover: Boolean = true, bucketCap: Int = 1000): Unit = {
     EmbeddingStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
-      () => EmbeddingStore.recover(spark, storeName),
+      () => EmbeddingStore.recoverArbitrated(spark, storeName),
       () => EmbeddingStore.dischargeCommitted(spark, storeName),
       strict => EmbeddingStore.dischargeDeadLock(spark, storeName, strict)) { (part, mark) =>
       val audit = new java.util.concurrent.atomic.AtomicReference[

@@ -469,7 +469,14 @@ class StreamingSpec extends SparkSpec {
       val lockP = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
       val out = fs.create(pendingP, true)
       try out.write("bogus-snapshot-line".getBytes("UTF-8")) finally out.close()
-      fs.createNewFile(lockP)
+      // a REAL dead writer's lock carries its stamp — the owner gate
+      // refuses an unverifiable one (that's the live-writer protection
+      // tested separately below)
+      locally {
+        val lo = fs.create(lockP, true)
+        try lo.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally lo.close()
+      }
       val tables = Seq(SignatureStore.bandsTable(sName),
         SignatureStore.shinglesTable(sName), SignatureStore.sizesTable(sName))
       val files0 = tables.map(StoreGuard.dataFileCount(spark, _)).sum
@@ -605,6 +612,34 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=1/_COMMITTED")),
         "after maintenance releases the lock the stream proceeds normally")
+
+      // a LIVE foreign ingest mid-flight (pending + live-stamped lock):
+      // BOTH replay arms must leave its state alone. The plain-run arm
+      // must not auto-recover (that would roll back the live writer's
+      // in-flight appends) — it fails fast instead; a committed-batch
+      // replay must not clear the live writer's pending either.
+      val pendingP = new org.apache.hadoop.fs.Path(
+        metaLoc.getParent, metaLoc.getName + ".pending")
+      locally {
+        val po = fs.create(pendingP, true)
+        try po.write("live-writer-snapshot".getBytes("UTF-8")) finally po.close()
+        val lo = fs.create(lockP, true)
+        try lo.write(StoreGuard.ownerStampFor(
+          ProcessHandle.current().pid()).getBytes("UTF-8"))
+        finally lo.close()
+      }
+      val liveRec = intercept[RuntimeException](
+        CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 5L))
+      assert(liveRec.getMessage.contains("refusing automatic recovery"),
+        liveRec.getMessage)
+      assert(fs.exists(pendingP) && fs.exists(lockP),
+        "a live writer's pending and lock must survive the refused recovery")
+      // committed-batch replay (batch 1 committed above): the
+      // pending-gated discharge must ALSO respect the live owner
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
+      assert(fs.exists(pendingP) && fs.exists(lockP),
+        "a committed replay must not discharge a live writer's pending/lock")
+      fs.delete(pendingP, false); fs.delete(lockP, false)
     } finally SignatureStore.drop(spark, sName)
   }
 
