@@ -100,31 +100,18 @@ object SignatureStore {
 
   /** Discharge a dead writer's recovery state WITHOUT rolling back —
     * for a caller holding durable proof the writer's mutation fully
-    * committed (a commit marker written by ingest's `onCommitted` hook):
-    * the pending snapshot and lock are then leftovers of a writer that
-    * died BETWEEN its commit mark and its own cleanup, and recovery
-    * would wrongly undo committed appends. Never call without such
-    * proof — see [[graft.streaming.CorpusStream]].
+    * committed (a commit marker written by ingest's `onCommitted` hook).
+    * `markerOwner` is the identity stamped into that marker: the marker
+    * only proves the MARKER WRITER's batch committed, so the pending
+    * found now is moot residue only when ITS stamp matches — a foreign
+    * dead writer's mid-mutation pending is rolled back instead, and a
+    * live one is left alone. Full arbitration table in
+    * [[StoreGuard.dischargeCommitted]]; protocol context in
+    * [[graft.streaming.CorpusStream]].
     */
-  def dischargeCommitted(spark: SparkSession, name: String): Unit = {
-    val g = guard(name)
-    // a replay of a cleanly-completed batch finds no pending file and
-    // must not unlock — the lock could belong to a LIVE writer (manual
-    // ingest, monthly maintenance). And a pending file alone is NOT
-    // proof of a dead writer either: a live foreign ingest mid-flight
-    // also has one, and clearing it would destroy that writer's crash
-    // authorization while unlocking breaks mutual exclusion. Treat the
-    // state as a dead writer's residue only when the lock AGREES —
-    // absent (the writer's finally released it), or stamped with a
-    // verifiably dead owner (discharged here); a live or unverifiable
-    // owner keeps both its pending and its lock
-    if (g.pendingExists(spark)) {
-      if (!g.lockExists(spark) || g.dischargeDeadLock(spark, strict = false)) {
-        g.clearPending(spark)
-        g.unlock(spark) // no-op when already discharged/absent
-      }
-    }
-  }
+  def dischargeCommitted(spark: SparkSession, name: String,
+      markerOwner: Option[StoreGuard.LockOwner] = None): Unit =
+    guard(name).dischargeCommitted(spark, markerOwner)
 
   /** Re-register the store's tables from their durable warehouse
     * locations into THIS session's catalog. The catalog is per-process

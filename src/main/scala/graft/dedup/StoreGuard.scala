@@ -68,11 +68,41 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     ownGens.add(uuid); ()
   }
 
+  /** Persist the pre-ingest snapshot, stamped with THIS writer's owner
+    * identity on a `#owner` header line (same stamp as the lock): a
+    * later discharger must be able to tell WHOSE mid-mutation state a
+    * pending file is — a commit marker proves only the MARKER WRITER's
+    * mutation committed, and treating a foreign dead writer's pending
+    * as that predecessor's moot residue would silently keep its partial
+    * appends while destroying the rollback snapshot
+    * ([[dischargeCommitted]] arbitrates on this stamp).
+    */
   def writePending(spark: SparkSession, snap: Set[String]): Unit = {
     val p = pendingPath(spark)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(snap.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write((s"#owner ${StoreGuard.ownerStamp}\n" + snap.mkString("\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The stamped owner of the current pending file, if present and
+    * stamped (pre-stamp writers and fabricated states read as `None`).
+    */
+  def pendingOwner(spark: SparkSession): Option[StoreGuard.LockOwner] = {
+    val p = pendingPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      try {
+        val in = fs.open(p)
+        val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse("")
+        finally in.close()
+        if (first.startsWith("#owner ")) StoreGuard.parseOwner(first.stripPrefix("#owner ").trim)
+        else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
   }
 
   def clearPending(spark: SparkSession): Unit = {
@@ -131,10 +161,8 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     * missing stamp all answer false — deadness that cannot be proven
     * is treated as life.
     */
-  def lockOwnerDead(spark: SparkSession): Boolean = lockOwner(spark) match {
-    case Some(o) => o.host == StoreGuard.localHost && !StoreGuard.pidAlive(o.pid)
-    case None => false
-  }
+  def lockOwnerDead(spark: SparkSession): Boolean =
+    lockOwner(spark).exists(StoreGuard.ownerDead)
 
   /** Discharge the store's lock ONLY when its stamped owner is
     * verifiably dead — the safe form of a forced unlock. Every lock
@@ -195,14 +223,27 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     // stamp the freshly-claimed lock with this writer's identity (pid,
     // host, process uuid, epoch) so a LATER process can tell a dead
     // predecessor's lock from a live foreign writer's and discharge
-    // only the former ([[dischargeDeadLock]]). The claim (createNewFile,
-    // atomic) and the stamp (overwrite of the file we now own) are two
-    // calls; a writer dead in between leaves an unstamped lock, which
-    // dischargers treat as NOT verifiably dead — fail-safe, at the cost
-    // of a manual unlock for that microsecond window.
+    // only the former ([[dischargeDeadLock]]). The stamp is written to
+    // a temp sibling and RENAMED over the claimed lock: a POSIX rename
+    // replaces the destination atomically, so the lock file never
+    // vanishes mid-stamp (an overwrite-create that is delete+recreate
+    // on some filesystems would open a window where a concurrent
+    // createNewFile could double-claim). On a filesystem that refuses
+    // overwriting renames, fall back to in-place overwrite-create and
+    // rely on its truncate-in-place semantics (true of the local FS).
+    // A writer dead between the claim and the stamp landing leaves an
+    // unstamped lock, which dischargers treat as NOT verifiably dead —
+    // fail-safe, at the cost of a manual unlock for that window.
     locally {
-      val out = fs.create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        p.getName + ".stamp-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp, true)
       try out.write(StoreGuard.ownerStamp.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) {
+        val out2 = fs.create(p, true)
+        try out2.write(StoreGuard.ownerStamp.getBytes("UTF-8")) finally out2.close()
+        fs.delete(tmp, false)
+      }
     }
     heldLocks.get += key
     try f finally { heldLocks.get -= key; fs.delete(p, false) }
@@ -346,7 +387,8 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     if (!fs.exists(p)) return false
     val in = fs.open(p)
     val snap =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).filterNot(_.startsWith("#")).toSet // "#owner" header
       finally in.close()
     // the dead writer's lock already excludes every other writer — keep
     // it in place while restoring, release only when the store is whole
@@ -355,6 +397,58 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     try doRollback(spark, snap, trusted = true)
     finally unlock(spark)
     true
+  }
+
+  /** Discharge a dead writer's recovery state WITHOUT rolling back —
+    * for a caller holding durable proof (a commit marker) that ITS OWN
+    * mutation fully committed. The marker only proves the MARKER
+    * WRITER's batch committed: the pending/lock found NOW may equally
+    * belong to a LATER foreign writer (a manual ingest racing the
+    * stream) that died mid-mutation, whose partial appends must be
+    * ROLLED BACK, not silently adopted with the rollback snapshot
+    * destroyed. The pending file's owner stamp arbitrates:
+    *
+    *  - pending stamped by the SAME process that wrote the marker ⇒
+    *    the writer died between its marker and its pending clear —
+    *    moot residue, discharged (lock-agree gated: the lock must be
+    *    absent or verifiably dead, a live lock keeps everything);
+    *  - pending stamped by a DIFFERENT process ⇒ a foreign writer's
+    *    mid-mutation state: verifiably dead ⇒ [[recover]] rolls its
+    *    partial appends back to its own snapshot (taken AFTER the
+    *    marker writer's commit, which therefore survives); live or
+    *    unverifiable ⇒ left entirely alone — deadness that cannot be
+    *    proven is treated as life;
+    *  - pending unstamped, or marker owner unknown (legacy states from
+    *    pre-stamp writers) ⇒ the pre-stamp lock-agree behavior.
+    *
+    * No-op when nothing is pending — a replay of a cleanly completed
+    * batch must never touch a lock some other writer may hold.
+    */
+  def dischargeCommitted(spark: SparkSession,
+      markerOwner: Option[StoreGuard.LockOwner]): Unit = {
+    if (!pendingExists(spark)) return
+    val pOwner = pendingOwner(spark)
+    val foreign = (pOwner, markerOwner) match {
+      case (Some(p), Some(m)) =>
+        !(p.pid == m.pid && p.host == m.host && p.proc == m.proc)
+      case _ => false
+    }
+    if (foreign) {
+      // judge deadness by the lock when one exists (it carries the
+      // freshest claim), else by the pending stamp itself (a thrown
+      // ingest releases its lock but keeps the pending authorization
+      // for its caller's compensating rollback — if that caller is
+      // still ALIVE, recovery here would race it)
+      val dead =
+        if (lockExists(spark)) lockOwnerDead(spark)
+        else pOwner.exists(StoreGuard.ownerDead)
+      if (dead) { recover(spark); () }
+    } else {
+      if (!lockExists(spark) || dischargeDeadLock(spark, strict = false)) {
+        clearPending(spark)
+        unlock(spark) // no-op when already discharged/absent
+      }
+    }
   }
 }
 
@@ -377,6 +471,12 @@ private[graft] object StoreGuard {
   private[dedup] def pidAlive(pid: Long): Boolean =
     ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
 
+  /** Whether a stamped owner is VERIFIABLY dead: same host, pid no
+    * longer alive. A foreign host answers false — not checkable here.
+    */
+  private[graft] def ownerDead(o: LockOwner): Boolean =
+    o.host == localHost && !pidAlive(o.pid)
+
   /** The stamp [[StoreGuard.locked]] writes into a claimed lock file. */
   private[graft] def ownerStamp: String =
     s"pid=${ProcessHandle.current().pid()} host=$localHost " +
@@ -391,7 +491,7 @@ private[graft] object StoreGuard {
   private val OwnerRe =
     raw"pid=(\d+) host=(\S+) proc=([0-9a-f]+) epoch=(\d+)".r
 
-  private[dedup] def parseOwner(s: String): Option[LockOwner] = s match {
+  private[graft] def parseOwner(s: String): Option[LockOwner] = s match {
     case OwnerRe(pid, host, proc, epoch) =>
       Some(LockOwner(pid.toLong, host, proc, epoch.toLong))
     case _ => None

@@ -582,21 +582,13 @@ object EmbeddingStore {
   }
 
   /** Discharge a dead writer's recovery state WITHOUT rolling back —
-    * same contract, same pending-proof gate, and same warning as
-    * [[graft.dedup.SignatureStore.dischargeCommitted]].
+    * same contract and owner arbitration as
+    * [[graft.dedup.SignatureStore.dischargeCommitted]] (shared
+    * implementation: [[graft.dedup.StoreGuard.dischargeCommitted]]).
     */
-  def dischargeCommitted(spark: SparkSession, name: String): Unit = {
-    val g = guard(name)
-    // owner-gated like the text twin: a pending file alone is not
-    // proof of a dead writer — only act when the lock is absent or its
-    // stamped owner is verifiably dead
-    if (g.pendingExists(spark)) {
-      if (!g.lockExists(spark) || g.dischargeDeadLock(spark, strict = false)) {
-        g.clearPending(spark)
-        g.unlock(spark)
-      }
-    }
-  }
+  def dischargeCommitted(spark: SparkSession, name: String,
+      markerOwner: Option[graft.dedup.StoreGuard.LockOwner] = None): Unit =
+    guard(name).dischargeCommitted(spark, markerOwner)
 
   /** Release a crashed writer's lock — see [[StoreGuard.unlock]]. */
   def unlock(spark: SparkSession, name: String): Unit =

@@ -38,7 +38,14 @@ import graft.similarity.EmbeddingStore
   * discharging the moot recovery state a writer dead in the
   * marker→pending-clear window still owes (pending-gated AND
   * owner-gated — a clean completion's replay touches nothing, and a
-  * LIVE foreign writer's in-flight pending/lock are left alone).
+  * LIVE foreign writer's in-flight pending/lock are left alone). The
+  * marker and the pending file both carry their writer's owner stamp,
+  * and the discharge arbitrates on the MATCH: a pending stamped by the
+  * marker writer is its post-commit residue (cleared); one stamped by
+  * a DIFFERENT, verifiably dead process is a foreign writer's
+  * mid-mutation state and is RECOVERED — rolled back to its own
+  * snapshot, which post-dates this batch's commit — never adopted
+  * (the marker proves this batch committed, not that writer's).
   * Marker absent + pending present → the attempt died mid-mutation:
   * owner-ARBITRATED recovery restores the pre-batch store and the
   * batch re-runs cleanly — but only when the lock is absent or its
@@ -86,7 +93,8 @@ object CorpusStream {
     * executes the store ingest with the two hooks bound.
     */
   private def committed(spark: SparkSession, flagsRoot: String, batchId: Long,
-      autoRecover: Boolean, recoverStore: () => Boolean, discharge: () => Unit,
+      autoRecover: Boolean, recoverStore: () => Boolean,
+      discharge: Option[graft.dedup.StoreGuard.LockOwner] => Unit,
       dischargeDead: Boolean => Boolean)
       (run: (String, () => Unit) => Unit): Unit = {
     val part = new Path(s"$flagsRoot/batch_id=$batchId")
@@ -98,8 +106,20 @@ object CorpusStream {
         // marker→pending-clear window still owes. dischargeCommitted is
         // pending-gated, so a replay of a CLEANLY completed batch (no
         // recovery state at all) is a strict no-op — it can never delete
-        // a lock some other writer holds
-        discharge()
+        // a lock some other writer holds. The marker's owner stamp rides
+        // along: the pending found now is that predecessor's moot
+        // residue ONLY when its own stamp matches — a foreign dead
+        // writer's mid-mutation pending (a manual ingest that crashed
+        // AFTER this batch committed) is recovered (rolled back), a
+        // live one left alone (arbitration: StoreGuard.dischargeCommitted)
+        val markerOwner =
+          try {
+            val in = fs.open(marker)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                    finally in.close()
+            graft.dedup.StoreGuard.parseOwner(s)
+          } catch { case _: java.io.FileNotFoundException => None }
+        discharge(markerOwner)
         // a writer dead one step LATER — between the pending clear and
         // its own unlock — leaves marker + no pending + a dead lock,
         // which the pending-gated discharge above cannot touch. The
@@ -128,7 +148,14 @@ object CorpusStream {
       // silently deleted
       dischargeDead(true)
     }
-    run(part.toString, () => { fs.createNewFile(marker); () })
+    // the marker carries ITS writer's owner stamp so a later replay can
+    // tell this batch's post-commit residue from a foreign writer's
+    // mid-mutation state (see the marker-present arm above)
+    run(part.toString, () => {
+      val out = fs.create(marker, true)
+      try out.write(graft.dedup.StoreGuard.ownerStamp.getBytes("UTF-8"))
+      finally out.close()
+    })
   }
 
   /** One micro-batch of the document ingest stream, factored out so the
@@ -142,7 +169,7 @@ object CorpusStream {
     SignatureStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
       () => SignatureStore.recoverArbitrated(spark, storeName),
-      () => SignatureStore.dischargeCommitted(spark, storeName),
+      owner => SignatureStore.dischargeCommitted(spark, storeName, owner),
       strict => SignatureStore.dischargeDeadLock(spark, storeName, strict)) { (part, mark) =>
       // band-bucket histogram persisted per batch as the embedding
       // twin persists `_lsh_audit.json` — after the flags parquet
@@ -214,7 +241,7 @@ object CorpusStream {
     EmbeddingStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
       () => EmbeddingStore.recoverArbitrated(spark, storeName),
-      () => EmbeddingStore.dischargeCommitted(spark, storeName),
+      owner => EmbeddingStore.dischargeCommitted(spark, storeName, owner),
       strict => EmbeddingStore.dischargeDeadLock(spark, storeName, strict)) { (part, mark) =>
       val audit = new java.util.concurrent.atomic.AtomicReference[
         Option[EmbeddingStore.IngestAudit]](None)

@@ -613,19 +613,22 @@ class StreamingSpec extends SparkSpec {
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=1/_COMMITTED")),
         "after maintenance releases the lock the stream proceeds normally")
 
-      // a LIVE foreign ingest mid-flight (pending + live-stamped lock):
-      // BOTH replay arms must leave its state alone. The plain-run arm
-      // must not auto-recover (that would roll back the live writer's
-      // in-flight appends) — it fails fast instead; a committed-batch
-      // replay must not clear the live writer's pending either.
+      // a LIVE foreign ingest mid-flight (owner-stamped pending +
+      // live-stamped lock): BOTH replay arms must leave its state
+      // alone. The plain-run arm must not auto-recover (that would roll
+      // back the live writer's in-flight appends) — it fails fast
+      // instead; a committed-batch replay must not clear the live
+      // writer's pending either (its stamp differs from the marker
+      // writer's, and its owner is alive).
       val pendingP = new org.apache.hadoop.fs.Path(
         metaLoc.getParent, metaLoc.getName + ".pending")
       locally {
+        val stamp = StoreGuard.ownerStampFor(ProcessHandle.current().pid())
         val po = fs.create(pendingP, true)
-        try po.write("live-writer-snapshot".getBytes("UTF-8")) finally po.close()
+        try po.write(s"#owner $stamp\nlive-writer-snapshot".getBytes("UTF-8"))
+        finally po.close()
         val lo = fs.create(lockP, true)
-        try lo.write(StoreGuard.ownerStampFor(
-          ProcessHandle.current().pid()).getBytes("UTF-8"))
+        try lo.write(stamp.getBytes("UTF-8"))
         finally lo.close()
       }
       val liveRec = intercept[RuntimeException](
@@ -640,6 +643,44 @@ class StreamingSpec extends SparkSpec {
       assert(fs.exists(pendingP) && fs.exists(lockP),
         "a committed replay must not discharge a live writer's pending/lock")
       fs.delete(pendingP, false); fs.delete(lockP, false)
+
+      // a foreign writer DEAD mid-mutation (stamped pending from a dead
+      // pid ≠ the marker writer, dead lock, partial append on disk):
+      // the committed-batch replay must RECOVER — roll the foreign
+      // writer's partial appends back to ITS snapshot — never treat the
+      // pending as the marker writer's moot residue (which would keep
+      // the partial appends and destroy the rollback authorization)
+      val bandsLoc = StoreGuard.tableLocation(spark, SignatureStore.bandsTable(sName))
+      val junk = new org.apache.hadoop.fs.Path(bandsLoc, "part-foreign-partial.parquet")
+      locally {
+        val snap = SignatureStore.snapshot(spark, sName) // pre-mutation state
+        val stamp = StoreGuard.ownerStampFor(deadPid())
+        val po = fs.create(pendingP, true)
+        try po.write((s"#owner $stamp\n" + snap.mkString("\n")).getBytes("UTF-8"))
+        finally po.close()
+        val jo = fs.create(junk, true) // the foreign writer's partial append
+        try jo.write("partial".getBytes("UTF-8")) finally jo.close()
+        val lo = fs.create(lockP, true)
+        try lo.write(stamp.getBytes("UTF-8")) finally lo.close()
+      }
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
+      assert(!fs.exists(junk),
+        "a dead foreign writer's partial appends must be rolled back, not adopted")
+      assert(!fs.exists(pendingP) && !fs.exists(lockP),
+        "the recovered foreign state must be fully discharged")
+
+      // same-writer residue (pending stamped by the marker writer
+      // itself, lock already gone): the predecessor died between its
+      // pending clear steps — moot residue, discharged without rollback
+      locally {
+        val po = fs.create(pendingP, true)
+        try po.write((s"#owner ${StoreGuard.ownerStamp}\nmoot-residue")
+          .getBytes("UTF-8"))
+        finally po.close()
+      }
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
+      assert(!fs.exists(pendingP),
+        "the marker writer's own post-commit pending is moot residue — discharged")
     } finally SignatureStore.drop(spark, sName)
   }
 
