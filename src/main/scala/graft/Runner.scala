@@ -16,10 +16,26 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --corpus-init mystore --sf ...
   *   runMain graft.Runner --corpus-ingest mystore --batch-mod 7 --batch-rem 0 --sf ...
   *   runMain graft.Runner --corpus-recover mystore --sf ...   (crashed-ingest undo)
+  *   runMain graft.Runner --corpus-retune mystore --rows 3 --bands 16 \
+  *     [--corpus-path /data/corpus] --sf ...   (hot-bucket remediation)
+  *   runMain graft.Runner --schedule --store mystore --auto-remediate --sf ...
   *   runMain graft.Runner --full-refresh daily_sales --fy-from 1995 --fy-to 1997 \
   *     --confirm-delete --confirm-fy [--dry-run] --sf ...
   */
 object Runner {
+  /** The corpus a retune/remediation rebuilds from: an explicit
+    * `--corpus-path` (a registered table name, else a parquet directory
+    * of `(doc_id, text)` rows), falling back to the scale-factor
+    * directory's documents table — the harness layout.
+    */
+  private def corpusSource(spark: SparkSession,
+      opts: Map[String, String], sfDir: String): org.apache.spark.sql.DataFrame =
+    opts.get("corpus-path") match {
+      case Some(p) if spark.catalog.tableExists(p) => spark.table(p)
+      case Some(p) => spark.read.parquet(p)
+      case None => Tables.documents(spark, sfDir)
+    }
+
   /** `--key value` pairs plus bare `--flag`s (recorded as "true"). */
   private def parseOpts(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -163,13 +179,17 @@ object Runner {
         })
       }
       // hot-bucket remediation: --corpus-retune <store> [--bands N
-      // --rows R --max-df D --k K] rebuilds the signature store from
-      // the source corpus with a TIGHTENED banding geometry — the
-      // operator response when the per-ingest band audit (and its
-      // AUDIT ALERT escalation) shows the uncapped candidate join's
-      // hot buckets growing. A full rebuild by design: the store's
-      // signatures ARE the geometry, so this rides the same monthly
-      // slot as the corpus-wide df-cap refresh.
+      // --rows R --max-df D --k K] [--corpus-path <dir|table>] rebuilds
+      // the signature store from the source corpus with a TIGHTENED
+      // banding geometry — the operator response when the per-ingest
+      // band audit (and its AUDIT ALERT escalation) shows the uncapped
+      // candidate join's hot buckets growing. A full rebuild by design:
+      // the store's signatures ARE the geometry, so this rides the same
+      // monthly slot as the corpus-wide df-cap refresh. The corpus
+      // source is an explicit --corpus-path (a registered table name or
+      // a parquet directory of (doc_id, text) rows — the production
+      // contract, mirroring how init/ingest take the batch) and falls
+      // back to the bench layout's documents table for the harness.
       opts.get("corpus-retune").foreach { store =>
         val spec = graft.dedup.SignatureStore.Spec(
           k = opts.getOrElse("k", "3").toInt,
@@ -177,9 +197,10 @@ object Runner {
           maxDf = opts.getOrElse("max-df", "100").toInt,
           rows = opts.getOrElse("rows", "3").toInt)
         graft.dedup.SignatureStore.retune(spark,
-          Tables.documents(spark, sfDir), store, spec)
+          corpusSource(spark, opts, sfDir), store, spec)
         println(s"[maintain-store] $store retuned to $spec (full rebuild " +
-          "from the source corpus; geometry re-pinned in meta)")
+          s"from ${opts.getOrElse("corpus-path", s"$sfDir documents")}; " +
+          "geometry re-pinned in meta)")
       }
       // IVF index maintenance: --ivf-retrain <root> [--nlist N] re-runs
       // the coarse quantizer over the index's own contents (base +
@@ -269,7 +290,28 @@ object Runner {
         // same monthly maintenance slot as the versioned pipeline roots
         corpusStores = opts.get("store").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
         embeddingStores = opts.get("store-emb").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
-        ivfIndexRoots = opts.get("ivf-index").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+        ivfIndexRoots = opts.get("ivf-index").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        // --auto-remediate: opt-in alert→action — a store whose
+        // persisted AUDIT ALERT streak is in breach at sweep time gets
+        // retuned (text; corpus from --corpus-path or the sf documents)
+        // / rebanded (embedding) in the same slot, streak reset on
+        // success. Without the flag the sweep only compacts and the
+        // alert stays an operator action.
+        remediations =
+          if (!opts.contains("auto-remediate")) Map.empty
+          else {
+            val retuneSpec = graft.dedup.SignatureStore.Spec(
+              k = opts.getOrElse("k", "3").toInt,
+              bands = opts.getOrElse("bands", "16").toInt,
+              maxDf = opts.getOrElse("max-df", "100").toInt,
+              rows = opts.getOrElse("rows", "3").toInt)
+            val text = opts.get("store").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+              .map(s => s -> (() => graft.dedup.SignatureStore.retune(
+                spark, corpusSource(spark, opts, sfDir), s, retuneSpec)))
+            val emb = opts.get("store-emb").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+              .map(s => s -> (() => { graft.similarity.EmbeddingStore.reband(spark, s); () }))
+            (text ++ emb).toMap
+          })
       println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
       new Scheduler.Loop(jobs).run(maxFires)
       spark.stop()

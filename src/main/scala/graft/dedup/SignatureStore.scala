@@ -293,7 +293,20 @@ object SignatureStore {
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(reset(spark, _))
     guard(name).clearPending(spark) // a dropped store has nothing to recover
+    guard(name).clearStreak(spark) // ...and no audit history either
   }
+
+  /** Durable audit-alert breach streak (sidecar next to the meta dir —
+    * see [[StoreGuard.readStreak]]): the consecutive-breach counter the
+    * orchestrated cadences persist across the one-JVM-per-run cron
+    * cadence, and the monthly sweep's opt-in remediation reads.
+    */
+  def readAuditStreak(spark: SparkSession, name: String): Int =
+    guard(name).readStreak(spark)
+  def writeAuditStreak(spark: SparkSession, name: String, n: Int): Unit =
+    guard(name).writeStreak(spark, n)
+  def clearAuditStreak(spark: SparkSession, name: String): Unit =
+    guard(name).clearStreak(spark)
 
   /** File-level snapshot of the store — see [[StoreGuard.snapshot]]. */
   def snapshot(spark: SparkSession, name: String): Set[String] =

@@ -110,6 +110,44 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
   }
 
+  private def streakPath(spark: SparkSession): org.apache.hadoop.fs.Path = {
+    val m = metaLoc(spark)
+    new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".streak")
+  }
+
+  /** The store's DURABLE consecutive-breach streak (the audit-alert
+    * counter) — a tiny sidecar next to the meta dir, like the lock and
+    * pending files. Durable because the verified production cadence is
+    * one fresh JVM per daily `Runner --corpus-ingest` (cron): a
+    * process-lifetime counter resets every run and "K breaches in a
+    * row" is unreachable. Read-modify-written inside the ingest's
+    * single-writer critical section, so there is no concurrent-writer
+    * window. Absent/garbled reads as 0.
+    */
+  def readStreak(spark: SparkSession): Int = {
+    val p = streakPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      s.toIntOption.getOrElse(0)
+    } catch { case _: java.io.FileNotFoundException => 0 }
+  }
+
+  def writeStreak(spark: SparkSession, n: Int): Unit = {
+    val p = streakPath(spark)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def clearStreak(spark: SparkSession): Unit = {
+    val p = streakPath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
+  }
+
   /** Whether an in-flight ingest's pending snapshot exists on disk —
     * the durable proof that a (possibly dead) writer holds the store
     * mid-mutation. Dischargers key off this so they never delete a

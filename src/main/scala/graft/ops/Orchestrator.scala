@@ -353,7 +353,18 @@ object Orchestrator {
       onMaintain: MaintainResult => Unit = _ => (),
       corpusStores: Seq[String] = Nil,
       embeddingStores: Seq[String] = Nil,
-      ivfIndexRoots: Seq[String] = Nil): Seq[Scheduler.Job] =
+      ivfIndexRoots: Seq[String] = Nil,
+      /** Opt-in alert→action: per-store remediation thunks (text store →
+        * a bound `SignatureStore.retune` with its corpus source and
+        * tightened geometry; embedding store → `EmbeddingStore.reband`).
+        * At sweep time, a store whose PERSISTED breach streak has
+        * reached `auditPolicy.consecutive` gets its thunk run (isolated
+        * like every other unit) and its streak reset; non-breached
+        * stores are untouched. Unbound stores only alert — an alert a
+        * human must read is the default, acting on it is the opt-in.
+        */
+      remediations: Map[String, () => Unit] = Map.empty,
+      auditPolicy: AuditPolicy = AuditPolicy()): Seq[Scheduler.Job] =
     Scheduler.referenceJobs(
       runIncremental = () =>
         runAll(spark, sfDir, Rolling(14), notifier, sink).foreach(onResult),
@@ -410,6 +421,39 @@ object Orchestrator {
         ivfIndexRoots.foreach(r => isolated(s"ivf index $r") {
           graft.similarity.IvfIndex.retrain(spark, r); ()
         })
+        // opt-in alert→action: when a store's PERSISTED breach streak
+        // (written by the daily ingests under the store lock) is in
+        // breach at sweep time, the bound remediation runs in this same
+        // slot — the reference's ops story is unattended cron, and an
+        // alert a human must read is weaker than a sweep that acts. The
+        // streak resets only after the remediation SUCCEEDS (a failed
+        // retune must leave the condition armed for next month); the
+        // run is isolated per store like every other unit.
+        remediations.foreach { case (s, act) =>
+          isolated(s"remediation $s") {
+            val n =
+              if (corpusStores.contains(s))
+                graft.dedup.SignatureStore.readAuditStreak(spark, s)
+              else graft.similarity.EmbeddingStore.readAuditStreak(spark, s)
+            if (n >= auditPolicy.consecutive) {
+              act()
+              if (corpusStores.contains(s))
+                graft.dedup.SignatureStore.clearAuditStreak(spark, s)
+              else graft.similarity.EmbeddingStore.clearAuditStreak(spark, s)
+              onMaintain(MaintainResult(
+                s"remediation $s (AUDIT ALERT: $n consecutive breaches — remediation scheduled and run)",
+                "", 0, 0, skipped = false))
+              notifier.foreach { cfg =>
+                val (subject, body) = Notifier.format(Notifier.RunSummary(
+                  s"remediation $s", 0, 0, 0, 0.0, None))
+                Notifier.send(cfg,
+                  subject, body + s"\nAUDIT ALERT: $n consecutive breaches — " +
+                    "remediation scheduled and run; streak reset")
+              }
+            } else onMaintain(MaintainResult(s"remediation $s", "", 0, 0,
+              skipped = true))
+          }
+        }
       }))
 
   final case class MaintainResult(pipeline: String, root: String,
@@ -506,6 +550,9 @@ object Orchestrator {
         onAudit = a => audit.set(Some(a))),
       doRollback = snap => SignatureStore.rollback(spark, store, snap),
       notifier, sink,
+      streak = durableStreak(() => SignatureStore.readAuditStreak(spark, store),
+        n => SignatureStore.writeAuditStreak(spark, store, n),
+        () => SignatureStore.clearAuditStreak(spark, store)),
       finish = r => r.copy(bandAudit = audit.get()))
   }
 
@@ -541,6 +588,9 @@ object Orchestrator {
         bucketCap = bucketCap, onAudit = a => audit.set(Some(a))),
       doRollback = snap => EmbeddingStore.rollback(spark, store, snap),
       notifier, sink,
+      streak = durableStreak(() => EmbeddingStore.readAuditStreak(spark, store),
+        n => EmbeddingStore.writeAuditStreak(spark, store, n),
+        () => EmbeddingStore.clearAuditStreak(spark, store)),
       // fires for failed runs too: the audit lands before any append,
       // so a batch that died mid-append still reports its drop counts
       finish = r => r.copy(lshAudit = audit.get()))
@@ -565,9 +615,10 @@ object Orchestrator {
       doRollback: Set[String] => Unit,
       notifier: Option[Notifier.Config],
       sink: Sink,
+      streak: StreakStore,
       finish: CorpusResult => CorpusResult = identity): CorpusResult = {
     val t0 = System.nanoTime()
-    val result = recordAuditAlert(finish(
+    val result =
       try {
         // a missing/never-built store must surface as a formatted
         // CorpusResult error (and fire the notifier), not an uncaught
@@ -586,8 +637,14 @@ object Orchestrator {
               col(idCol), col("is_dup"), col("dup_of"))
               .withColumn("refreshed_at", current_timestamp())
             sink.merge(spark, corpusPipeline(store), out)
-            CorpusResult(store, batchRows, dups, batchRows - dups,
-              (System.nanoTime() - t0) / 1e9, None)
+            // the escalation verdict is stamped INSIDE the critical
+            // section: the durable streak's read-modify-write shares
+            // the ingest's single-writer lock, so two cadences on the
+            // same store can never interleave counter updates
+            recordAuditAlert(finish(
+              CorpusResult(store, batchRows, dups, batchRows - dups,
+                (System.nanoTime() - t0) / 1e9, None)),
+              AuditPolicy(), streak)
           } catch {
             case e: Throwable =>
               try doRollback(snap) // store unchanged
@@ -600,9 +657,13 @@ object Orchestrator {
           val rbNote = e.getSuppressed.headOption
             .map(rb => s" (ROLLBACK ALSO FAILED — partial appends remain: ${rb.getMessage})")
             .getOrElse("")
-          CorpusResult(store, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
-            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}$rbNote"))
-      }))
+          // a failed ingest's mutation rolled back: its audits (landed
+          // pre-append) still ride the result for the run report, but
+          // the streak is left untouched and no alert is stamped —
+          // recordAuditAlert's error rule, enforced by not calling it
+          finish(CorpusResult(store, 0, 0, 0, (System.nanoTime() - t0) / 1e9,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}$rbNote")))
+      }
     notifier.foreach { cfg =>
       val (subject, body) = Notifier.format(Notifier.RunSummary(
         s"$jobLabel $store", result.survivors, result.dups,
@@ -643,37 +704,77 @@ object Orchestrator {
   final case class AuditPolicy(embCapPct: Int = 80, textMaxBucket: Long = 1000,
       consecutive: Int = 3)
 
-  /** Consecutive-breach streaks per store (process-lifetime — the
-    * scheduler daemon owns the cadence, so "K ingests in a row" is its
-    * to count). One noisy batch is data; a streak is a condition.
+  /** One store's consecutive-breach counter. TWO implementations:
+    * the in-memory map below (a scheduler daemon counting within its
+    * own process, and the back-compat default of the 2-arg
+    * [[recordAuditAlert]]), and the DURABLE per-store sidecar the
+    * corpus cadences use ([[durableStreak]]) — because the verified
+    * production mode is one fresh JVM per daily `Runner
+    * --corpus-ingest` (cron), where a process-lifetime counter resets
+    * every run and "K breaches in a row" is unreachable.
     */
+  trait StreakStore {
+    def read(): Int
+    def write(n: Int): Unit
+    def clear(): Unit
+  }
+
+  /** Process-lifetime streaks (back-compat / daemon counting). */
   private val breachStreaks =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def memStreak(store: String): StreakStore = new StreakStore {
+    def read(): Int = breachStreaks.getOrElse(store, 0)
+    def write(n: Int): Unit = { breachStreaks.update(store, n); () }
+    def clear(): Unit = { breachStreaks.remove(store); () }
+  }
 
   private[graft] def resetAuditStreak(store: String): Unit =
     { breachStreaks.remove(store); () }
 
+  /** The corpus cadences' durable streak: the store's sidecar file,
+    * read-modify-written inside the ingest's single-writer lock (the
+    * reentrant `locked` bracket in [[runStoreIngest]]).
+    */
+  private def durableStreak(readF: () => Int, writeF: Int => Unit,
+      clearF: () => Unit): StreakStore = new StreakStore {
+    def read(): Int = readF()
+    def write(n: Int): Unit = writeF(n)
+    def clear(): Unit = clearF()
+  }
+
   /** Record this ingest against the store's breach streak and stamp the
     * escalation verdict into the result — called exactly ONCE per
-    * ingest (by [[runStoreIngest]]); formatters must read
+    * SUCCESSFUL ingest (by [[runStoreIngest]], inside the store's
+    * single-writer critical section so the streak read-modify-write
+    * can never race a concurrent cadence); formatters must read
     * `result.auditAlert`, never re-derive it. The alert fires only
     * after [[AuditPolicy.consecutive]] breaching ingests IN A ROW for
-    * the same store (a clean ingest resets the streak), and names the
-    * remediation the audit points at —
+    * the same store, and names the remediation the audit points at —
     * [[graft.similarity.EmbeddingStore.reband]] for the embedding
     * store, [[graft.dedup.SignatureStore.retune]] (more rows per band)
     * for the text store. It rides [[lshAuditLines]] and with them the
     * notification mail and the streaming flag log, so the daily report
     * escalates from accounting to action.
+    *
+    * Streak semantics: only an ingest that actually AUDITED clean —
+    * audits present, no breach, no error — resets the counter. An
+    * ERRORED ingest (or one that died before banding: both audits
+    * None) leaves the streak untouched: its mutation rolled back, so
+    * it is evidence of nothing, and counting it as clean would let an
+    * intermittently crashing store mask a sustained breach forever.
     */
-  def recordAuditAlert(result: CorpusResult,
-      policy: AuditPolicy = AuditPolicy()): CorpusResult = {
+  def recordAuditAlert(result: CorpusResult, policy: AuditPolicy,
+      streak: StreakStore): CorpusResult = {
     val embBreach = result.lshAudit.exists(a => a.cappedRows > 0 ||
       (a.bucketCap > 0 && a.maxBucket * 100 >= policy.embCapPct * a.bucketCap))
     val textBreach = result.bandAudit.exists(_.maxBucket >= policy.textMaxBucket)
-    if (!embBreach && !textBreach) { breachStreaks.remove(result.store); result }
+    val hasAudit = result.lshAudit.isDefined || result.bandAudit.isDefined
+    if (result.error.isDefined || !hasAudit) result // untouched — see doc
+    else if (!embBreach && !textBreach) { streak.clear(); result }
     else {
-      val n = breachStreaks.updateWith(result.store)(c => Some(c.getOrElse(0) + 1)).get
+      val n = streak.read() + 1
+      streak.write(n)
       if (n < policy.consecutive) result
       else result.copy(auditAlert =
         Some(s"AUDIT ALERT: store '${result.store}' breached its bucket " +
@@ -685,4 +786,9 @@ object Orchestrator {
             "dominates the daily ingest")))
     }
   }
+
+  /** Back-compat / direct form over the in-memory streak map. */
+  def recordAuditAlert(result: CorpusResult,
+      policy: AuditPolicy = AuditPolicy()): CorpusResult =
+    recordAuditAlert(result, policy, memStreak(result.store))
 }

@@ -297,8 +297,19 @@ object EmbeddingStore {
   def drop(spark: SparkSession, name: String): Unit = locked(spark, name) {
     allTables(name).foreach(StoreGuard.resetTable(spark, _))
     guard(name).clearPending(spark)
+    guard(name).clearStreak(spark) // a dropped store has no audit history
     setRebandMarker(spark, name, on = false) // no store, no window
   }
+
+  /** Durable audit-alert breach streak — the embedding twin of
+    * [[graft.dedup.SignatureStore.readAuditStreak]].
+    */
+  def readAuditStreak(spark: SparkSession, name: String): Int =
+    guard(name).readStreak(spark)
+  def writeAuditStreak(spark: SparkSession, name: String, n: Int): Unit =
+    guard(name).writeStreak(spark, n)
+  def clearAuditStreak(spark: SparkSession, name: String): Unit =
+    guard(name).clearStreak(spark)
 
   /** Canonical (vec_id, emb array<double>) projection of a corpus. */
   private def baseOf(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -478,6 +478,114 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audit streak is durable across JVMs: persisted per store, untouched by errored ingests, reset only by a clean audit") {
+    import graft.ops.Orchestrator
+    import graft.similarity.EmbeddingStore
+    import TestVectors.vec
+    val store = "graft_audit_durable_spec"
+    val sink = Orchestrator.VersionedSink()
+    val root = sink.rootOf(spark, Orchestrator.corpusPipeline(store))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root.stripPrefix("file:")))
+    EmbeddingStore.drop(spark, store)
+    try {
+      Orchestrator.corpusInitEmbeddings(spark, store)
+      def ingest(id: Long, cap: Int): Orchestrator.CorpusResult =
+        Orchestrator.corpusIngestEmbeddings(spark, store,
+          Seq((id, vec(1))).toDF("vec_id", "embedding"), None, sink,
+          bucketCap = cap)
+      // "fresh JVM": the daily cron cadence runs one process per ingest,
+      // so any process-lifetime state is wiped between runs — simulate
+      // by clearing the in-memory map; the DURABLE sidecar must carry
+      // the streak across these wipes or the alert can never fire
+      def freshJvm(): Unit = Orchestrator.resetAuditStreak(store)
+      ingest(99L, cap = 1000) // seed so later twins share buckets
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 0)
+      freshJvm(); val b1 = ingest(100L, cap = 1)
+      assert(b1.lshAudit.exists(_.cappedRows > 0), b1)
+      assert(b1.auditAlert.isEmpty, b1)
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 1)
+      freshJvm(); val b2 = ingest(101L, cap = 1)
+      assert(b2.auditAlert.isEmpty, b2)
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 2)
+      // an ERRORED ingest between breaches leaves the streak untouched:
+      // its mutation rolled back, so it is evidence of nothing — and an
+      // intermittently crashing store must still escalate
+      freshJvm()
+      val err = Orchestrator.corpusIngestEmbeddings(spark, store,
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), None, sink)
+      assert(err.error.isDefined, err)
+      assert(err.auditAlert.isEmpty, err)
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 2,
+        "an errored ingest must not touch the persisted streak")
+      freshJvm(); val b3 = ingest(102L, cap = 1)
+      assert(b3.auditAlert.exists(_.contains("AUDIT ALERT")),
+        s"3rd consecutive breach across 3 'JVMs' must alert: $b3")
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 3)
+      // a clean audited ingest resets the DURABLE counter
+      freshJvm(); val clean = ingest(200L, cap = 1000)
+      assert(clean.error.isEmpty && clean.auditAlert.isEmpty, clean)
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 0,
+        "a clean ingest must reset the persisted streak")
+    } finally {
+      Orchestrator.resetAuditStreak(store)
+      EmbeddingStore.drop(spark, store)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.stripPrefix("file:")))
+    }
+  }
+
+  test("monthly sweep opt-in remediation: breached store retuned + streak reset, non-breached untouched, failure isolated") {
+    import graft.dedup.SignatureStore
+    import graft.ops.Orchestrator
+    val docs = (1L to 20L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    val (breached, cleanStore, broken) =
+      ("graft_rem_breached", "graft_rem_clean", "graft_rem_broken")
+    Seq(breached, cleanStore, broken).foreach { n =>
+      SignatureStore.drop(spark, n); SignatureStore.build(spark, docs, n)
+    }
+    try {
+      // arm the persisted streaks at the threshold (what 3 breaching
+      // daily ingests would have written); the clean store stays at 0
+      SignatureStore.writeAuditStreak(spark, breached, 3)
+      SignatureStore.writeAuditStreak(spark, broken, 3)
+      val acted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val maint = new java.util.concurrent.ConcurrentLinkedQueue[Orchestrator.MaintainResult]()
+      val jobs = Orchestrator.scheduledJobs(spark, sfDir,
+        onMaintain = m => { maint.add(m); () },
+        corpusStores = Seq(broken, breached, cleanStore),
+        remediations = Map(
+          broken -> (() => sys.error("retune exploded")), // isolation probe
+          breached -> (() => {
+            acted.add(breached)
+            SignatureStore.retune(spark, docs, breached,
+              SignatureStore.Spec(bands = 16, rows = 3))
+          }),
+          cleanStore -> (() => { acted.add(cleanStore); () })))
+      jobs.find(_.name == "monthly_maintenance").get.run()
+      val ms = maint.toArray(Array.empty[Orchestrator.MaintainResult]).toSeq
+      // only the breached store's remediation ran; geometry re-pinned
+      assert(acted.toArray.toSeq == Seq(breached), acted.toArray.toSeq)
+      assert(spark.table(SignatureStore.metaTable(breached)).head()
+        .getAs[Int]("rows") == 3, "retune must re-pin the tightened geometry")
+      assert(SignatureStore.readAuditStreak(spark, breached) == 0,
+        "a successful remediation resets the streak")
+      // non-breached: untouched — skipped record, default geometry
+      assert(spark.table(SignatureStore.metaTable(cleanStore)).head()
+        .getAs[Int]("rows") == 2)
+      assert(ms.exists(m => m.pipeline == s"remediation $cleanStore" && m.skipped), ms)
+      // the broken remediation failed ISOLATED (others still ran) and
+      // its streak stays armed for next month's sweep
+      assert(SignatureStore.readAuditStreak(spark, broken) == 3,
+        "a FAILED remediation must leave the condition armed")
+      assert(ms.exists(m => m.pipeline == s"remediation $broken" && m.error.isDefined), ms)
+      assert(ms.exists(m => m.pipeline.contains(s"remediation $breached") &&
+        m.pipeline.contains("remediation scheduled")), ms)
+    } finally Seq(breached, cleanStore, broken).foreach(SignatureStore.drop(spark, _))
+  }
+
   test("orchestrator maintenance: sync, compact clustered by key, vacuum, still readable (E1/D6)") {
     import graft.ops.Orchestrator
     import graft.sinks.VersionedTable
