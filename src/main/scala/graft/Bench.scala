@@ -33,6 +33,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    another JVM owning the machine makes numbers garbage) and quiet
   *    (1-min load < 1.0, further 240 s cap — round-9's load-4.31 start
   *    inflated d05 4× and flagged two stable queries unstable);
+  *  - the quiet bar has MID-RUN teeth (the r15 failure: external load
+  *    arrived after a clean start and inflated the whole artifact 64%
+  *    with the startup bar none the wiser): 1-min load is sampled
+  *    around every timed run, and a query whose published min was
+  *    taken while load exceeded the bar gets ONE more run after a
+  *    bounded re-quiet wait — the min of all runs is published, a
+  *    quiet run confirming the min clears a contention-induced
+  *    `unstable` flag, and the artifact counts the re-quieted queries
+  *    under `requiet` so it self-adjudicates ([[requietPublish]],
+  *    spec-pinned);
   *  - the session timezone is pinned UTC like Runner/Verify so timing
   *    runs execute the same plans the correctness gate verified.
   */
@@ -187,6 +197,16 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val unstable = scala.collection.mutable.ArrayBuffer[String]()
+    // mid-run load guard accounting: total re-quiet wait is bounded so a
+    // permanently contended machine can't stall the artifact past its
+    // deadlines — once the budget is spent, loaded timings stand (still
+    // flagged via `requiet`? no: an un-re-run loaded query keeps its
+    // unstable/raw-run evidence; `requiet` counts queries that DID get
+    // their clean confirmation run)
+    val loadBar = 1.0
+    val requietBudgetSec = envInt("SPARK_GRAFT_REQUIET_SEC", 300).toDouble
+    var requietUsedSec = 0.0
+    var requietCount = 0
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed warm-up of persistent state (signature stores, ANN
       // indexes) so every timed run exercises the steady-state
@@ -210,13 +230,19 @@ object Bench {
       // bytes aren't attributed to the timed runs' diagnostic line
       metricSums.set(Map.empty)
       val rawTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      // max 1-min load sampled around this query's timed runs — the
+      // mid-run teeth: the startup quiet bar can't see load that
+      // arrives later, but this sample can
+      var loadSeen = 0.0
       def timed(): Either[String, Double] = {
+        loadSeen = math.max(loadSeen, machineLoad()._1)
         val r = once(name,
           () => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        loadSeen = math.max(loadSeen, machineLoad()._1)
         r.foreach(rawTimes += _)
         r
       }
-      val r =
+      val r0 =
         if (elapsedSec > hardDeadlineSec) Left("skipped:deadline")
         else if (elapsedSec > softDeadlineSec) timed() // degraded: single run
         else timed() match {
@@ -235,6 +261,30 @@ object Bench {
           }
           case Left(err) => Left(err)
         }
+      // mid-run load guard: a published min taken under external load
+      // is a lie waiting for a future round to read as a regression —
+      // wait (bounded) for the machine to re-quiet and take one clean
+      // confirmation run; decision logic is the spec-pinned
+      // requietPublish. Skipped past the soft deadline or once the
+      // re-quiet budget is spent (the artifact must still land).
+      val (r, requieted, clearUnstable) = requietPublish(r0, loadSeen, loadBar,
+        wasUnstable = unstable.contains(name),
+        quietRun = () =>
+          if (elapsedSec > softDeadlineSec || requietUsedSec >= requietBudgetSec) None
+          else {
+            val w0 = System.nanoTime()
+            def waited: Double = (System.nanoTime() - w0) / 1e9
+            while (machineLoad()._1 > loadBar && waited < 120.0 &&
+                requietUsedSec + waited < requietBudgetSec) Thread.sleep(5000)
+            requietUsedSec += waited
+            if (machineLoad()._1 <= loadBar) {
+              System.err.println(f"[bench] $name%-28s re-quiet run (published min " +
+                f"was taken under load=${loadSeen}%.1f)")
+              Some(timed())
+            } else None
+          })
+      if (requieted) requietCount += 1
+      if (clearUnstable) unstable -= name
       // listener-bus drain grace before reading the advisory metrics
       Thread.sleep(150)
       val m = metricSums.get()
@@ -254,10 +304,50 @@ object Bench {
     System.err.flush()
     Thread.sleep(100)
     println(renderLine(runs, unstable.toSeq,
-      (loadBefore, loadAfter, memBefore, memAfter), waitedSec, sfDir))
+      (loadBefore, loadAfter, memBefore, memAfter), waitedSec, sfDir,
+      requietCount))
     System.out.flush()
     spark.stop()
   }
+
+  /** Mid-run load-guard decision (pure — BenchSpec pins the contract):
+    * given a query's published result and the max 1-min load sampled
+    * around its timed runs, decide what to publish. `quietRun` is the
+    * bounded wait-for-quiet + one clean run (None when the machine
+    * never re-quieted or the budget/deadline is spent — the caller's
+    * policy, not this function's).
+    *
+    * Returns (result, requieted, clearUnstable):
+    *  - load never exceeded the bar, or the result is an error →
+    *    unchanged, nothing counted;
+    *  - clean run succeeded → min of all runs published, counted under
+    *    `requiet`; when the query had been flagged `unstable` and the
+    *    QUIET run lands within 2× of the published min, the flag is
+    *    cleared — the spread is adjudicated as external contention,
+    *    not plan instability (the r13-d02/r14-e11/r15-whole-artifact
+    *    pattern);
+    *  - clean run failed → the loaded timing stands (a timing under
+    *    load beats an error), still counted;
+    *  - no clean run possible → the loaded timing stands uncounted,
+    *    with its raw runs and any unstable flag as evidence.
+    */
+  private[graft] def requietPublish(
+      published: Either[String, Double],
+      loadSeen: Double, loadBar: Double,
+      wasUnstable: Boolean,
+      quietRun: () => Option[Either[String, Double]])
+      : (Either[String, Double], Boolean, Boolean) =
+    published match {
+      case Right(t) if loadSeen > loadBar =>
+        quietRun() match {
+          case Some(Right(t2)) =>
+            val best = math.min(t, t2)
+            (Right(best), true, wasUnstable && t2 <= 2.0 * best)
+          case Some(Left(_)) => (Right(t), true, false)
+          case None => (published, false, false)
+        }
+      case _ => (published, false, false)
+    }
 
   /** The single-line JSON artifact. Pure so `BenchSpec` can pin the
     * contract: the whole line must fit in the driver's bounded
@@ -292,7 +382,8 @@ object Bench {
       unstable: Seq[String],
       load: (Double, Double, Long, Long),
       waitedSec: Double,
-      sfDir: String): String = {
+      sfDir: String,
+      requietCount: Int = 0): String = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -332,7 +423,10 @@ object Bench {
       val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
         .map(_.group(1).stripSuffix(".")).getOrElse(s"\"${esc(sfDir)}\"")
       val waitJson = if (waitedSec > 0) f""","wait":${waitedSec}%.0f""" else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$fastJson,"errors":$errs,"failed":$nFailed,$unstableJson,$loadJson$waitJson,"sf":$sfNum}"""
+      // queries whose loaded min got a clean confirmation run — nonzero
+      // means mid-run contention was detected AND adjudicated in-run
+      val requietJson = if (requietCount > 0) s""","requiet":$requietCount""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$fastJson,"errors":$errs,"failed":$nFailed,$unstableJson,$loadJson$waitJson$requietJson,"sf":$sfNum}"""
     }
     // Self-clamp ladder: shed timing precision, then memory columns,
     // then the fast-query rollup, then unstable names, then error-text

@@ -37,6 +37,53 @@ class BenchSpec extends SparkSpec {
     assert(row.getAs[Double]("sf") == 0.1)
   }
 
+  test("mid-run load guard: loaded min re-runs under quiet, min published, contention-flagged instability cleared") {
+    // quiet query: untouched, no clean run requested
+    var calls = 0
+    val quiet = Bench.requietPublish(Right(2.0), loadSeen = 0.4, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => { calls += 1; Some(Right(1.0)) })
+    assert(quiet == (Right(2.0), false, false) && calls == 0)
+    // loaded min + clean run faster: min published, counted
+    val faster = Bench.requietPublish(Right(21.4), loadSeen = 2.8, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => Some(Right(5.6)))
+    assert(faster == (Right(5.6), true, false))
+    // loaded min + clean run slower: original min stands, still counted
+    val slower = Bench.requietPublish(Right(2.0), loadSeen = 1.5, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => Some(Right(2.3)))
+    assert(slower == (Right(2.0), true, false))
+    // the r15 shape: >2x spread under load flagged `unstable`, the quiet
+    // run confirms the min — flag adjudicated as external and cleared
+    val adjudicated = Bench.requietPublish(Right(5.6), loadSeen = 2.8, loadBar = 1.0,
+      wasUnstable = true, quietRun = () => Some(Right(5.9)))
+    assert(adjudicated == (Right(5.6), true, true))
+    // quiet run far from the min: genuine instability, flag stays
+    val stillUnstable = Bench.requietPublish(Right(1.0), loadSeen = 2.8, loadBar = 1.0,
+      wasUnstable = true, quietRun = () => Some(Right(4.0)))
+    assert(stillUnstable == (Right(1.0), true, false))
+    // clean run errored: the loaded timing beats an error, counted
+    val errRun = Bench.requietPublish(Right(3.0), loadSeen = 2.0, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => Some(Left("boom")))
+    assert(errRun == (Right(3.0), true, false))
+    // machine never re-quieted / budget spent: loaded timing stands,
+    // NOT counted (its raw runs + flags remain the evidence)
+    val noQuiet = Bench.requietPublish(Right(3.0), loadSeen = 2.0, loadBar = 1.0,
+      wasUnstable = true, quietRun = () => None)
+    assert(noQuiet == (Right(3.0), false, false))
+    // failed queries pass through untouched
+    val failed = Bench.requietPublish(Left("timeout"), loadSeen = 9.9, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => Some(Right(1.0)))
+    assert(failed == (Left("timeout"), false, false))
+  }
+
+  test("requiet count rides the artifact and parses; absent when zero") {
+    val runs = names.take(10).map(n => n -> (Right(2.5): Either[String, Double]))
+    val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1", requietCount = 3)
+    val row = parse(line)
+    assert(row.getAs[Long]("requiet") == 3, line)
+    val clean = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1")
+    assert(!clean.contains("requiet"), clean)
+  }
+
   test("the REAL suite's healthy line spells every slow timing; fast ones roll up") {
     // The registry outgrew full per-query maps (76 names alone overrun
     // the tail budget), so the scale-proof contract is: every SLOW
