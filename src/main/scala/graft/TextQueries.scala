@@ -424,9 +424,16 @@ object TextQueries {
     */
   /** The packing recipe over ANY (doc_id, n_tokens) frame — t11 feeds
     * it whitespace-token counts (the oracle-checked default); feed it
-    * `size(bpe_tokens(norm))` for REAL model-token budgets (the opt-in
-    * mode a production packer uses once a tokenizer is pinned —
-    * spec-verified in TextSpec).
+    * real encoder counts for REAL model-token budgets (the opt-in mode
+    * a production packer uses once a tokenizer is pinned —
+    * spec-verified in TextSpec). The input the encoder needs depends on
+    * the REGISTERED vocabulary's mode: the fixture vocabulary takes the
+    * canonical text (`size(bpe_tokens(norm))`), but a LOADED byte-level
+    * vocabulary (GPT-2 family — what `Runner --bpe-merges` auto-detects)
+    * has case-sensitive `Ġ`-merges that need the RAW text
+    * (`size(bpe_tokens(text))`); feeding it canonicalized text leaves
+    * most merges dead and silently inflates every count — the exact
+    * failure `Bpe.loadVocab`'s arbitration exists to prevent.
     */
   def packSequences(d0: org.apache.spark.sql.DataFrame,
       budget: Int = 2048): org.apache.spark.sql.DataFrame = {
@@ -541,8 +548,11 @@ object TextQueries {
     */
   /** The chunking recipe over ANY (doc_id, toks array<string>) frame —
     * t13 feeds it whitespace tokens (the oracle-checked default); feed
-    * it `bpe_tokens(norm)` for chunks measured in REAL model tokens
-    * (opt-in, spec-verified in TextSpec). Pure narrow plan either way.
+    * it encoder output for chunks measured in REAL model tokens
+    * (opt-in, spec-verified in TextSpec): `bpe_tokens(norm)` under the
+    * fixture vocabulary, `bpe_tokens(text)` — RAW text — under a loaded
+    * byte-level vocabulary (see [[packSequences]]'s mode note). Pure
+    * narrow plan either way.
     */
   def chunkTokens(d0: org.apache.spark.sql.DataFrame,
       size: Int = 50, stride: Int = 40): org.apache.spark.sql.DataFrame = {
@@ -650,6 +660,119 @@ object TextQueries {
       GROUP BY 1, 2, 3
     """.stripMargin.trim))
 
+  /** t15's training corpus: a pinned, frequency-skewed sample of the
+    * document corpus's own vocabulary (word i appears n−i times), so
+    * the trained merges form real multi-level chains (` table` needs
+    * six) and rarer words stay partially merged — the encoder's
+    * interesting regime. Deterministic by construction: training is
+    * greedy count-then-merge with a lexicographic tie-break
+    * ([[graft.text.Bpe.train]]), so every JVM derives the identical
+    * ranked merges and the pinned oracle replay can never drift.
+    */
+  private[graft] val t15TrainCorpus: Seq[String] = {
+    val words = Seq("table", "value", "scan", "query", "spark", "batch",
+      "window", "stream", "merge", "filter", "column", "customer", "order",
+      "group", "line", "part", "hash", "data", "fast", "slow", "small",
+      "big", "key", "agg", "row", "sort", "join", "vector", "the", "a")
+    words.zipWithIndex.map { case (w, i) =>
+      Seq.fill(words.size - i)(w).mkString(" ")
+    }
+  }
+
+  /** The byte-level vocabulary t15 encodes with, TRAINED IN-ENGINE
+    * ([[graft.text.Bpe.trainFromTexts]], byteLevel = true — GPT-2
+    * pre-tokenizer over raw text, byte↔unicode mapping, greedy pair
+    * merging). The 120 is a cap — training runs to pair exhaustion at
+    * 108 merges on this fixture: the frequent vocabulary merges to
+    * whole `Ġword` symbols, rarer forms stay sub-word.
+    */
+  private[graft] lazy val t15Vocab: graft.text.Bpe.Vocab =
+    new graft.text.Bpe.Vocab(
+      graft.text.Bpe.trainFromTexts(t15TrainCorpus, nMerges = 120,
+        byteLevel = true), true)
+
+  /** BYTE-LEVEL BPE under the oracle gate: encode the RAW document text
+    * (case and whitespace preserved — the byte-level contract) with the
+    * in-engine-trained vocabulary above, published as per-document
+    * token counts with vocabulary ids, exactly t14's shape. This is the
+    * mode real model vocabularies load in ([[graft.text.Bpe.loadVocab]]
+    * auto-detect), previously spec-only.
+    *
+    * The oracle replays the full byte-level path from the same single
+    * sources of truth: the GPT-2 byte↔unicode table as a 256-row lookup
+    * ([[graft.text.Bpe.byteMapSqlValues]], joined per character by code
+    * point — exact because the synthetic corpus is single-byte ASCII;
+    * a multi-byte corpus would need byte-wise extraction the engine
+    * side already does), the TRAINED merges
+    * ([[graft.text.Bpe.mergesSqlValuesOf]]), and t14's recursive-CTE
+    * merge loop. The pre-tokenizer is the GPT-2 regex minus its
+    * trailing-whitespace lookahead branch (RE2 has no lookahead);
+    * equivalent on any single-spaced corpus — which this one is — while
+    * the Spark kernel runs the true regex.
+    */
+  val t15 = QueryDef(
+    "t15_bpe_byte_encode",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val toks = ColumnBridge.column(graft.text.BpeTokensExpr(
+        ColumnBridge.expression(col("text")), t15Vocab))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("token_id", ColumnBridge.column(graft.text.BpeTokenIdExpr(
+          ColumnBridge.expression(col("token")), t15Vocab)))
+        .select("doc_id", "token", "token_id", "cnt")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      pieces AS (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+          '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS rawpiece
+        FROM documents),
+      pcount AS (SELECT doc_id, rawpiece, COUNT(*) AS np FROM pieces GROUP BY 1, 2),
+      bytemap(b, c) AS (VALUES ${graft.text.Bpe.byteMapSqlValues}),
+      chars AS (
+        SELECT rawpiece, i, substr(rawpiece, CAST(i AS INTEGER), 1) AS ch
+        FROM (SELECT DISTINCT rawpiece FROM pcount) pd, UNNEST(range(1, len(rawpiece)+1)) AS t(i)),
+      mapped AS (
+        SELECT rawpiece, string_agg(bm.c, '' ORDER BY i) AS piece
+        FROM chars JOIN bytemap bm ON bm.b = unicode(ch)
+        GROUP BY rawpiece),
+      merges(rank, a, b) AS (VALUES ${graft.text.Bpe.mergesSqlValuesOf(t15Vocab.merges)}),
+      enc0 AS (
+        SELECT piece,
+          chr(31) || array_to_string(list_transform(range(1, len(piece)+1), i -> piece[i:i]), chr(31)||chr(31)) || chr(31) AS sym
+        FROM (SELECT DISTINCT piece FROM mapped)),
+      rec AS (
+        SELECT piece, sym FROM enc0
+        UNION ALL
+        SELECT r.piece, replace(r.sym, best.pat, best.rep) AS sym
+        FROM rec r, LATERAL (
+          SELECT chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31) AS pat,
+                 chr(31)||m.a||m.b||chr(31) AS rep
+          FROM merges m
+          WHERE contains(r.sym, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31))
+          ORDER BY m.rank LIMIT 1) best),
+      fin AS (
+        SELECT piece, sym FROM rec r
+        WHERE NOT EXISTS (SELECT 1 FROM merges m
+          WHERE contains(r.sym, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)))),
+      ptok AS (
+        SELECT piece, unnest(string_split(trim(sym, chr(31)), chr(31)||chr(31))) AS token
+        FROM fin),
+      ptokc AS (SELECT piece, token, COUNT(*) AS k FROM ptok GROUP BY 1, 2),
+      ids AS (SELECT a || b AS token, 1114112 + MIN(rank) AS id FROM merges GROUP BY 1)
+      SELECT pc.doc_id, pt.token,
+        CAST(COALESCE(CASE WHEN len(pt.token) = 1 THEN unicode(pt.token) END, i.id, -1) AS INTEGER) AS token_id,
+        CAST(SUM(pc.np * pt.k) AS BIGINT) AS cnt
+      FROM pcount pc
+      JOIN mapped mp USING (rawpiece)
+      JOIN ptokc pt USING (piece)
+      LEFT JOIN ids i ON i.token = pt.token
+      GROUP BY 1, 2, 3
+    """.stripMargin.trim))
+
   def all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }

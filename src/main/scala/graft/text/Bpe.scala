@@ -440,9 +440,27 @@ object Bpe {
   /** The merges table as a SQL VALUES body `(rank, a, b), ...` — the
     * oracle-side mirror, generated from the same vector.
     */
-  def mergesSqlValues: String =
-    merges.zipWithIndex
-      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+  def mergesSqlValues: String = mergesSqlValuesOf(merges)
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** An arbitrary merges table as a SQL VALUES body — the oracle-side
+    * mirror for TRAINED vocabularies (t15's in-engine byte-level vocab).
+    */
+  def mergesSqlValuesOf(ms: Seq[(String, String)]): String =
+    ms.zipWithIndex
+      .map { case ((a, b), r) => s"($r, ${sqlQuote(a)}, ${sqlQuote(b)})" }
+      .mkString(", ")
+
+  /** The GPT-2 byte↔unicode table as a SQL VALUES body `(byte, char)` —
+    * 256 rows generated from the same array the kernel uses, so the
+    * DuckDB oracle replays the byte mapping from the single source of
+    * truth (every mapped char is printable by construction, so the
+    * VALUES body stays a plain SQL literal).
+    */
+  def byteMapSqlValues: String =
+    byteToChar.zipWithIndex
+      .map { case (c, b) => s"($b, ${sqlQuote(c.toString)})" }.mkString(", ")
 }
 
 /** `bpe_tokens(string) -> array<string>` — whole-document true-BPE

@@ -363,6 +363,37 @@ class TextSpec extends SparkSpec {
       s"trained byte-level merges must compress in-domain text: $inDomain tokens")
   }
 
+  test("t15: the pinned trained byte-level vocabulary is deterministic; the query's tokens merge, id cleanly, and unmap losslessly") {
+    import graft.text.Bpe
+    val v = TextQueries.t15Vocab
+    // training runs to pair exhaustion on this fixture (108 merges;
+    // the 120 passed to train is a cap, not a target)
+    assert(v.byteLevel && v.merges.size == 108, v.merges.size)
+    // deterministic training: an independent run derives the identical
+    // ranked merges — the oracle SQL is generated from this vector, so
+    // any nondeterminism here would be a silent gate flake
+    assert(Bpe.trainFromTexts(TextQueries.t15TrainCorpus, 120,
+      byteLevel = true) == v.merges)
+    val out = TextQueries.t15.query(spark, sfDir).persist()
+    try {
+      assert(out.count() > 0)
+      // trained merges FIRE on the real corpus (multi-char tokens with
+      // ids in the merged space), and every token resolves to an id
+      assert(out.filter(col("token_id") >= Bpe.MergedIdBase).count() > 0,
+        "no merged tokens — the trained vocabulary never fired")
+      assert(out.filter(col("token_id") === -1).count() == 0,
+        "encoder output must always resolve to a vocabulary id")
+      // byte-level contract on the real data: one doc's raw text
+      // round-trips through encode → unmap bit-identically
+      val doc = Tables.documents(spark, sfDir).orderBy("doc_id")
+        .select("text").head.getString(0)
+      val toks = v.encodeDoc(org.apache.spark.unsafe.types.UTF8String
+        .fromString(doc)).toArray[AnyRef](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(new String(Bpe.unmapBytes(toks), "UTF-8") == doc)
+    } finally { out.unpersist(); () }
+  }
+
   test("realistic-size vocabulary: thousands of trained merges round-trip merges.txt and drive the codegen kernel") {
     import graft.text.{Bpe, BpeFunctions}
     import graft.text.TextFunctions.normText
