@@ -219,8 +219,12 @@ object ScaleCheck {
       "s07x_ivf_retrain",
       (s, dir) => {
         val root = ensureIvfBase(s, dir, "s07x", withDelta = true)
+        // phase split to stderr so the monthly-sweep budget is
+        // plannable: which of train / assign / publish dominates the
+        // one lifecycle op whose cost tracks the index, not the batch
         val n = similarity.IvfIndex.retrain(s, root, nlist = 8, iters = 2,
-          sampleMod = 2)
+          sampleMod = 2,
+          onStage = (l, t) => System.err.println(f"[s07x] phase $l%-8s $t%6.2f s"))
         s.range(1).select(lit(n).as("cells"))
       },
       None,

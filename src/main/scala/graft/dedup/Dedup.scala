@@ -252,9 +252,14 @@ object Dedup {
     * tolerance for the same truncation. Convergence is `require`d,
     * never silently partial.
     */
+  /** @param onRounds accounting hook: called once with the number of
+    *   label-propagation rounds the labeling took — the observable the
+    *   O(log diameter) claim is spec-pinned on (DedupSpec drives a
+    *   diameter-1000 chain and asserts the count stays logarithmic).
+    */
   def clusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, onRounds: Int => Unit = _ => ()): DataFrame = {
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
@@ -304,6 +309,7 @@ object Dedup {
       round += 1
     }
     require(converged, s"component labeling did not converge in $maxRounds rounds")
+    onRounds(round)
     edges.unpersist()
     docs.select(col(idCol).cast("long").as(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -326,16 +326,38 @@ object IvfIndex {
   /** [[train]] + [[build]]: quantize the corpus in-engine, then build
     * the persisted index over the trained cells.
     */
+  /** @param onStage dev-hook (the SignatureStore.ingest pattern):
+    *   called with (phase, seconds) after each of the three cost
+    *   phases — "train" (sampled Lloyd iterations), "assign" (the
+    *   full-corpus cell assignment, materialized into the cache), and
+    *   "publish" (vectors+centroids writes and the version rename) —
+    *   so the monthly-sweep budget can be split without a drift-prone
+    *   reimplementation (the s07x scale rows print it).
+    */
   def buildTrained(corpus: DataFrame, idCol: String, vecCol: String, root: String,
       nlist: Int, iters: Int = 2, sampleMod: Int = 1,
-      retainVersions: Int = 2): Int = {
-    val cells = train(corpus, idCol, vecCol, nlist, iters, sampleMod)
-      .withColumnRenamed("vec_id", idCol)
+      retainVersions: Int = 2,
+      onStage: (String, Double) => Unit = (_, _) => ()): Int = {
+    def staged[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val cells = staged("train")(train(corpus, idCol, vecCol, nlist, iters, sampleMod)
+      .withColumnRenamed("vec_id", idCol))
     // build runs two actions (vectors write + centroids write) — cache
-    // the assignment so the final full-corpus pass runs once, not twice
+    // the assignment so the final full-corpus pass runs once, not twice.
+    // The count materializes it as its own measured phase (train's
+    // returned plan is lazy: the Lloyd iterations already ran inside
+    // train() via its pinned collects, but the full-corpus assignment
+    // only runs here).
     cells.persist()
-    try build(corpus.join(cells, idCol), idCol, vecCol, "cell", root, retainVersions)
-    finally cells.unpersist()
+    try {
+      staged("assign")(cells.count())
+      staged("publish")(
+        build(corpus.join(cells, idCol), idCol, vecCol, "cell", root, retainVersions))
+    } finally cells.unpersist()
   }
 
   /** Maintenance RETRAIN — the missing third phase of the index
@@ -358,7 +380,8 @@ object IvfIndex {
     * oracle replays in SQL.
     */
   def retrain(spark: SparkSession, root: String, nlist: Int = 0, iters: Int = 2,
-      sampleMod: Int = 1, retainVersions: Int = 2): Int = {
+      sampleMod: Int = 1, retainVersions: Int = 2,
+      onStage: (String, Double) => Unit = (_, _) => ()): Int = {
     val ver = newestVersion(spark, root)
     require(ver > 0, s"no published index at $root to retrain")
     // nlist = 0 (the maintenance default): keep the index's own cell
@@ -370,7 +393,7 @@ object IvfIndex {
       .map(d => spark.read.parquet(d).select("vec_id", "emb"))
       .reduce(_ unionByName _)
     buildTrained(corpus, "vec_id", "emb", root, n, iters, sampleMod,
-      retainVersions)
+      retainVersions, onStage)
   }
 
   /** Top-k by cosine for each query vector, probing the `probes` nearest
