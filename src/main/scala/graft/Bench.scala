@@ -35,14 +35,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    inflated d05 4× and flagged two stable queries unstable);
   *  - the quiet bar has MID-RUN teeth (the r15 failure: external load
   *    arrived after a clean start and inflated the whole artifact 64%
-  *    with the startup bar none the wiser): 1-min load is sampled
-  *    around every timed run, and a query whose published min was
-  *    taken while load exceeded the bar gets ONE more run after a
-  *    bounded re-quiet wait — the min of all runs is published, a
-  *    quiet run confirming the min clears a contention-induced
-  *    `unstable` flag, and the artifact counts the re-quieted queries
-  *    under `requiet` so it self-adjudicates ([[requietPublish]],
-  *    spec-pinned);
+  *    with the startup bar none the wiser): EXTERNAL cpu demand (whole
+  *    system minus this JVM — raw loadavg would self-trigger on the
+  *    bench's own 32 threads) is sampled over every timed run, and a
+  *    query whose published min was taken while it exceeded the bar
+  *    gets ONE more run after a bounded re-quiet wait — the min of all
+  *    runs is published, a quiet run confirming the min clears a
+  *    contention-induced `unstable` flag, and the artifact counts the
+  *    re-quieted queries under `requiet` so it self-adjudicates
+  *    ([[requietPublish]], spec-pinned);
   *  - the session timezone is pinned UTC like Runner/Verify so timing
   *    runs execute the same plans the correctness gate verified.
   */
@@ -65,6 +66,35 @@ object Bench {
 
   private def envInt(name: String, default: Int): Int =
     sys.env.get(name).flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(default)
+
+  /** EXTERNAL cpu demand in cores over the window since the previous
+    * call: whole-system usage minus this JVM's own. The mid-run load
+    * guard must not key on raw loadavg — a 32-thread local bench raises
+    * the 1-min loadavg past any absolute bar all by itself on a
+    * perfectly quiet machine (self-load), which would burn the re-quiet
+    * budget on idle waits and publish a misleading `requiet` count.
+    * Subtracting our own process's usage makes the signal contention-
+    * only; other JVMs (a concurrent sbt — the r4/r6 artifact killer)
+    * still register. Returns -1 when the JMX bean is unavailable
+    * (callers fall back to raw loadavg).
+    */
+  private def externalCpuLoad(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case x: com.sun.management.OperatingSystemMXBean =>
+        val sys = x.getCpuLoad
+        val self = x.getProcessCpuLoad
+        if (sys < 0 || self < 0 || sys.isNaN || self.isNaN) -1.0
+        else math.max(0.0, sys - self) * Runtime.getRuntime.availableProcessors()
+      case _ => -1.0
+    }
+
+  /** The guard's load signal: external cpu cores when measurable, raw
+    * 1-min loadavg otherwise.
+    */
+  private def guardLoad(): Double = {
+    val ext = externalCpuLoad()
+    if (ext >= 0) ext else machineLoad()._1
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -230,15 +260,16 @@ object Bench {
       // bytes aren't attributed to the timed runs' diagnostic line
       metricSums.set(Map.empty)
       val rawTimes = scala.collection.mutable.ArrayBuffer[Double]()
-      // max 1-min load sampled around this query's timed runs — the
+      // max EXTERNAL load sampled over this query's timed runs — the
       // mid-run teeth: the startup quiet bar can't see load that
-      // arrives later, but this sample can
+      // arrives later, but this sample can. Sampled AFTER each run so
+      // the JMX usage window covers exactly the run's execution.
       var loadSeen = 0.0
       def timed(): Either[String, Double] = {
-        loadSeen = math.max(loadSeen, machineLoad()._1)
+        guardLoad() // reset the usage window to the run about to start
         val r = once(name,
           () => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-        loadSeen = math.max(loadSeen, machineLoad()._1)
+        loadSeen = math.max(loadSeen, guardLoad())
         r.foreach(rawTimes += _)
         r
       }
@@ -274,12 +305,18 @@ object Bench {
           else {
             val w0 = System.nanoTime()
             def waited: Double = (System.nanoTime() - w0) / 1e9
-            while (machineLoad()._1 > loadBar && waited < 120.0 &&
-                requietUsedSec + waited < requietBudgetSec) Thread.sleep(5000)
+            // each 5 s sleep is also the next sample's usage window, so
+            // the external reading here is contention-only (this JVM is
+            // near-idle while sleeping)
+            var now = guardLoad()
+            while (now > loadBar && waited < 120.0 &&
+                requietUsedSec + waited < requietBudgetSec) {
+              Thread.sleep(5000); now = guardLoad()
+            }
             requietUsedSec += waited
-            if (machineLoad()._1 <= loadBar) {
+            if (now <= loadBar) {
               System.err.println(f"[bench] $name%-28s re-quiet run (published min " +
-                f"was taken under load=${loadSeen}%.1f)")
+                f"was taken under external load=${loadSeen}%.1f)")
               Some(timed())
             } else None
           })

@@ -36,6 +36,17 @@ object Runner {
       case None => Tables.documents(spark, sfDir)
     }
 
+  /** The tightened banding geometry a retune rebuilds with — one
+    * parser for both paths that take it (`--corpus-retune` and
+    * `--auto-remediate`), so the defaults can never silently diverge.
+    */
+  private def retuneSpec(opts: Map[String, String]): graft.dedup.SignatureStore.Spec =
+    graft.dedup.SignatureStore.Spec(
+      k = opts.getOrElse("k", "3").toInt,
+      bands = opts.getOrElse("bands", "16").toInt,
+      maxDf = opts.getOrElse("max-df", "100").toInt,
+      rows = opts.getOrElse("rows", "3").toInt)
+
   /** `--key value` pairs plus bare `--flag`s (recorded as "true"). */
   private def parseOpts(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -191,16 +202,12 @@ object Runner {
       // contract, mirroring how init/ingest take the batch) and falls
       // back to the bench layout's documents table for the harness.
       opts.get("corpus-retune").foreach { store =>
-        val spec = graft.dedup.SignatureStore.Spec(
-          k = opts.getOrElse("k", "3").toInt,
-          bands = opts.getOrElse("bands", "16").toInt,
-          maxDf = opts.getOrElse("max-df", "100").toInt,
-          rows = opts.getOrElse("rows", "3").toInt)
+        val spec = retuneSpec(opts)
         graft.dedup.SignatureStore.retune(spark,
           corpusSource(spark, opts, sfDir), store, spec)
         println(s"[maintain-store] $store retuned to $spec (full rebuild " +
           s"from ${opts.getOrElse("corpus-path", s"$sfDir documents")}; " +
-          "geometry re-pinned in meta)")
+          "geometry re-pinned in meta, breach streak reset)")
       }
       // IVF index maintenance: --ivf-retrain <root> [--nlist N] re-runs
       // the coarse quantizer over the index's own contents (base +
@@ -300,17 +307,24 @@ object Runner {
         remediations =
           if (!opts.contains("auto-remediate")) Map.empty
           else {
-            val retuneSpec = graft.dedup.SignatureStore.Spec(
-              k = opts.getOrElse("k", "3").toInt,
-              bands = opts.getOrElse("bands", "16").toInt,
-              maxDf = opts.getOrElse("max-df", "100").toInt,
-              rows = opts.getOrElse("rows", "3").toInt)
             val text = opts.get("store").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
-              .map(s => s -> (() => graft.dedup.SignatureStore.retune(
-                spark, corpusSource(spark, opts, sfDir), s, retuneSpec)))
             val emb = opts.get("store-emb").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
-              .map(s => s -> (() => { graft.similarity.EmbeddingStore.reband(spark, s); () }))
-            (text ++ emb).toMap
+            // a name in both lists would make the sweep's streak
+            // dispatch ambiguous AND toMap would silently drop one
+            // thunk — refuse at parse time, not at the monthly fire
+            val both = text.toSet.intersect(emb.toSet)
+            require(both.isEmpty, "--auto-remediate needs disjoint --store/" +
+              s"--store-emb names, got both: ${both.mkString(", ")}")
+            // retune resets the breach streak itself (it always
+            // rebuilds); reband resets only when the geometry actually
+            // moves — the sweep already rebands monthly, so this thunk
+            // is a cheap geometry re-check whose real job is the
+            // alert-coupled accounting (a no-op reband leaves the
+            // alert armed: the remaining remedy is the bucketCap knob)
+            (text.map(s => s -> (() => graft.dedup.SignatureStore.retune(
+               spark, corpusSource(spark, opts, sfDir), s, retuneSpec(opts)))) ++
+             emb.map(s => s -> (() =>
+               { graft.similarity.EmbeddingStore.reband(spark, s); () }))).toMap
           })
       println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
       new Scheduler.Loop(jobs).run(maxFires)

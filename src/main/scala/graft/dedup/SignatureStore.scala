@@ -263,8 +263,16 @@ object SignatureStore {
     * geometry — and with it every d-query oracle — is untouched.
     */
   def retune(spark: SparkSession, history: DataFrame, name: String,
-      spec: Spec, buckets: Int = 16): Unit =
+      spec: Spec, buckets: Int = 16): Unit = locked(spark, name) {
     build(spark, history, name, spec, buckets)
+    // the retune IS the remediation the AUDIT ALERT names, whichever
+    // path invoked it (manual --corpus-retune or the sweep's opt-in
+    // arm): the escalation condition was acted on, so the persisted
+    // breach streak resets here — otherwise the next single breach
+    // under the NEW geometry would alert claiming "N consecutive"
+    // and an opted-in sweep would redundantly rebuild again
+    guard(name).clearStreak(spark)
+  }
 
   /** Maintenance compaction (`Runner --maintain-store`): rewrite the
     * store's bucketed tables down to ~`buckets` files each WITHOUT

@@ -262,13 +262,16 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     // host, process uuid, epoch) so a LATER process can tell a dead
     // predecessor's lock from a live foreign writer's and discharge
     // only the former ([[dischargeDeadLock]]). The stamp is written to
-    // a temp sibling and RENAMED over the claimed lock: a POSIX rename
-    // replaces the destination atomically, so the lock file never
-    // vanishes mid-stamp (an overwrite-create that is delete+recreate
-    // on some filesystems would open a window where a concurrent
-    // createNewFile could double-claim). On a filesystem that refuses
-    // overwriting renames, fall back to in-place overwrite-create and
-    // rely on its truncate-in-place semantics (true of the local FS).
+    // a temp sibling and RENAMED over the claimed lock: on the local
+    // FS (where these stores live) rename is the POSIX atomic replace,
+    // so the lock file never vanishes mid-stamp. Filesystem atomicity
+    // assumption, stated plainly: on FileSystems that REFUSE renames
+    // onto an existing destination (HDFS, object stores) the rename
+    // returns false and the fallback is plain overwrite-create — no
+    // worse than the pre-stamp behavior, and on those stores the
+    // createNewFile claim itself is already the weaker primitive, so
+    // single-writer deployments there should front the store with a
+    // real lock service rather than lean on this file protocol.
     // A writer dead between the claim and the stamp landing leaves an
     // unstamped lock, which dischargers treat as NOT verifiably dead —
     // fail-safe, at the cost of a manual unlock for that window.

@@ -426,9 +426,21 @@ object Orchestrator {
         // breach at sweep time, the bound remediation runs in this same
         // slot — the reference's ops story is unattended cron, and an
         // alert a human must read is weaker than a sweep that acts. The
-        // streak resets only after the remediation SUCCEEDS (a failed
-        // retune must leave the condition armed for next month); the
-        // run is isolated per store like every other unit.
+        // streak is reset by the remediation OP ITSELF, and only when
+        // it actually changed the store (retune always rebuilds; reband
+        // only when the geometry moves) — a failed or no-op remediation
+        // leaves the condition armed for next month. Each run is
+        // isolated per store like every other unit. The streak is read
+        // from the store kind the name appears under — names ambiguous
+        // across the two lists are refused up front (the text and
+        // embedding sidecars are different files).
+        if (remediations.nonEmpty) {
+          val both = remediations.keySet
+            .filter(s => corpusStores.contains(s) && embeddingStores.contains(s))
+          require(both.isEmpty, "remediation store name(s) appear in BOTH " +
+            s"corpusStores and embeddingStores — streak dispatch is ambiguous: " +
+            both.mkString(", "))
+        }
         remediations.foreach { case (s, act) =>
           isolated(s"remediation $s") {
             val n =
@@ -437,9 +449,6 @@ object Orchestrator {
               else graft.similarity.EmbeddingStore.readAuditStreak(spark, s)
             if (n >= auditPolicy.consecutive) {
               act()
-              if (corpusStores.contains(s))
-                graft.dedup.SignatureStore.clearAuditStreak(spark, s)
-              else graft.similarity.EmbeddingStore.clearAuditStreak(spark, s)
               onMaintain(MaintainResult(
                 s"remediation $s (AUDIT ALERT: $n consecutive breaches — remediation scheduled and run)",
                 "", 0, 0, skipped = false))
@@ -448,7 +457,7 @@ object Orchestrator {
                   s"remediation $s", 0, 0, 0, 0.0, None))
                 Notifier.send(cfg,
                   subject, body + s"\nAUDIT ALERT: $n consecutive breaches — " +
-                    "remediation scheduled and run; streak reset")
+                    "remediation scheduled and run")
               }
             } else onMaintain(MaintainResult(s"remediation $s", "", 0, 0,
               skipped = true))

@@ -285,6 +285,14 @@ object EmbeddingStore {
       else {
         writeMeta(spark, name, spec2, buckets, dims)
         guard(name).bumpGen(spark)
+        // a geometry change is the remediation the AUDIT ALERT names
+        // for this store: old breach evidence describes bands that no
+        // longer exist, so the persisted streak resets WITH the reband
+        // — and only then; a no-op reband (geometry already current)
+        // leaves the alert condition armed, because rebanding cannot
+        // fix it and the remaining remedy (raise bucketCap) is the
+        // caller's knob
+        guard(name).clearStreak(spark)
         true
       }
     // bands and meta agree again (or never disagreed) — also heals a
