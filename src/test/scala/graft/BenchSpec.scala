@@ -75,13 +75,15 @@ class BenchSpec extends SparkSpec {
     assert(failed == (Left("timeout"), false, false))
   }
 
-  test("requiet count rides the artifact and parses; absent when zero") {
+  test("requiet count and steal average ride the artifact and parse; absent when zero") {
     val runs = names.take(10).map(n => n -> (Right(2.5): Either[String, Double]))
-    val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1", requietCount = 3)
+    val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1",
+      requietCount = 3, stealCores = 2.37)
     val row = parse(line)
     assert(row.getAs[Long]("requiet") == 3, line)
+    assert(math.abs(row.getAs[Double]("steal") - 2.4) < 0.01, line)
     val clean = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1")
-    assert(!clean.contains("requiet"), clean)
+    assert(!clean.contains("requiet") && !clean.contains("steal"), clean)
   }
 
   test("the REAL suite's healthy line spells every slow timing; fast ones roll up") {
