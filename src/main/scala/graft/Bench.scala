@@ -98,7 +98,7 @@ object Bench {
     * Returns -1 when unavailable (non-linux) or on the first call (no
     * window yet).
     */
-  private object Steal {
+  private[graft] object Steal {
     private var last: Option[(Long, Long)] = None // (totalTicks, stealTicks)
     private def read(): Option[(Long, Long)] =
       try {
@@ -130,7 +130,7 @@ object Bench {
     * the other's counter. Raw 1-min loadavg only as the last fallback
     * (it self-triggers on the bench's own threads).
     */
-  private def guardLoad(): Double = {
+  private[graft] def guardLoad(): Double = {
     val ext = externalCpuLoad()
     val steal = Steal.cores()
     if (ext >= 0 || steal >= 0) math.max(ext, steal)

@@ -309,24 +309,49 @@ object ScaleCheck {
       }
     }
 
-    /** (min seconds over 2 runs | error, per-run-avg metric rollup). */
+    /** (min seconds over 2 runs | error, per-run-avg metric rollup).
+      * Scale rows carry the same mid-run load guard as the bench
+      * ([[Bench.guardLoad]]: external-cpu + hypervisor steal, the
+      * signal loadavg can't see): a row whose min was taken under
+      * contention is a wrong RATIO — the very number this harness
+      * exists to produce — so it gets one clean confirmation run after
+      * a bounded re-quiet wait and the min of all runs is filed.
+      */
     def measure(q: QueryDef, dir: String): (Either[String, Double], Map[String, Long]) = {
       q.prepare.foreach { p =>
         once(s"${q.name}-prepare", () => p(spark, dir)).left.foreach(err =>
           System.err.println(s"[scale] ${q.name} prepare failed: $err"))
       }
       metricSums.set(Map.empty)
-      def run() = once(q.name,
-        () => q.query(spark, dir).write.mode("overwrite").format("noop").save())
-      // divide by the RUNS THAT HAPPENED: when the first run errors or
-      // times out the second never executes, and halving a single-run
-      // sum would file misleading per-run metrics in the artifact
-      val (r, runs) = run() match {
-        case Right(t1) => (run().fold(Left(_), t2 => Right(math.min(t1, t2))), 2)
-        case l => (l, 1)
+      var loadSeen = 0.0
+      var runsHappened = 0
+      def run() = {
+        Bench.guardLoad() // reset the usage/steal window to this run
+        val r = once(q.name,
+          () => q.query(spark, dir).write.mode("overwrite").format("noop").save())
+        loadSeen = math.max(loadSeen, Bench.guardLoad())
+        runsHappened += 1
+        r
       }
+      // when the first run errors or times out the second never
+      // executes; metrics divide by the runs that HAPPENED
+      val r0 = run() match {
+        case Right(t1) => run().fold(Left(_), t2 => Right(math.min(t1, t2)))
+        case l => l
+      }
+      val (r, requieted, _) = Bench.requietPublish(r0, loadSeen, loadBar = 1.0,
+        wasUnstable = false,
+        quietRun = () => {
+          val w0 = System.nanoTime()
+          def waited: Double = (System.nanoTime() - w0) / 1e9
+          var now = Bench.guardLoad()
+          while (now > 1.0 && waited < 120.0) { Thread.sleep(5000); now = Bench.guardLoad() }
+          if (now <= 1.0) Some(run()) else None
+        })
+      if (requieted) System.err.println(
+        f"[scale] ${q.name}%-28s re-quiet run (min was taken under external load=$loadSeen%.1f)")
       Thread.sleep(200) // listener-bus drain grace
-      (r, metricSums.get().map { case (k, v) => k -> v / runs })
+      (r, metricSums.get().map { case (k, v) => k -> v / math.max(1, runsHappened) })
     }
 
     val interesting = Seq("numFiles", "filesSize", "shuffleRecordsWritten",
