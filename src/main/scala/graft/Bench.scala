@@ -373,7 +373,8 @@ object Bench {
       System.err.println(
         f"[bench] $name%-28s $shown%-10s runs=[$raws] elapsed=${elapsedSec}%.0fs " +
         f"scan=${mib("filesSize")}MiB shuffle=${mib("shuffleBytesWritten")}MiB " +
-        f"spill=${mib("spillSize")}MiB actions=${actionCount.get()}")
+        f"spill=${mib("spillSize")}MiB actions=${actionCount.get()} " +
+        f"ext=$loadSeen%.1f") // max external+steal cores seen — post-mortem aid
       name -> r
     }
     val (loadAfter, memAfter) = machineLoad()
