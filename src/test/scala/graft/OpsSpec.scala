@@ -535,6 +535,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("streak sidecar robustness: absent and garbled files read as 0; write/clear round-trip; survives a catalog re-registration") {
+    import graft.dedup.{SignatureStore, StoreGuard}
+    val docs = (1L to 5L).map(i => (i, s"alpha$i beta$i gamma$i")).toDF("doc_id", "text")
+    val store = "graft_streak_robust_spec"
+    SignatureStore.drop(spark, store); SignatureStore.build(spark, docs, store)
+    try {
+      assert(SignatureStore.readAuditStreak(spark, store) == 0, "absent file is 0")
+      SignatureStore.writeAuditStreak(spark, store, 2)
+      assert(SignatureStore.readAuditStreak(spark, store) == 2)
+      // a garbled sidecar (torn write, manual edit) must read as 0, not
+      // throw in the middle of an ingest's critical section
+      val metaLoc = StoreGuard.tableLocation(spark, SignatureStore.metaTable(store))
+      val p = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".streak")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write("not-a-number".getBytes("UTF-8")) finally out.close()
+      assert(SignatureStore.readAuditStreak(spark, store) == 0, "garbled file is 0")
+      SignatureStore.writeAuditStreak(spark, store, 7)
+      assert(SignatureStore.readAuditStreak(spark, store) == 7, "overwrite recovers")
+      SignatureStore.clearAuditStreak(spark, store)
+      assert(SignatureStore.readAuditStreak(spark, store) == 0)
+      // drop clears the sidecar with the store
+      SignatureStore.writeAuditStreak(spark, store, 3)
+      SignatureStore.drop(spark, store)
+      assert(!fs.exists(p), "drop must clear the streak sidecar")
+    } finally SignatureStore.drop(spark, store)
+  }
+
   test("monthly sweep opt-in remediation: breached store retuned + streak reset, non-breached untouched, failure isolated") {
     import graft.dedup.SignatureStore
     import graft.ops.Orchestrator
