@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --pipeline daily_sales --length 2wk --sf ...
   *   runMain graft.Runner --pipeline all --fy 1995 --fp 3 --sf ...
   *   runMain graft.Runner --corpus-init mystore --sf ...
-  *   runMain graft.Runner --corpus-ingest mystore --batch-mod 7 --batch-rem 0 --sf ...
+  *   runMain graft.Runner --corpus-ingest mystore --batch-mod 7 --batch-rem 0 \
+  *     [--alert-max-bucket N --alert-cap-pct P --alert-consecutive K] --sf ...
   *   runMain graft.Runner --corpus-recover mystore --sf ...   (crashed-ingest undo)
   *   runMain graft.Runner --corpus-retune mystore --rows 3 --bands 16 \
   *     [--corpus-path /data/corpus] --sf ...   (hot-bucket remediation)
@@ -35,6 +36,20 @@ object Runner {
       case Some(p) => spark.read.parquet(p)
       case None => Tables.documents(spark, sfDir)
     }
+
+  /** The audit-alert policy — ONE parser for every path that judges a
+    * breach (`--corpus-ingest`/`--corpus-ingest-emb` stamp alerts with
+    * it, `--schedule --auto-remediate` reads streaks against it), so a
+    * deployment that tightens `--alert-max-bucket` or shortens
+    * `--alert-consecutive` moves the stamper and the sweep TOGETHER —
+    * split defaults would let the sweep wait for a streak the stamper
+    * never accumulates, or remediate on thresholds no alert named.
+    */
+  private def alertPolicy(opts: Map[String, String]): graft.ops.Orchestrator.AuditPolicy =
+    graft.ops.Orchestrator.AuditPolicy(
+      embCapPct = opts.getOrElse("alert-cap-pct", "80").toInt,
+      textMaxBucket = opts.getOrElse("alert-max-bucket", "1000").toLong,
+      consecutive = opts.getOrElse("alert-consecutive", "3").toInt)
 
   /** The tightened banding geometry a retune rebuilds with — one
     * parser for both paths that take it (`--corpus-retune` and
@@ -268,11 +283,13 @@ object Runner {
       }
       opts.get("corpus-ingest").foreach { store =>
         report(Orchestrator.corpusIngest(spark, store,
-          slice(Tables.documents(spark, sfDir), "doc_id")))
+          slice(Tables.documents(spark, sfDir), "doc_id"),
+          policy = alertPolicy(opts)))
       }
       opts.get("corpus-ingest-emb").foreach { store =>
         report(Orchestrator.corpusIngestEmbeddings(spark, store,
-          slice(Tables.embeddings(spark, sfDir), "vec_id")))
+          slice(Tables.embeddings(spark, sfDir), "vec_id"),
+          policy = alertPolicy(opts)))
       }
       spark.stop()
       return
@@ -325,7 +342,11 @@ object Runner {
                spark, corpusSource(spark, opts, sfDir), s, retuneSpec(opts)))) ++
              emb.map(s => s -> (() =>
                { graft.similarity.EmbeddingStore.reband(spark, s); () }))).toMap
-          })
+          },
+        // the sweep judges persisted streaks against the SAME --alert-*
+        // policy the ingest cadence stamps them with (one parser —
+        // alertPolicy — so the two sides cannot diverge)
+        auditPolicy = alertPolicy(opts))
       println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
       new Scheduler.Loop(jobs).run(maxFires)
       spark.stop()

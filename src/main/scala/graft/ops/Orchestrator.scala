@@ -547,7 +547,16 @@ object Orchestrator {
     */
   def corpusIngest(spark: SparkSession, store: String, batch: DataFrame,
       notifier: Option[Notifier.Config] = None,
-      sink: Sink = VersionedSink()): CorpusResult = {
+      sink: Sink = VersionedSink(),
+      /** The SAME policy object that configures the sweep's remediation
+        * threshold ([[scheduledJobs]]' `auditPolicy`) must configure the
+        * stamper here — a hardcoded default would let a deployment
+        * tighten one side and silently leave the other judging by
+        * different thresholds (alerts at bucket ≥ 1000 while the sweep
+        * waits for a streak the stamper never accumulates, or
+        * vice versa).
+        */
+      policy: AuditPolicy = AuditPolicy()): CorpusResult = {
     import graft.dedup.SignatureStore
     val audit = new java.util.concurrent.atomic.AtomicReference[
       Option[SignatureStore.IngestAudit]](None)
@@ -562,6 +571,7 @@ object Orchestrator {
       streak = durableStreak(() => SignatureStore.readAuditStreak(spark, store),
         n => SignatureStore.writeAuditStreak(spark, store, n),
         () => SignatureStore.clearAuditStreak(spark, store)),
+      policy = policy,
       finish = r => r.copy(bandAudit = audit.get()))
   }
 
@@ -585,7 +595,11 @@ object Orchestrator {
   def corpusIngestEmbeddings(spark: SparkSession, store: String, batch: DataFrame,
       notifier: Option[Notifier.Config] = None,
       sink: Sink = VersionedSink(),
-      bucketCap: Int = 1000): CorpusResult = {
+      bucketCap: Int = 1000,
+      /** See [[corpusIngest]]'s policy note: one policy object for the
+        * stamper and the sweep, or their thresholds silently diverge.
+        */
+      policy: AuditPolicy = AuditPolicy()): CorpusResult = {
     import graft.similarity.EmbeddingStore
     val audit = new java.util.concurrent.atomic.AtomicReference[
       Option[EmbeddingStore.IngestAudit]](None)
@@ -600,6 +614,7 @@ object Orchestrator {
       streak = durableStreak(() => EmbeddingStore.readAuditStreak(spark, store),
         n => EmbeddingStore.writeAuditStreak(spark, store, n),
         () => EmbeddingStore.clearAuditStreak(spark, store)),
+      policy = policy,
       // fires for failed runs too: the audit lands before any append,
       // so a batch that died mid-append still reports its drop counts
       finish = r => r.copy(lshAudit = audit.get()))
@@ -625,6 +640,7 @@ object Orchestrator {
       notifier: Option[Notifier.Config],
       sink: Sink,
       streak: StreakStore,
+      policy: AuditPolicy = AuditPolicy(),
       finish: CorpusResult => CorpusResult = identity): CorpusResult = {
     val t0 = System.nanoTime()
     val result =
@@ -653,7 +669,7 @@ object Orchestrator {
             recordAuditAlert(finish(
               CorpusResult(store, batchRows, dups, batchRows - dups,
                 (System.nanoTime() - t0) / 1e9, None)),
-              AuditPolicy(), streak)
+              policy, streak)
           } catch {
             case e: Throwable =>
               try doRollback(snap) // store unchanged

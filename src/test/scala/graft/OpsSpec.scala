@@ -478,6 +478,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("the ingest cadence stamps alerts with the CALLER's AuditPolicy, not a hardcoded default") {
+    // the sweep's remediation reads persisted streaks against
+    // scheduledJobs' auditPolicy; the stamper must judge by the SAME
+    // object or a tightened deployment policy moves only one side
+    // (Runner wires both from one --alert-* parser) — pin that a
+    // custom consecutive=2 fires on the SECOND breach, where the
+    // default (3) would still be silent
+    import graft.ops.Orchestrator
+    import graft.similarity.EmbeddingStore
+    import TestVectors.vec
+    val store = "graft_audit_policy_spec"
+    val sink = Orchestrator.VersionedSink()
+    val root = sink.rootOf(spark, Orchestrator.corpusPipeline(store))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root.stripPrefix("file:")))
+    EmbeddingStore.drop(spark, store)
+    try {
+      Orchestrator.corpusInitEmbeddings(spark, store)
+      val policy = Orchestrator.AuditPolicy(consecutive = 2)
+      def ingest(id: Long, cap: Int): Orchestrator.CorpusResult =
+        Orchestrator.corpusIngestEmbeddings(spark, store,
+          Seq((id, vec(1))).toDF("vec_id", "embedding"), None, sink,
+          bucketCap = cap, policy = policy)
+      def lines(r: Orchestrator.CorpusResult): String =
+        Orchestrator.lshAuditLines(r).mkString("\n")
+      val seed = ingest(99L, cap = 1000)
+      assert(seed.lshAudit.exists(_.cappedRows == 0), seed)
+      val b1 = ingest(100L, cap = 1)
+      assert(b1.lshAudit.exists(_.cappedRows > 0), b1)
+      assert(!lines(b1).contains("AUDIT ALERT"), lines(b1))
+      val b2 = ingest(101L, cap = 1)
+      val l2 = lines(b2)
+      assert(l2.contains("AUDIT ALERT") && l2.contains("2 consecutive"), l2)
+    } finally {
+      EmbeddingStore.drop(spark, store)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root.stripPrefix("file:")))
+    }
+  }
+
   test("audit streak is durable across JVMs: persisted per store, untouched by errored ingests, reset only by a clean audit") {
     import graft.ops.Orchestrator
     import graft.similarity.EmbeddingStore
