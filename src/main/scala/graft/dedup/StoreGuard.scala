@@ -426,15 +426,41 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     val p = pendingPath(spark)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
+    // EXCLUSION BEFORE THE SNAPSHOT READ. The earlier shape read the
+    // snapshot first and ignored the claim's outcome, which left a
+    // window: between the caller's dead-writer judgment and the
+    // restore, a FRESH writer can claim the free lock and overwrite
+    // the pending with its own snapshot — the old order then rolled
+    // the store back over that live writer's in-flight ingest and
+    // deleted its lock on the way out. Claim the lock if free; when
+    // the claim loses, the surviving lock is either the dead
+    // predecessor's (the normal crashed-ingest state — it fences
+    // everyone else; restore under it) or our own (a reentrant retry),
+    // but a verifiably LIVE same-host foreign owner is objective proof
+    // against the caller's judgment — fail fast before touching
+    // anything. (Unstamped / foreign-host owners keep the operator's
+    // authority: recover() is the operator-judgment form;
+    // recoverArbitrated is the automated gate.)
+    val claimed = fs.createNewFile(lockPath(spark))
+    if (!claimed) lockOwner(spark).foreach { o =>
+      if (!StoreGuard.ownerIsSelf(o) && o.host == StoreGuard.localHost &&
+          StoreGuard.pidAlive(o.pid))
+        sys.error(s"store '$metaTable' lock is held by a verifiably LIVE " +
+          s"writer (pid ${o.pid}) — refusing recovery: rolling back would " +
+          "delete its in-flight appends")
+    }
+    // re-read under exclusion: the pending may have been cleared (its
+    // writer completed and released) or rewritten since the caller's
+    // probe — the snapshot that counts is the one the lock now fences
+    if (!fs.exists(p)) { if (claimed) unlock(spark); return false }
     val in = fs.open(p)
     val snap =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).filterNot(_.startsWith("#")).toSet // "#owner" header
       finally in.close()
-    // the dead writer's lock already excludes every other writer — keep
-    // it in place while restoring, release only when the store is whole
-    // (doRollback also clears the pending file)
-    fs.createNewFile(lockPath(spark)) // no-op when the dead lock exists
+    // the lock (ours or the dead writer's) excludes every other writer —
+    // keep it in place while restoring, release only when the store is
+    // whole (doRollback also clears the pending file)
     try doRollback(spark, snap, trusted = true)
     finally unlock(spark)
     true
@@ -468,6 +494,23 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
   def dischargeCommitted(spark: SparkSession,
       markerOwner: Option[StoreGuard.LockOwner]): Unit = {
     if (!pendingExists(spark)) return
+    // EXCLUSION BEFORE ARBITRATION. Every judgment below reads state a
+    // concurrent fresh writer could be rewriting — the pre-claim shape
+    // had two TOCTOU windows: (a) "no lock" probed true, a fresh
+    // writer claims and writes ITS pending, then clearPending deletes
+    // that live writer's rollback authorization and unlock deletes its
+    // lock; (b) dischargeDeadLock removed the dead lock FIRST, opening
+    // the same window before the pending clear. So: claim the lock if
+    // free; losing the claim to a live-or-unverifiable owner means a
+    // real writer is mid-flight — this replay's discharge is
+    // best-effort, leave everything. A verifiably DEAD owner's
+    // surviving lock is itself the fence; proceed under it.
+    val lp = lockPath(spark)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claimed = fs.createNewFile(lp)
+    if (!claimed && !lockOwnerDead(spark)) return
+    // re-read under exclusion: the state that counts is the fenced one
+    if (!pendingExists(spark)) { if (claimed) unlock(spark); return }
     val pOwner = pendingOwner(spark)
     val foreign = (pOwner, markerOwner) match {
       case (Some(p), Some(m)) =>
@@ -475,20 +518,21 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
       case _ => false
     }
     if (foreign) {
-      // judge deadness by the lock when one exists (it carries the
-      // freshest claim), else by the pending stamp itself (a thrown
-      // ingest releases its lock but keeps the pending authorization
-      // for its caller's compensating rollback — if that caller is
-      // still ALIVE, recovery here would race it)
-      val dead =
-        if (lockExists(spark)) lockOwnerDead(spark)
-        else pOwner.exists(StoreGuard.ownerDead)
-      if (dead) { recover(spark); () }
+      // a foreign pending is a DIFFERENT writer's mid-mutation state:
+      // verifiably dead ⇒ roll its partial appends back to its own
+      // snapshot (recover proceeds under the lock held here and
+      // releases it when the store is whole); live or unverifiable ⇒
+      // left entirely alone — release only a claim WE made (a dead
+      // predecessor's lock stays with its pending, operator state)
+      if (pOwner.exists(StoreGuard.ownerDead)) { recover(spark); () }
+      else if (claimed) unlock(spark)
     } else {
-      if (!lockExists(spark) || dischargeDeadLock(spark, strict = false)) {
-        clearPending(spark)
-        unlock(spark) // no-op when already discharged/absent
-      }
+      // the marker writer's own post-commit residue (or an unstamped
+      // legacy state under a discharged/dead lock): clear the pending
+      // FIRST, while the lock still fences out fresh writers, then
+      // discharge the lock
+      clearPending(spark)
+      unlock(spark)
     }
   }
 }
@@ -517,6 +561,12 @@ private[graft] object StoreGuard {
     */
   private[graft] def ownerDead(o: LockOwner): Boolean =
     o.host == localHost && !pidAlive(o.pid)
+
+  /** Whether a stamped owner is THIS process (pid AND per-JVM uuid —
+    * pid alone can be a recycled predecessor's).
+    */
+  private[graft] def ownerIsSelf(o: LockOwner): Boolean =
+    o.pid == ProcessHandle.current().pid() && o.proc == processTag
 
   /** The stamp [[StoreGuard.locked]] writes into a claimed lock file. */
   private[graft] def ownerStamp: String =

@@ -631,6 +631,54 @@ class DedupSpec extends SparkSpec {
     } finally SignatureStore.drop(spark, name)
   }
 
+  test("recover judges the FENCED state: live-writer lock refuses, own lock proceeds") {
+    // the TOCTOU arm: between a caller's dead-writer judgment and the
+    // restore, a FRESH writer can claim the free lock and start its own
+    // ingest — recover must fail fast on that verifiably live owner
+    // instead of rolling the store back over its in-flight appends
+    // (pre-fix it read the snapshot first and ignored the claim's
+    // outcome). Its own lock, though, is a reentrant retry — proceeds.
+    import graft.dedup.{SignatureStore, StoreGuard}
+    def doc(i: Int): String = (0 until 24).map(w => s"t${i}_$w").mkString(" ")
+    val name = "graft_recover_live_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, Seq((1L, doc(1))).toDF("doc_id", "text"), name)
+    val metaLoc = StoreGuard.tableLocation(spark, SignatureStore.metaTable(name))
+    val fs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockFile = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
+    val pendFile = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".pending")
+    try {
+      val preSnap = SignatureStore.snapshot(spark, name)
+      SignatureStore.ingest(spark, Seq((2L, doc(2))).toDF("doc_id", "text"), name)
+      locally {
+        val out = fs.create(pendFile, true)
+        try out.write(preSnap.mkString("\n").getBytes("UTF-8")) finally out.close()
+      }
+      // a lock stamped by a LIVE pid with a foreign per-JVM uuid — what
+      // a concurrent writer that claimed since the caller's probe looks
+      // like. Rolling back now would delete its in-flight appends.
+      locally {
+        val out = fs.create(lockFile, true)
+        try out.write(StoreGuard.ownerStampFor(
+          ProcessHandle.current().pid()).getBytes("UTF-8"))
+        finally out.close()
+      }
+      val live = intercept[RuntimeException](SignatureStore.recover(spark, name))
+      assert(live.getMessage.contains("LIVE"), live.getMessage)
+      assert(fs.exists(lockFile) && fs.exists(pendFile),
+        "the refused recovery must leave the live writer's lock and pending alone")
+      // the SAME state under our OWN stamp (pid AND per-JVM uuid) is a
+      // reentrant retry — recover proceeds and restores
+      locally {
+        val out = fs.create(lockFile, true)
+        try out.write(StoreGuard.ownerStamp.getBytes("UTF-8")) finally out.close()
+      }
+      assert(SignatureStore.recover(spark, name))
+      assert(SignatureStore.snapshot(spark, name) == preSnap)
+      assert(!fs.exists(lockFile) && !fs.exists(pendFile))
+    } finally SignatureStore.drop(spark, name)
+  }
+
   test("duplicatedSpans: overlap chains merge, whole-doc dup, within-doc repetition excluded") {
     // tokens are single letters so offsets are hand-checkable; k=3,
     // minTokens=5 keeps the arithmetic small
