@@ -320,16 +320,10 @@ object Bench {
         else if (elapsedSec > softDeadlineSec) timed() // degraded: single run
         else timed() match {
           case Right(t1) => timed() match {
-            case Right(t2) if math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
-                math.max(t1, t2) > 1.0 =>
-              // >2x spread between back-to-back runs of the same plan means
-              // something external stole the machine — a third run decides
-              unstable += name
-              timed() match {
-                case Right(t3) => Right(math.min(math.min(t1, t2), t3))
-                case Left(err) => Left(err)
-              }
-            case Right(t2) => Right(math.min(t1, t2))
+            case Right(t2) =>
+              val (res, flag) = spreadPublish(t1, t2, () => timed())
+              if (flag) unstable += name
+              res
             case Left(err) => Left(err) // flaky second run is still a failure
           }
           case Left(err) => Left(err)
@@ -396,6 +390,33 @@ object Bench {
     System.out.flush()
     spark.stop()
   }
+
+  /** Back-to-back spread adjudication (pure — BenchSpec pins the
+    * contract): >2× spread between two runs of the same plan (above a
+    * 1 s floor — sub-second timings wobble on scheduler noise alone)
+    * means SOMETHING distorted one of them, and a third run decides.
+    * The verdict keys on agreement, not just the min: two of the three
+    * runs landing within 25% of the min is a REPRODUCED steady-state
+    * timing — the lone outlier absorbed a one-time cost (first-run
+    * codegen/JIT, a cold page cache, a transient steal burst) and the
+    * published min is trustworthy, so no `unstable` flag (the flag's
+    * meaning is "distrust this number", and a confirmed min is not
+    * that). The flag stands when the third run lands away from the
+    * min — the spread is live and unexplained. A failed third run
+    * publishes the failure and keeps the flag.
+    */
+  private[graft] def spreadPublish(t1: Double, t2: Double,
+      third: () => Either[String, Double])
+      : (Either[String, Double], Boolean) =
+    if (math.max(t1, t2) > 2.0 * math.min(t1, t2) && math.max(t1, t2) > 1.0) {
+      third() match {
+        case Right(t3) =>
+          val m = Seq(t1, t2, t3).min
+          val confirms = Seq(t1, t2, t3).count(_ <= 1.25 * m) >= 2
+          (Right(m), !confirms)
+        case Left(err) => (Left(err), true)
+      }
+    } else (Right(math.min(t1, t2)), false)
 
   /** Mid-run load-guard decision (pure — BenchSpec pins the contract):
     * given a query's published result and the max 1-min load sampled

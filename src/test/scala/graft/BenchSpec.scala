@@ -75,6 +75,27 @@ class BenchSpec extends SparkSpec {
     assert(failed == (Left("timeout"), false, false))
   }
 
+  test("spread adjudication: a third run confirming the min clears the flag; a live spread keeps it") {
+    // agreeing pair, no spread: no third run requested
+    var calls = 0
+    val agree = Bench.spreadPublish(2.0, 2.2, () => { calls += 1; Right(9.9) })
+    assert(agree == (Right(2.0), false) && calls == 0)
+    // sub-second wobble stays below the floor even at >2x
+    val tiny = Bench.spreadPublish(0.3, 0.9, () => { calls += 1; Right(9.9) })
+    assert(tiny == (Right(0.3), false) && calls == 0)
+    // the d05 shape — lone cold first run, runs 2 and 3 agree at the
+    // bottom: min published, NOT flagged (a reproduced steady-state
+    // timing, the outlier absorbed one-time codegen/cache cost)
+    val cold = Bench.spreadPublish(2.29, 1.09, () => Right(1.06))
+    assert(cold == (Right(1.06), false))
+    // live spread — third run lands away from the min: flag stands
+    val live = Bench.spreadPublish(2.3, 1.0, () => Right(1.9))
+    assert(live == (Right(1.0), true))
+    // failed third run: failure published, flag stands
+    val err = Bench.spreadPublish(2.3, 1.0, () => Left("boom"))
+    assert(err == (Left("boom"), true))
+  }
+
   test("requiet count and steal average ride the artifact and parse; absent when zero") {
     val runs = names.take(10).map(n => n -> (Right(2.5): Either[String, Double]))
     val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1",
