@@ -681,6 +681,42 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
       assert(!fs.exists(pendingP),
         "the marker writer's own post-commit pending is moot residue — discharged")
+
+      // same-writer residue with the predecessor's DEAD lock still on
+      // disk (died between marker and pending clear, lock file never
+      // released): the discharge proceeds UNDER that lock — pending
+      // cleared first, lock released after (the reorder that closed the
+      // lock-delete-first TOCTOU window)
+      locally {
+        val po = fs.create(pendingP, true)
+        try po.write((s"#owner ${StoreGuard.ownerStamp}\nmoot-residue")
+          .getBytes("UTF-8"))
+        finally po.close()
+        val lo = fs.create(lockP, true)
+        try lo.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally lo.close()
+      }
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
+      assert(!fs.exists(pendingP) && !fs.exists(lockP),
+        "same-writer residue under a dead lock must discharge both")
+
+      // same-writer residue under a LIVE lock: the claim is lost to an
+      // owner that cannot be proven dead, so the replay's best-effort
+      // discharge leaves EVERYTHING — pending and lock both survive
+      locally {
+        val po = fs.create(pendingP, true)
+        try po.write((s"#owner ${StoreGuard.ownerStamp}\nmoot-residue")
+          .getBytes("UTF-8"))
+        finally po.close()
+        val lo = fs.create(lockP, true)
+        try lo.write(StoreGuard.ownerStampFor(
+          ProcessHandle.current().pid()).getBytes("UTF-8"))
+        finally lo.close()
+      }
+      CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 1L)
+      assert(fs.exists(pendingP) && fs.exists(lockP),
+        "a live lock gates the discharge — nothing is touched")
+      fs.delete(pendingP, false); fs.delete(lockP, false)
     } finally SignatureStore.drop(spark, sName)
   }
 
