@@ -204,6 +204,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t15: byte-level encode is scan → explode → one count shuffle; columns prune") {
+    val p = planOf("t15_bpe_byte_encode")
+    // the encoder kernel and token-id lookup are per-row expressions —
+    // the ONLY wide op is the (doc_id, token) count's exchange, with
+    // map-side partial combine in front of it
+    assert("Exchange".r.findAllIn(p).size == 1, p.linesIterator.take(30).mkString("\n"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // only (doc_id, text) of the documents table's five columns are read
+    assert(!p.contains("lang") && !p.contains("n_chars"),
+      "column pruning lost: unused documents columns read")
+  }
+
   test("e24: SCD2 merge is a keyed full-outer join — no cartesian anywhere") {
     val p = planOf("e24_scd2_history")
     assert(p.contains("FullOuter"), "update-vs-open must be a keyed full-outer join:\n" +
