@@ -16,7 +16,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    judge-probed worst case of 11.4 s at sf0.1): on expiry the query's
   *    Spark job group is cancelled, `-1` + `timeout` land in the errors
   *    map, and the suite moves on. One hung query can no longer convert
-  *    the whole artifact into an rc=124 tomb (the round-6 failure mode);
+  *    the whole artifact into an rc=124 tomb (the round-6 failure mode).
+  *    The watchdog clock is STEAL-AWARE ([[watchdogTick]], spec-pinned):
+  *    poll ticks whose guard signal exceeds the bar don't consume the
+  *    budget (wall-capped at 3×), so a hypervisor-steal burst cannot
+  *    convert a seconds-query into a phantom timeout — the BENCH_r16
+  *    failure mode, where healthy d15 (3.7 s quiet) published
+  *    `failed=1 timeout>120s`;
   *  - a PER-QUERY PROGRESS LINE goes to stderr after each query — name,
   *    published seconds, raw run times, cumulative wall clock, and the
   *    executed-plan scan/shuffle/spill bytes from the session's
@@ -43,7 +49,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    runs is published, a quiet run confirming the min clears a
   *    contention-induced `unstable` flag, and the artifact counts the
   *    re-quieted queries under `requiet` so it self-adjudicates
-  *    ([[requietPublish]], spec-pinned);
+  *    ([[requietPublish]], spec-pinned). The guard has an ERROR ARM
+  *    (r16: a distorted failure is the worse distortion and got the
+  *    weaker treatment): a FAILURE taken under load/steal spends the
+  *    same bounded budget on one clean attempt — a clean success
+  *    replaces the error, a clean failure confirms it;
   *  - the session timezone is pinned UTC like Runner/Verify so timing
   *    runs execute the same plans the correctness gate verified.
   */
@@ -135,6 +145,34 @@ object Bench {
     val steal = Steal.cores()
     if (ext >= 0 || steal >= 0) math.max(ext, steal)
     else machineLoad()._1
+  }
+
+  /** Cores of non-bench demand above which a timing (or a watchdog
+    * expiry) is treated as contention-distorted — shared by the mid-run
+    * re-quiet guard and the steal-aware watchdog so "distorted" means
+    * one thing.
+    */
+  private[graft] val LoadBar = 1.0
+
+  /** One steal-aware watchdog tick (pure — BenchSpec pins the
+    * contract). The watchdog budget is CONTENTION-GATED: a tick whose
+    * guard signal exceeded the bar does not consume it — a hypervisor
+    * steal burst must not convert a seconds-query into a phantom
+    * `timeout>120s` (the BENCH_r16 d15 failure: 3.7 s quiet, recorded
+    * failed=1, and the re-quiet guard's timing arm could not heal a
+    * published error). The pause is BOUNDED by a wall-clock hard cap
+    * (the caller passes 3× the budget) so a genuinely hung query still
+    * dies even on a permanently contended machine.
+    *
+    * Returns (budgetLeftMs, contendedMs, expire).
+    */
+  private[graft] def watchdogTick(budgetLeftMs: Long, contendedMs: Long,
+      tickMs: Long, load: Double, loadBar: Double,
+      wallMs: Long, wallCapMs: Long): (Long, Long, Boolean) = {
+    val (b, c) =
+      if (load > loadBar) (budgetLeftMs, contendedMs + tickMs)
+      else (budgetLeftMs - tickMs, contendedMs)
+    (b, c, b <= 0 || wallMs >= wallCapMs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -229,9 +267,14 @@ object Bench {
     // noop sink: full evaluation of every output column (count() would
     // let Catalyst prune unreferenced aggregates and understate work).
     // Each run executes on its own daemon thread inside a named job
-    // group with interrupt-on-cancel; the main thread enforces the
-    // watchdog and cancels the group on expiry.
-    def once(name: String, body: () => Unit): Either[String, Double] = {
+    // group with interrupt-on-cancel; the main thread polls it in short
+    // ticks, sampling the guard signal each tick — the STEAL-AWARE
+    // WATCHDOG ([[watchdogTick]], spec-pinned): contended ticks don't
+    // consume the budget (wall-capped at 3×), and the max load sampled
+    // over the run rides back to the caller so the re-quiet guard sees
+    // contention at tick granularity instead of one whole-run window.
+    // Returns (result, max guard cores sampled across the run).
+    def once(name: String, body: () => Unit): (Either[String, Double], Double) = {
       val group = s"bench-$name"
       val task = new java.util.concurrent.FutureTask[Either[String, Double]](() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
@@ -253,15 +296,34 @@ object Bench {
       val th = new Thread(task, s"bench-run-$name")
       th.setDaemon(true)
       th.start()
-      try task.get(watchdogSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          spark.catalog.clearCache()
-          Left(s"timeout>${watchdogSec}s")
-        case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      val tickMs = 2000L
+      var budgetLeftMs = watchdogSec * 1000L
+      var contendedMs = 0L
+      val wallCapMs = watchdogSec * 3000L
+      val t0 = System.nanoTime()
+      var maxLoad = 0.0
+      var result: Option[Either[String, Double]] = None
+      while (result.isEmpty) {
+        try result = Some(task.get(tickMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            val l = guardLoad()
+            if (l >= 0) maxLoad = math.max(maxLoad, l)
+            val wallMs = (System.nanoTime() - t0) / 1000000L
+            val (b, c, expire) = watchdogTick(budgetLeftMs, contendedMs, tickMs,
+              l, LoadBar, wallMs, wallCapMs)
+            budgetLeftMs = b; contendedMs = c
+            if (expire) {
+              spark.sparkContext.cancelJobGroup(group)
+              spark.catalog.clearCache()
+              val paused = if (contendedMs > 0) s"; watchdog paused ${contendedMs / 1000}s under load/steal" else ""
+              result = Some(Left(s"timeout>${watchdogSec}s$paused"))
+            }
+          case e: Throwable =>
+            result = Some(Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+        }
       }
+      (result.get, maxLoad)
     }
 
     val (loadBefore, memBefore) = machineLoad()
@@ -275,7 +337,7 @@ object Bench {
     // flagged via `requiet`? no: an un-re-run loaded query keeps its
     // unstable/raw-run evidence; `requiet` counts queries that DID get
     // their clean confirmation run)
-    val loadBar = 1.0
+    val loadBar = LoadBar
     val requietBudgetSec = envInt("SPARK_GRAFT_REQUIET_SEC", 300).toDouble
     var requietUsedSec = 0.0
     var requietCount = 0
@@ -292,7 +354,7 @@ object Bench {
       // and records the real error.
       if (elapsedSec <= hardDeadlineSec) {
         Queries.byName.get(name).flatMap(_.prepare).foreach { p =>
-          once(s"$name-prepare", () => p(spark, sfDir)) match {
+          once(s"$name-prepare", () => p(spark, sfDir))._1 match {
             case Right(t) => System.err.println(f"[bench] $name%-28s prepare ${t}%.2fs (untimed)")
             case Left(err) => System.err.println(s"[bench] $name prepare failed: $err")
           }
@@ -309,9 +371,12 @@ object Bench {
       var loadSeen = 0.0
       def timed(): Either[String, Double] = {
         guardLoad() // reset the usage window to the run about to start
-        val r = once(name,
+        val (r, tickMax) = once(name,
           () => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-        loadSeen = math.max(loadSeen, guardLoad())
+        // tick-granular max from the watchdog loop, plus the tail window
+        // since its last sample — a short burst inside a long run no
+        // longer averages away below the bar
+        loadSeen = math.max(loadSeen, math.max(tickMax, guardLoad()))
         r.foreach(rawTimes += _)
         r
       }
@@ -426,18 +491,28 @@ object Bench {
     * policy, not this function's).
     *
     * Returns (result, requieted, clearUnstable):
-    *  - load never exceeded the bar, or the result is an error →
-    *    unchanged, nothing counted;
-    *  - clean run succeeded → min of all runs published, counted under
-    *    `requiet`; when the query had been flagged `unstable` and the
-    *    QUIET run lands within 2× of the published min, the flag is
-    *    cleared — the spread is adjudicated as external contention,
-    *    not plan instability (the r13-d02/r14-e11/r15-whole-artifact
-    *    pattern);
-    *  - clean run failed → the loaded timing stands (a timing under
-    *    load beats an error), still counted;
-    *  - no clean run possible → the loaded timing stands uncounted,
-    *    with its raw runs and any unstable flag as evidence.
+    *  - load never exceeded the bar → unchanged, nothing counted (a
+    *    quiet-machine result — success OR failure — is already honest);
+    *  - loaded TIMING, clean run succeeded → min of all runs published,
+    *    counted under `requiet`; when the query had been flagged
+    *    `unstable` and the QUIET run lands within 2× of the published
+    *    min, the flag is cleared — the spread is adjudicated as
+    *    external contention, not plan instability (the
+    *    r13-d02/r14-e11/r15-whole-artifact pattern);
+    *  - loaded TIMING, clean run failed → the loaded timing stands (a
+    *    timing under load beats an error), still counted;
+    *  - loaded FAILURE (the r16 gap: a steal burst pushing a seconds-
+    *    query over the watchdog published a phantom `failed=1` with no
+    *    retry — the WORSE distortion got the weaker treatment), clean
+    *    run succeeded → the clean timing REPLACES the error, counted,
+    *    and any contention flag clears (the clean run is the only
+    *    trustworthy evidence, and it says the query is healthy);
+    *  - loaded FAILURE, clean run failed too → the failure is CONFIRMED
+    *    on quiet hardware and publishes (counted — the budget was
+    *    honestly spent on the attempt);
+    *  - no clean run possible → the loaded result stands uncounted,
+    *    with its raw runs, load sample, and any unstable flag as
+    *    evidence.
     */
   private[graft] def requietPublish(
       published: Either[String, Double],
@@ -452,6 +527,12 @@ object Bench {
             val best = math.min(t, t2)
             (Right(best), true, wasUnstable && t2 <= 2.0 * best)
           case Some(Left(_)) => (Right(t), true, false)
+          case None => (published, false, false)
+        }
+      case Left(_) if loadSeen > loadBar =>
+        quietRun() match {
+          case Some(Right(t2)) => (Right(t2), true, wasUnstable)
+          case Some(Left(_)) => (published, true, false)
           case None => (published, false, false)
         }
       case _ => (published, false, false)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --corpus-retune mystore --rows 3 --bands 16 \
   *     [--corpus-path /data/corpus] --sf ...   (hot-bucket remediation)
   *   runMain graft.Runner --schedule --store mystore --auto-remediate --sf ...
+  *   runMain graft.Runner --schedule --store-emb estore --auto-remediate \
+  *     --fire-now monthly_maintenance --sf ...   (operator-forced sweep)
   *   runMain graft.Runner --full-refresh daily_sales --fy-from 1995 --fy-to 1997 \
   *     --confirm-delete --confirm-fy [--dry-run] --sf ...
   */
@@ -347,8 +349,22 @@ object Runner {
         // policy the ingest cadence stamps them with (one parser —
         // alertPolicy — so the two sides cannot diverge)
         auditPolicy = alertPolicy(opts))
-      println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
-      new Scheduler.Loop(jobs).run(maxFires)
+      // --fire-now <job>: run one scheduled job immediately and exit —
+      // the operator's out-of-cron-band form ("run the monthly sweep
+      // NOW", e.g. to act on an AUDIT ALERT without waiting for the
+      // 1st). Same job closure the cron loop would fire, so what it
+      // proves is what the schedule runs.
+      opts.get("fire-now") match {
+        case Some(jobName) =>
+          val job = jobs.find(_.name == jobName).getOrElse(
+            sys.error(s"--fire-now: no scheduled job named '$jobName' " +
+              s"(scheduled: ${jobs.map(_.name).mkString(", ")})"))
+          println(s"[sched] firing ${job.name} now (operator-forced, out of cron band)")
+          job.run()
+        case None =>
+          println(s"[sched] armed: ${jobs.map(j => s"${j.name}").mkString(", ")} (max-fires=$maxFires)")
+          new Scheduler.Loop(jobs).run(maxFires)
+      }
       spark.stop()
       return
     }

@@ -229,8 +229,15 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
       else false
     lockOwner(spark) match {
       case None =>
-        refuse("the lock carries no owner stamp (a pre-stamp writer, an external " +
-          "tool, or a writer dead inside the create→stamp window)")
+        refuse("the lock carries no owner stamp. Every claim path in this " +
+          "engine version stamps (ingest, build, maintenance, recovery, " +
+          "discharge), so an unstamped lock is either (a) a PRE-STAMP LEGACY " +
+          "store's — taken by an older engine version; confirm no old-version " +
+          "writer is running, then unlock(...) — or (b) a writer dead inside " +
+          "the two-FS-call create→stamp window — its pid is gone, so after " +
+          "ruling out (a), unlock(...) is safe; to tell them apart: a legacy " +
+          "writer holds the lock for its whole mutation (minutes), a " +
+          "crashed-mid-claim lock never gains a stamp however long you re-probe")
       case Some(o) if o.host != StoreGuard.localHost =>
         refuse(s"owner pid ${o.pid} lives on host '${o.host}' — liveness is not " +
           s"checkable from '${StoreGuard.localHost}'")
@@ -275,17 +282,7 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     // A writer dead between the claim and the stamp landing leaves an
     // unstamped lock, which dischargers treat as NOT verifiably dead —
     // fail-safe, at the cost of a manual unlock for that window.
-    locally {
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-        p.getName + ".stamp-" + java.util.UUID.randomUUID().toString.take(8))
-      val out = fs.create(tmp, true)
-      try out.write(StoreGuard.ownerStamp.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, p)) {
-        val out2 = fs.create(p, true)
-        try out2.write(StoreGuard.ownerStamp.getBytes("UTF-8")) finally out2.close()
-        fs.delete(tmp, false)
-      }
-    }
+    StoreGuard.stampLock(fs, p)
     heldLocks.get += key
     try f finally { heldLocks.get -= key; fs.delete(p, false) }
   }
@@ -432,38 +429,91 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     // restore, a FRESH writer can claim the free lock and overwrite
     // the pending with its own snapshot — the old order then rolled
     // the store back over that live writer's in-flight ingest and
-    // deleted its lock on the way out. Claim the lock if free; when
-    // the claim loses, the surviving lock is either the dead
-    // predecessor's (the normal crashed-ingest state — it fences
-    // everyone else; restore under it) or our own (a reentrant retry),
-    // but a verifiably LIVE same-host foreign owner is objective proof
-    // against the caller's judgment — fail fast before touching
-    // anything. (Unstamped / foreign-host owners keep the operator's
-    // authority: recover() is the operator-judgment form;
-    // recoverArbitrated is the automated gate.)
-    val claimed = fs.createNewFile(lockPath(spark))
-    if (!claimed) lockOwner(spark).foreach { o =>
-      if (!StoreGuard.ownerIsSelf(o) && o.host == StoreGuard.localHost &&
-          StoreGuard.pidAlive(o.pid))
-        sys.error(s"store '$metaTable' lock is held by a verifiably LIVE " +
-          s"writer (pid ${o.pid}) — refusing recovery: rolling back would " +
-          "delete its in-flight appends")
+    // deleted its lock on the way out. Claim the lock if free AND STAMP
+    // IT (r16 verdict: a bare createNewFile claim reads as
+    // `lockOwner = None` to a concurrent recoverer, which then passed
+    // the live-owner check and proceeded — two rollbacks interleaving,
+    // and the laggard's finally-unlock firing after a fresh writer
+    // claimed, the fixed TOCTOU resurfacing through the unstamped
+    // path; a recoverer that crashes mid-rollback now also leaves a
+    // STAMPED lock a successor can discharge as dead, keeping note
+    // 30's "every lock the engine takes is stamped" true).
+    //
+    // When the claim loses, the surviving lock's STAMP arbitrates:
+    //  - our own stamp → the reentrant case, proceed under it;
+    //  - a verifiably DEAD same-host owner → the normal crashed-ingest
+    //    state; its lock fences everyone else, restore under it;
+    //  - a foreign-host stamp → liveness is not checkable from here;
+    //    the operator's dead-writer judgment keeps its authority
+    //    (recover() is the operator-judgment form; recoverArbitrated
+    //    is the automated gate, and it refuses this state);
+    //  - a verifiably LIVE same-host owner → objective proof against
+    //    the caller's judgment (a concurrent recoverer, a live
+    //    ingest) — fail fast before touching anything;
+    //  - NO stamp → either a claimer inside its two-call create→stamp
+    //    window or a legacy/external bare lock: re-probe once after a
+    //    short grace (a live claimer's stamp lands in microseconds;
+    //    the grace is generous), then REFUSE — since every engine
+    //    claim path stamps, a persistently unstamped lock is not
+    //    verifiably anything, and the fail-safe reading of
+    //    "unverifiable" is life (the dischargeDeadLock rule). The
+    //    grace loop also re-tries the claim, so a lock that simply
+    //    vanished (its owner released) is claimed cleanly instead of
+    //    refused.
+    val lp = lockPath(spark)
+    var claimed = false
+    var fenced = false // proceeding under a self/dead/foreign-host stamp
+    var graced = false
+    while (!claimed && !fenced) {
+      if (fs.createNewFile(lp)) {
+        StoreGuard.stampLock(fs, lp); claimed = true
+        StoreGuard.onRecoverClaimed()
+      }
+      else lockOwner(spark) match {
+        case Some(o) if StoreGuard.ownerIsSelf(o) => fenced = true
+        case Some(o) if StoreGuard.ownerDead(o) => fenced = true
+        case Some(o) if o.host != StoreGuard.localHost => fenced = true
+        case Some(o) =>
+          sys.error(s"store '$metaTable' lock is held by a verifiably LIVE " +
+            s"writer (pid ${o.pid}) — refusing recovery: rolling back would " +
+            "delete its in-flight appends")
+        case None if !graced =>
+          graced = true; Thread.sleep(StoreGuard.stampGraceMs)
+        case None =>
+          sys.error(s"store '$metaTable' lock ($lp) carries no owner stamp — " +
+            "refusing recovery: every lock this engine takes is stamped at " +
+            "acquisition, so an unstamped lock is either a pre-stamp legacy " +
+            "store's (old engine version — safe to unlock(...) manually once " +
+            "you confirm no old-version writer is running) or an external " +
+            "tool's; liveness cannot be verified either way, and recovering " +
+            "over a live writer would delete its in-flight appends")
+      }
     }
     // re-read under exclusion: the pending may have been cleared (its
     // writer completed and released) or rewritten since the caller's
-    // probe — the snapshot that counts is the one the lock now fences
-    if (!fs.exists(p)) { if (claimed) unlock(spark); return false }
-    val in = fs.open(p)
-    val snap =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).filterNot(_.startsWith("#")).toSet // "#owner" header
-      finally in.close()
-    // the lock (ours or the dead writer's) excludes every other writer —
-    // keep it in place while restoring, release only when the store is
-    // whole (doRollback also clears the pending file)
-    try doRollback(spark, snap, trusted = true)
-    finally unlock(spark)
-    true
+    // probe — the snapshot that counts is the one the lock now fences.
+    // EVERYTHING after a successful claim runs inside one try: a
+    // failure anywhere (the pending open, the snapshot read, the
+    // rollback itself) must release the lock, or a claimed-then-thrown
+    // path would strand it (pre-widen, a failed open leaked the claim).
+    try {
+      if (!fs.exists(p)) { if (claimed) unlock(spark); false }
+      else {
+        val in = fs.open(p)
+        val snap =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).filterNot(_.startsWith("#")).toSet // "#owner" header
+          finally in.close()
+        // the lock (ours or the dead writer's) excludes every other
+        // writer — keep it in place while restoring, release only when
+        // the store is whole (doRollback also clears the pending file)
+        doRollback(spark, snap, trusted = true)
+        unlock(spark)
+        true
+      }
+    } catch {
+      case e: Throwable => unlock(spark); throw e
+    }
   }
 
   /** Discharge a dead writer's recovery state WITHOUT rolling back —
@@ -508,6 +558,12 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
     val lp = lockPath(spark)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val claimed = fs.createNewFile(lp)
+    // stamp the claim (the locked() idiom): a concurrent recoverer or
+    // discharger must read this claim as a live stamped owner and
+    // refuse/defer, not as an ambiguous bare file — and a discharger
+    // that dies mid-arbitration must leave a lock a successor can
+    // verify dead (r16 verdict #2)
+    if (claimed) StoreGuard.stampLock(fs, lp)
     if (!claimed && !lockOwnerDead(spark)) return
     // re-read under exclusion: the state that counts is the fenced one
     if (!pendingExists(spark)) { if (claimed) unlock(spark); return }
@@ -567,6 +623,46 @@ private[graft] object StoreGuard {
     */
   private[graft] def ownerIsSelf(o: LockOwner): Boolean =
     o.pid == ProcessHandle.current().pid() && o.proc == processTag
+
+  /** Test seam: invoked right after [[StoreGuard.recover]] claims AND
+    * stamps a free lock, before any restore work — lets a spec observe
+    * that the claim carries this process's stamp on disk (the
+    * crashed-recoverer contract: a recoverer that dies mid-rollback
+    * leaves a STAMPED lock a successor can verify dead and discharge,
+    * instead of an unstamped one every discharger refuses). Observation
+    * only — the hook must not throw.
+    */
+  private[graft] var onRecoverClaimed: () => Unit = () => ()
+
+  /** Grace before re-probing an unstamped lock in [[StoreGuard.recover]]'s
+    * lost-claim arbitration: a live claimer's stamp lands two FS calls
+    * after its claim (microseconds on the local FS), so 250 ms is
+    * generous without stalling operator-driven recovery.
+    */
+  private[dedup] val stampGraceMs = 250L
+
+  /** Stamp a freshly-claimed lock file with this writer's identity via
+    * temp-sibling + atomic rename (the [[locked]] idiom — see the
+    * filesystem-atomicity note there). EVERY claim path must stamp —
+    * locked(), recover()'s claim, dischargeCommitted()'s claim — so
+    * that note 30's contract ("every lock the engine takes is stamped")
+    * holds and a concurrent recoverer/discharger always sees a live
+    * stamped owner, never an ambiguous bare file (the r16 verdict's
+    * resurfaced TOCTOU: two recoverers both reading the other's bare
+    * claim as `lockOwner = None` and proceeding concurrently).
+    */
+  private[dedup] def stampLock(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + ".stamp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(ownerStamp.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      val out2 = fs.create(p, true)
+      try out2.write(ownerStamp.getBytes("UTF-8")) finally out2.close()
+      fs.delete(tmp, false)
+    }
+  }
 
   /** The stamp [[StoreGuard.locked]] writes into a claimed lock file. */
   private[graft] def ownerStamp: String =

@@ -69,10 +69,54 @@ class BenchSpec extends SparkSpec {
     val noQuiet = Bench.requietPublish(Right(3.0), loadSeen = 2.0, loadBar = 1.0,
       wasUnstable = true, quietRun = () => None)
     assert(noQuiet == (Right(3.0), false, false))
-    // failed queries pass through untouched
-    val failed = Bench.requietPublish(Left("timeout"), loadSeen = 9.9, loadBar = 1.0,
-      wasUnstable = false, quietRun = () => Some(Right(1.0)))
-    assert(failed == (Left("timeout"), false, false))
+  }
+
+  test("load-guard ERROR arm: a failure taken under load/steal gets one clean attempt") {
+    // the BENCH_r16 failure mode: a steal burst pushed healthy d15
+    // (3.7 s quiet) over the 120 s watchdog and the guard published the
+    // phantom `failed=1` untouched — the worse distortion got the
+    // weaker treatment. A clean success now REPLACES the error, counted
+    // under `requiet`.
+    val healed = Bench.requietPublish(Left("timeout>120s"), loadSeen = 9.9, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => Some(Right(3.7)))
+    assert(healed == (Right(3.7), true, false))
+    // an error-arm heal also clears a contention-induced unstable flag:
+    // the clean run is the only trustworthy evidence and it says healthy
+    val healedFlagged = Bench.requietPublish(Left("timeout>120s"), loadSeen = 4.0, loadBar = 1.0,
+      wasUnstable = true, quietRun = () => Some(Right(2.0)))
+    assert(healedFlagged == (Right(2.0), true, true))
+    // the clean attempt failed too: the failure is CONFIRMED on quiet
+    // hardware and publishes — counted, the budget was honestly spent
+    val confirmed = Bench.requietPublish(Left("timeout>120s"), loadSeen = 9.9, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => Some(Left("timeout>120s")))
+    assert(confirmed == (Left("timeout>120s"), true, false))
+    // no clean run possible (budget spent / never re-quieted): the
+    // failure stands uncounted, its load sample the evidence
+    val noQuiet = Bench.requietPublish(Left("timeout>120s"), loadSeen = 9.9, loadBar = 1.0,
+      wasUnstable = false, quietRun = () => None)
+    assert(noQuiet == (Left("timeout>120s"), false, false))
+    // a QUIET-machine failure is a real failure: no retry requested —
+    // the error arm must not burn budget re-running genuine breakage
+    var calls = 0
+    val genuine = Bench.requietPublish(Left("AnalysisException: boom"), loadSeen = 0.3,
+      loadBar = 1.0, wasUnstable = false, quietRun = () => { calls += 1; Some(Right(1.0)) })
+    assert(genuine == (Left("AnalysisException: boom"), false, false) && calls == 0)
+  }
+
+  test("steal-aware watchdog: contended ticks don't consume the budget; the wall cap still kills") {
+    // quiet tick: budget drains normally, no expiry mid-budget
+    assert(Bench.watchdogTick(10000L, 0L, 2000L, load = 0.2, loadBar = 1.0,
+      wallMs = 2000L, wallCapMs = 360000L) == (8000L, 0L, false))
+    // contended tick: the clock PAUSES — budget untouched, pause recorded
+    assert(Bench.watchdogTick(10000L, 0L, 2000L, load = 3.5, loadBar = 1.0,
+      wallMs = 2000L, wallCapMs = 360000L) == (10000L, 2000L, false))
+    // budget exhausted on a quiet tick: expire (a genuinely hung query)
+    assert(Bench.watchdogTick(2000L, 4000L, 2000L, load = 0.1, loadBar = 1.0,
+      wallMs = 8000L, wallCapMs = 360000L) == (0L, 4000L, true))
+    // permanently contended machine: the wall cap expires the run even
+    // with budget left — the pause is bounded, the artifact always lands
+    assert(Bench.watchdogTick(10000L, 350000L, 2000L, load = 5.0, loadBar = 1.0,
+      wallMs = 360000L, wallCapMs = 360000L) == (10000L, 352000L, true))
   }
 
   test("spread adjudication: a third run confirming the min clears the flag; a live spread keeps it") {

@@ -609,10 +609,16 @@ class DedupSpec extends SparkSpec {
       val preSnap = SignatureStore.snapshot(spark, name)
       // simulate a writer that appended then DIED: run a real ingest
       // (grows the store), then re-stage its crash artifacts — the held
-      // lock and the persisted pre-ingest snapshot
+      // lock (STAMPED with the dead writer's identity, as locked()
+      // stamps every claim at acquisition) and the persisted pre-ingest
+      // snapshot
       SignatureStore.ingest(spark, Seq((2L, doc(2))).toDF("doc_id", "text"), name)
       assert(SignatureStore.snapshot(spark, name) != preSnap)
-      fs.createNewFile(lockFile)
+      locally {
+        val lo = fs.create(lockFile, true)
+        try lo.write(graft.dedup.StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally lo.close()
+      }
       val out = fs.create(pendFile, true)
       out.write(preSnap.mkString("\n").getBytes("UTF-8")); out.close()
       // a live writer cannot get in while the corpse holds the lock
@@ -677,6 +683,97 @@ class DedupSpec extends SparkSpec {
       assert(SignatureStore.snapshot(spark, name) == preSnap)
       assert(!fs.exists(lockFile) && !fs.exists(pendFile))
     } finally SignatureStore.drop(spark, name)
+  }
+
+  test("recover claim discipline: claims are stamped, unstamped survivors refuse, post-claim failures release the lock") {
+    // the r16 verdict's resurfaced TOCTOU: recover()'s claim was a bare
+    // createNewFile — a concurrent recoverer read it as lockOwner=None,
+    // passed the live-owner check, and both rollbacks interleaved; a
+    // recoverer crashed mid-rollback stranded an UNSTAMPED lock no
+    // discharger could verify dead. Four arms pin the closed contract.
+    import graft.dedup.{SignatureStore, StoreGuard}
+    def doc(i: Int): String = (0 until 24).map(w => s"c${i}_$w").mkString(" ")
+    val name = "graft_recover_claim_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark, Seq((1L, doc(1))).toDF("doc_id", "text"), name)
+    val metaLoc = StoreGuard.tableLocation(spark, SignatureStore.metaTable(name))
+    val fs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockFile = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
+    val pendFile = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".pending")
+    def writePend(snap: Set[String]): Unit = {
+      val out = fs.create(pendFile, true)
+      try out.write(snap.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      val preSnap = SignatureStore.snapshot(spark, name)
+      SignatureStore.ingest(spark, Seq((2L, doc(2))).toDF("doc_id", "text"), name)
+
+      // arm 1 — an UNSTAMPED surviving lock refuses (ADVICE: pre-fix,
+      // a lost claim with an unstamped lock proceeded as "operator
+      // authority", which is exactly what a concurrent recoverer's bare
+      // claim looked like). The refusal must leave lock AND pending
+      // untouched, and carry the legacy-vs-crashed guidance.
+      writePend(preSnap)
+      fs.create(lockFile, true).close() // bare, unstamped
+      val unstamped = intercept[RuntimeException](SignatureStore.recover(spark, name))
+      assert(unstamped.getMessage.contains("no owner stamp"), unstamped.getMessage)
+      assert(unstamped.getMessage.contains("pre-stamp legacy"), unstamped.getMessage)
+      assert(fs.exists(lockFile) && fs.exists(pendFile),
+        "a refused recovery must leave the unverifiable state alone")
+      fs.delete(lockFile, false)
+
+      // arm 2 — a FREE lock is claimed AND STAMPED before any restore
+      // work: the on-disk stamp mid-recovery is this process's own, so
+      // a recoverer that dies there leaves a lock a successor can
+      // verify dead (and a concurrent recoverer reads a LIVE owner and
+      // refuses — the dual-recover race closed). Observed via the
+      // claim hook; the recovery itself completes and restores.
+      var stampSeen: Option[StoreGuard.LockOwner] = None
+      StoreGuard.onRecoverClaimed = () => {
+        val in = fs.open(lockFile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+        stampSeen = StoreGuard.parseOwner(txt)
+      }
+      try {
+        writePend(preSnap)
+        assert(SignatureStore.recover(spark, name))
+      } finally StoreGuard.onRecoverClaimed = () => ()
+      assert(stampSeen.exists(StoreGuard.ownerIsSelf),
+        s"recover's claim must carry this process's stamp, saw $stampSeen")
+      assert(SignatureStore.snapshot(spark, name) == preSnap)
+      assert(!fs.exists(lockFile) && !fs.exists(pendFile))
+
+      // arm 3 — the crashed-recoverer state (its stamped lock, its
+      // still-pending snapshot): a successor's recover() verifies the
+      // stamp dead and proceeds, and dischargeDeadLock can discharge
+      // the lock — no manual-unlock dead end remains
+      SignatureStore.ingest(spark, Seq((3L, doc(3))).toDF("doc_id", "text"), name)
+      val preSnap3 = SignatureStore.snapshot(spark, name)
+      SignatureStore.ingest(spark, Seq((4L, doc(4))).toDF("doc_id", "text"), name)
+      locally {
+        val out = fs.create(lockFile, true)
+        try out.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally out.close()
+      }
+      writePend(preSnap3)
+      assert(SignatureStore.recover(spark, name))
+      assert(SignatureStore.snapshot(spark, name) == preSnap3)
+      assert(!fs.exists(lockFile) && !fs.exists(pendFile))
+
+      // arm 4 — a failure AFTER a successful claim releases the lock
+      // (ADVICE: pre-fix, a throw in the pending open/read leaked the
+      // fresh claim, and unstamped at that): an unreadable pending (a
+      // directory) makes the open throw — the claim must be gone
+      fs.mkdirs(pendFile)
+      intercept[Exception](SignatureStore.recover(spark, name))
+      assert(!fs.exists(lockFile),
+        "a post-claim failure must release the claimed lock, not strand it")
+      fs.delete(pendFile, true)
+    } finally {
+      StoreGuard.onRecoverClaimed = () => ()
+      SignatureStore.drop(spark, name)
+    }
   }
 
   test("duplicatedSpans: overlap chains merge, whole-doc dup, within-doc repetition excluded") {

@@ -212,9 +212,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p.linesIterator.take(30).mkString("\n"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
     assert(!p.contains("Join") && !p.contains("Window"), p)
-    // only (doc_id, text) of the documents table's five columns are read
-    assert(!p.contains("lang") && !p.contains("n_chars"),
-      "column pruning lost: unused documents columns read")
+    // only (doc_id, text) of the documents table's five columns reach
+    // the scan — asserted on the scan's ReadSchema field set, not on
+    // substring absence over the whole plan (a future identifier or
+    // codegen token containing 'lang' must not fail this spuriously,
+    // and a renamed column must not pass it vacuously)
+    val readFields = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != ':')).toSet).toSeq
+    assert(readFields.nonEmpty, s"no ReadSchema in the formatted plan:\n$p")
+    assert(readFields == Seq(Set("doc_id", "text")),
+      s"column pruning lost: documents scan reads $readFields, want {doc_id, text}")
   }
 
   test("e24: SCD2 merge is a keyed full-outer join — no cartesian anywhere") {

@@ -593,6 +593,12 @@ class StreamingSpec extends SparkSpec {
       val unk = intercept[RuntimeException](
         CorpusStream.ingestBatch(spark, batch, sName, flagsRoot, 0L))
       assert(unk.getMessage.contains("no owner stamp"), unk.getMessage)
+      // the refusal carries the operator's disambiguation guidance:
+      // every engine claim path stamps, so an unstamped lock is a
+      // pre-stamp legacy writer's or a crash inside the create→stamp
+      // window — the message must say which and how to tell
+      assert(unk.getMessage.contains("PRE-STAMP LEGACY"), unk.getMessage)
+      assert(unk.getMessage.contains("create→stamp window"), unk.getMessage)
       fs.delete(lockP, false)
 
       // live interleave: maintenance (compact) holds the real lock in
@@ -718,18 +724,5 @@ class StreamingSpec extends SparkSpec {
         "a live lock gates the discharge — nothing is touched")
       fs.delete(pendingP, false); fs.delete(lockP, false)
     } finally SignatureStore.drop(spark, sName)
-  }
-
-  /** A genuinely dead pid: fork a no-op child and reap it. */
-  private def deadPid(): Long = {
-    val p = new ProcessBuilder("true").start()
-    p.waitFor()
-    val pid = p.pid()
-    // the handle may linger an instant after waitFor on some JVMs
-    var spins = 0
-    while (ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false) && spins < 100) {
-      Thread.sleep(10); spins += 1
-    }
-    pid
   }
 }
