@@ -280,8 +280,13 @@ object Runner {
         }
       def report(res: Orchestrator.CorpusResult): Unit = res.error match {
         case Some(e) => println(s"[corpus] ${res.store} INGEST FAILED: $e"); sys.exit(1)
-        case None => println(f"[corpus] ${res.store} batch=${res.batchRows}%d " +
-          f"dups=${res.dups}%d survivors=${res.survivors}%d ${res.elapsedSec}%.1f s")
+        case None =>
+          println(f"[corpus] ${res.store} batch=${res.batchRows}%d " +
+            f"dups=${res.dups}%d survivors=${res.survivors}%d ${res.elapsedSec}%.1f s")
+          // the escalation verdict must reach the CLI operator too, not
+          // only the notifier mail — an unattended cron ingest with no
+          // mail configured would otherwise breach silently forever
+          res.auditAlert.foreach(a => println(s"[corpus] $a"))
       }
       opts.get("corpus-ingest").foreach { store =>
         report(Orchestrator.corpusIngest(spark, store,

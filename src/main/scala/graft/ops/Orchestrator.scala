@@ -403,6 +403,18 @@ object Orchestrator {
           }
         pipelines.foreach(p =>
           isolated(s"pipeline $p")(onMaintain(maintain(spark, p, retainVersions, sink))))
+        // opt-in alert→action FIRST, before routine store maintenance:
+        // the embedding store's routine monthly reband is itself the
+        // remedy its AUDIT ALERT names, so running it first would clear
+        // the streak and swallow the remediation record — the maintain
+        // history would show a breach streak that vanished with no
+        // "remediation scheduled and run" line attributing the action
+        // (found by the r17 CLI proof: the sweep acted, the record
+        // lied by omission). Acting on alerts first prints the record
+        // and makes the routine pass a no-op for that store. See
+        // [[remediationPass]] for the per-store semantics.
+        remediationPass(spark, remediations, corpusStores, embeddingStores,
+          auditPolicy, (w, f) => isolated(w)(f()), onMaintain, notifier)
         // the corpus stores ride the same monthly slot: a year of daily
         // ingests is ~365 bucket-aligned files per bucket otherwise
         corpusStores.foreach(s => isolated(s"signature store $s") {
@@ -421,49 +433,67 @@ object Orchestrator {
         ivfIndexRoots.foreach(r => isolated(s"ivf index $r") {
           graft.similarity.IvfIndex.retrain(spark, r); ()
         })
-        // opt-in alert→action: when a store's PERSISTED breach streak
-        // (written by the daily ingests under the store lock) is in
-        // breach at sweep time, the bound remediation runs in this same
-        // slot — the reference's ops story is unattended cron, and an
-        // alert a human must read is weaker than a sweep that acts. The
-        // streak is reset by the remediation OP ITSELF, and only when
-        // it actually changed the store (retune always rebuilds; reband
-        // only when the geometry moves) — a failed or no-op remediation
-        // leaves the condition armed for next month. Each run is
-        // isolated per store like every other unit. The streak is read
-        // from the store kind the name appears under — names ambiguous
-        // across the two lists are refused up front (the text and
-        // embedding sidecars are different files).
-        if (remediations.nonEmpty) {
-          val both = remediations.keySet
-            .filter(s => corpusStores.contains(s) && embeddingStores.contains(s))
-          require(both.isEmpty, "remediation store name(s) appear in BOTH " +
-            s"corpusStores and embeddingStores — streak dispatch is ambiguous: " +
-            both.mkString(", "))
-        }
-        remediations.foreach { case (s, act) =>
-          isolated(s"remediation $s") {
-            val n =
-              if (corpusStores.contains(s))
-                graft.dedup.SignatureStore.readAuditStreak(spark, s)
-              else graft.similarity.EmbeddingStore.readAuditStreak(spark, s)
-            if (n >= auditPolicy.consecutive) {
-              act()
-              onMaintain(MaintainResult(
-                s"remediation $s (AUDIT ALERT: $n consecutive breaches — remediation scheduled and run)",
-                "", 0, 0, skipped = false))
-              notifier.foreach { cfg =>
-                val (subject, body) = Notifier.format(Notifier.RunSummary(
-                  s"remediation $s", 0, 0, 0, 0.0, None))
-                Notifier.send(cfg,
-                  subject, body + s"\nAUDIT ALERT: $n consecutive breaches — " +
-                    "remediation scheduled and run")
-              }
-            } else onMaintain(MaintainResult(s"remediation $s", "", 0, 0,
-              skipped = true))
-          }
-        }
       }))
+
+  /** The sweep's opt-in alert→action pass (runs BEFORE routine store
+    * maintenance — see the call site): when a store's PERSISTED breach
+    * streak (written by the daily ingests under the store lock) is in
+    * breach at sweep time, the bound remediation runs in the same
+    * monthly slot — the reference's ops story is unattended cron, and
+    * an alert a human must read is weaker than a sweep that acts. The
+    * streak is reset by the remediation OP ITSELF, and only when it
+    * actually changed the store (retune always rebuilds; reband only
+    * when the geometry moves) — a failed or no-op remediation leaves
+    * the condition armed for next month. Each run is isolated per
+    * store like every other unit. The streak is read from the store
+    * kind the name appears under — names ambiguous across the two
+    * lists are refused up front (the text and embedding sidecars are
+    * different files).
+    */
+  private def remediationPass(spark: SparkSession,
+      remediations: Map[String, () => Unit],
+      corpusStores: Seq[String], embeddingStores: Seq[String],
+      auditPolicy: AuditPolicy,
+      isolated: (String, () => Unit) => Unit,
+      onMaintain: MaintainResult => Unit,
+      notifier: Option[Notifier.Config]): Unit = {
+    if (remediations.nonEmpty) {
+      val both = remediations.keySet
+        .filter(s => corpusStores.contains(s) && embeddingStores.contains(s))
+      require(both.isEmpty, "remediation store name(s) appear in BOTH " +
+        s"corpusStores and embeddingStores — streak dispatch is ambiguous: " +
+        both.mkString(", "))
+    }
+    remediations.foreach { case (s, act) =>
+      isolated(s"remediation $s", () => {
+        val n =
+          if (corpusStores.contains(s))
+            graft.dedup.SignatureStore.readAuditStreak(spark, s)
+          else graft.similarity.EmbeddingStore.readAuditStreak(spark, s)
+        if (n >= auditPolicy.consecutive) {
+          // this pass runs FIRST in the sweep, so in a fresh JVM (the
+          // cron cadence) no other unit has registered the store's
+          // catalog entries yet — register from disk before acting
+          // (the streak read above is file-based and needs no catalog)
+          if (corpusStores.contains(s))
+            graft.dedup.SignatureStore.ensureRegistered(spark, s)
+          else graft.similarity.EmbeddingStore.ensureRegistered(spark, s)
+          act()
+          onMaintain(MaintainResult(
+            s"remediation $s (AUDIT ALERT: $n consecutive breaches — remediation scheduled and run)",
+            "", 0, 0, skipped = false))
+          notifier.foreach { cfg =>
+            val (subject, body) = Notifier.format(Notifier.RunSummary(
+              s"remediation $s", 0, 0, 0, 0.0, None))
+            Notifier.send(cfg,
+              subject, body + s"\nAUDIT ALERT: $n consecutive breaches — " +
+                "remediation scheduled and run")
+          }
+        } else onMaintain(MaintainResult(s"remediation $s", "", 0, 0,
+          skipped = true))
+      })
+    }
+  }
 
   final case class MaintainResult(pipeline: String, root: String,
       compactedPartitions: Int, retainedVersions: Int, skipped: Boolean,

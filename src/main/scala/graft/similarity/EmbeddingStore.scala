@@ -107,13 +107,37 @@ object EmbeddingStore {
 
   /** The one spec row every probe reads back — geometry, bucketing,
     * width, and the banding-kernel version all pinned together.
+    *
+    * An EXISTING meta table is rewritten with INSERT OVERWRITE
+    * (`insertInto`), never `saveAsTable(Overwrite)`: the table identity
+    * must survive the rewrite. In the JVM that built the store the
+    * entry is MANAGED and either form works — but after a fresh JVM's
+    * [[ensureRegistered]] the entry is EXTERNAL (`CREATE TABLE ...
+    * LOCATION`), and saveAsTable's overwrite DROPS that entry (leaving
+    * the external files in place) then refuses to create a managed
+    * table over the surviving location — LOCATION_ALREADY_EXISTS,
+    * killing every cross-JVM reband/compact (found by the r17 CLI
+    * remediation proof: the cron-cadence sweep runs in a fresh JVM by
+    * design, so the monthly reband ALWAYS hit this in production shape).
     */
   private def writeMeta(spark: SparkSession, name: String, spec: Spec,
       buckets: Int, dims: Int): Unit = {
     import spark.implicits._
-    Seq((spec.planes, spec.bandBits, buckets, dims, Similarity.LshKernelVersion))
+    val df = Seq((spec.planes, spec.bandBits, buckets, dims, Similarity.LshKernelVersion))
       .toDF("planes", "band_bits", "buckets", "dims", "kernel")
-      .write.mode("overwrite").format("parquet").saveAsTable(metaTable(name))
+    val t = metaTable(name)
+    if (spark.catalog.tableExists(t) &&
+        spark.table(t).schema.fieldNames.sameElements(df.schema.fieldNames))
+      df.write.mode("overwrite").insertInto(t)
+    else {
+      // schema evolution (a pre-kernel 4-column meta being upgraded) or
+      // no live entry: replace the table outright — resetTable clears
+      // BOTH the catalog entry and the warehouse location, so the
+      // create never refuses over a surviving dir (an orphaned meta dir
+      // from another JVM would otherwise be LOCATION_ALREADY_EXISTS too)
+      StoreGuard.resetTable(spark, t)
+      df.write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
   }
 
   /** `<meta-dir>.rebanding` sibling marker: present exactly while a

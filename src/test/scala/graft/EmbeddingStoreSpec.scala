@@ -188,4 +188,62 @@ class EmbeddingStoreSpec extends SparkSpec {
       assert(flags == Map(11L -> true), flags)
     } finally EmbeddingStore.drop(spark, name)
   }
+
+  test("cross-JVM maintenance: reband re-pins the meta through an ensureRegistered (EXTERNAL) entry") {
+    // the r17 CLI remediation proof's finding: the monthly sweep runs
+    // in a FRESH JVM (the cron cadence), whose catalog entries come
+    // from ensureRegistered as EXTERNAL tables (CREATE ... LOCATION).
+    // writeMeta's old saveAsTable(Overwrite) DROPPED that entry
+    // (leaving the external files in place) and then refused to create
+    // a managed table over the surviving location —
+    // LOCATION_ALREADY_EXISTS — so every cross-JVM reband/compact
+    // failed in exactly the production shape. Simulate the fresh-JVM
+    // state in-process: unregister the managed entries WITHOUT
+    // deleting files (move each dir aside across the DROP), re-register
+    // via ensureRegistered, then drive the sweep's reband.
+    import graft.dedup.StoreGuard
+    val name = "graft_estore_xjvm_spec"
+    EmbeddingStore.drop(spark, name)
+    val hist = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding")
+    EmbeddingStore.build(spark, hist, name)
+    try {
+      // make the stored geometry OUTDATED (band_bits off by one, kernel
+      // current, 5-column schema) so reband must rewrite bands AND
+      // re-pin the meta through the insert path — the meta table is
+      // still MANAGED here, so the fabrication itself is safe
+      val m = spark.table(EmbeddingStore.metaTable(name)).head()
+      Seq((m.getAs[Int]("planes"), m.getAs[Int]("band_bits") + 1,
+          m.getAs[Int]("buckets"), m.getAs[Int]("dims"),
+          Similarity.LshKernelVersion))
+        .toDF("planes", "band_bits", "buckets", "dims", "kernel")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(EmbeddingStore.metaTable(name))
+      // unregister-without-delete: DROP on a managed entry would delete
+      // the files, so move each dir aside across the DROP
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(EmbeddingStore.bandsTable(name), EmbeddingStore.vecsTable(name),
+          EmbeddingStore.metaTable(name)).foreach { t =>
+        val loc = StoreGuard.tableLocation(spark, t)
+        val fs = loc.getFileSystem(conf)
+        val save = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".xjvm")
+        assert(fs.rename(loc, save), s"stash $t")
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        assert(fs.rename(save, loc), s"restore $t")
+      }
+      EmbeddingStore.ensureRegistered(spark, name) // the fresh-JVM entries
+      // the sweep's maintenance sequence, as scheduledJobs runs it
+      assert(EmbeddingStore.reband(spark, name),
+        "reband must rewrite the outdated geometry through the external entry")
+      EmbeddingStore.compact(spark, name)
+      val m2 = spark.table(EmbeddingStore.metaTable(name)).head()
+      assert(m2.getAs[Int]("band_bits") == m.getAs[Int]("band_bits"),
+        "meta re-pinned to the derived geometry")
+      assert(m2.getAs[Int]("kernel") == Similarity.LshKernelVersion)
+      // the store stays fully usable after cross-JVM maintenance
+      val flags = EmbeddingStore.ingest(spark,
+          Seq((11L, nearDup(1))).toDF("vec_id", "embedding"), name)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags == Map(11L -> true), flags)
+    } finally EmbeddingStore.drop(spark, name)
+  }
 }
