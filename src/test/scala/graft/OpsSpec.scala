@@ -654,6 +654,57 @@ class OpsSpec extends SparkSpec {
     } finally Seq(breached, cleanStore, broken).foreach(SignatureStore.drop(spark, _))
   }
 
+  test("sweep ordering: the embedding remediation record prints BEFORE the routine reband can swallow the streak") {
+    // the r17 CLI proof's finding (b): the routine monthly reband is
+    // itself the remedy the embedding store's AUDIT ALERT names — run
+    // first, it cleared the streak and the remediation pass then read
+    // 0 and SKIPPED, so the maintain history showed a breach that
+    // vanished with no "remediation scheduled and run" attribution.
+    // Arm a streak on a store whose geometry is ALSO outdated (the
+    // state where the old order swallowed the record) and pin that the
+    // remediation record fires, fires FIRST, and the routine pass then
+    // no-ops.
+    import graft.similarity.{EmbeddingStore, Similarity}
+    import graft.ops.Orchestrator
+    import TestVectors.vec
+    val store = "graft_rem_emb_order"
+    EmbeddingStore.drop(spark, store)
+    EmbeddingStore.build(spark,
+      Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding"), store)
+    try {
+      // outdated geometry (band_bits off by one, kernel current) — the
+      // routine reband WOULD move it and clear the streak if it ran first
+      val m = spark.table(EmbeddingStore.metaTable(store)).head()
+      Seq((m.getAs[Int]("planes"), m.getAs[Int]("band_bits") + 1,
+          m.getAs[Int]("buckets"), m.getAs[Int]("dims"),
+          Similarity.LshKernelVersion))
+        .toDF("planes", "band_bits", "buckets", "dims", "kernel")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(EmbeddingStore.metaTable(store))
+      EmbeddingStore.writeAuditStreak(spark, store, 3)
+      val maint = new java.util.concurrent.ConcurrentLinkedQueue[Orchestrator.MaintainResult]()
+      val jobs = Orchestrator.scheduledJobs(spark, sfDir,
+        onMaintain = mr => { maint.add(mr); () },
+        embeddingStores = Seq(store),
+        remediations = Map(store -> (() =>
+          { EmbeddingStore.reband(spark, store); () })))
+      jobs.find(_.name == "monthly_maintenance").get.run()
+      val ms = maint.toArray(Array.empty[Orchestrator.MaintainResult]).toSeq
+      val remIdx = ms.indexWhere(r => r.pipeline.contains(s"remediation $store") &&
+        r.pipeline.contains("remediation scheduled and run"))
+      assert(remIdx >= 0, s"the acted-on alert must be attributed in the record: $ms")
+      val routineIdx = ms.indexWhere(_.pipeline == s"embedding store $store")
+      assert(routineIdx < 0 || remIdx < routineIdx,
+        "remediation must run before routine maintenance")
+      // the remediation's reband moved the geometry, so the streak is
+      // cleared and the routine pass had nothing left to do
+      assert(EmbeddingStore.readAuditStreak(spark, store) == 0)
+      assert(spark.table(EmbeddingStore.metaTable(store)).head()
+        .getAs[Int]("band_bits") == m.getAs[Int]("band_bits"),
+        "geometry re-derived by the remediation reband")
+    } finally EmbeddingStore.drop(spark, store)
+  }
+
   test("orchestrator maintenance: sync, compact clustered by key, vacuum, still readable (E1/D6)") {
     import graft.ops.Orchestrator
     import graft.sinks.VersionedTable
