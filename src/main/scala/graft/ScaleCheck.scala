@@ -285,7 +285,13 @@ object ScaleCheck {
           e: Exception): Unit = add(qe)
     })
 
-    def once(name: String, body: () => Unit): Either[String, Double] = {
+    // the Bench pattern, including its steal-aware watchdog
+    // ([[Bench.watchdogTick]]): a hypervisor-steal burst must not
+    // convert a scale row into a phantom timeout either, and the
+    // tick-granular max load rides back so a long row's `load_seen`
+    // reflects bursts instead of a whole-run average.
+    // Returns (result, max guard cores sampled across the run).
+    def once(name: String, body: () => Unit): (Either[String, Double], Double) = {
       val group = s"scale-$name"
       val task = new java.util.concurrent.FutureTask[Either[String, Double]](() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
@@ -302,15 +308,34 @@ object ScaleCheck {
         }
       })
       val th = new Thread(task, s"scale-run-$name"); th.setDaemon(true); th.start()
-      try task.get(watchdogSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          spark.catalog.clearCache()
-          Left(s"timeout>${watchdogSec}s")
-        case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      val tickMs = 2000L
+      var budgetLeftMs = watchdogSec * 1000L
+      var contendedMs = 0L
+      val wallCapMs = watchdogSec * 3000L
+      val t0 = System.nanoTime()
+      var maxLoad = 0.0
+      var result: Option[Either[String, Double]] = None
+      while (result.isEmpty) {
+        try result = Some(task.get(tickMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            val l = Bench.guardLoad()
+            if (l >= 0) maxLoad = math.max(maxLoad, l)
+            val wallMs = (System.nanoTime() - t0) / 1000000L
+            val (b, c, expire) = Bench.watchdogTick(budgetLeftMs, contendedMs,
+              tickMs, l, Bench.LoadBar, wallMs, wallCapMs)
+            budgetLeftMs = b; contendedMs = c
+            if (expire) {
+              spark.sparkContext.cancelJobGroup(group)
+              spark.catalog.clearCache()
+              val paused = if (contendedMs > 0) s"; watchdog paused ${contendedMs / 1000}s under load/steal" else ""
+              result = Some(Left(s"timeout>${watchdogSec}s$paused"))
+            }
+          case e: Throwable =>
+            result = Some(Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
+        }
       }
+      (result.get, maxLoad)
     }
 
     /** (min seconds over 2 runs | error, per-run-avg metric rollup).
@@ -324,7 +349,7 @@ object ScaleCheck {
     def measure(q: QueryDef, dir: String)
         : (Either[String, Double], Map[String, Long], Double, Boolean) = {
       q.prepare.foreach { p =>
-        once(s"${q.name}-prepare", () => p(spark, dir)).left.foreach(err =>
+        once(s"${q.name}-prepare", () => p(spark, dir))._1.left.foreach(err =>
           System.err.println(s"[scale] ${q.name} prepare failed: $err"))
       }
       metricSums.set(Map.empty)
@@ -332,9 +357,10 @@ object ScaleCheck {
       var runsHappened = 0
       def run() = {
         Bench.guardLoad() // reset the usage/steal window to this run
-        val r = once(q.name,
+        val (r, tickMax) = once(q.name,
           () => q.query(spark, dir).write.mode("overwrite").format("noop").save())
-        loadSeen = math.max(loadSeen, Bench.guardLoad())
+        // tick-granular max plus the tail window since the last tick
+        loadSeen = math.max(loadSeen, math.max(tickMax, Bench.guardLoad()))
         runsHappened += 1
         r
       }
