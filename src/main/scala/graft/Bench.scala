@@ -175,6 +175,51 @@ object Bench {
     (b, c, b <= 0 || wallMs >= wallCapMs)
   }
 
+  /** The tick-polling loop around [[watchdogTick]], shared by Bench and
+    * ScaleCheck (ADVICE r17: the two harnesses carried verbatim copies,
+    * so a fix to cancellation or the paused-seconds message could land
+    * in one and miss the other — the failure mode the StoreGuard
+    * extraction exists to prevent). Polls `task` in short ticks,
+    * sampling the guard signal each tick; on expiry cancels the job
+    * group, clears the cache, and records the timeout with its
+    * contended-pause evidence. Returns (result, max guard cores sampled
+    * across the run). `errLen` caps non-timeout error text — the two
+    * harnesses publish into differently-budgeted artifacts.
+    */
+  private[graft] def watchdogPoll(spark: SparkSession,
+      task: java.util.concurrent.FutureTask[Either[String, Double]],
+      group: String, watchdogSec: Int, errLen: Int)
+      : (Either[String, Double], Double) = {
+    val tickMs = 2000L
+    var budgetLeftMs = watchdogSec * 1000L
+    var contendedMs = 0L
+    val wallCapMs = watchdogSec * 3000L
+    val t0 = System.nanoTime()
+    var maxLoad = 0.0
+    var result: Option[Either[String, Double]] = None
+    while (result.isEmpty) {
+      try result = Some(task.get(tickMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val l = guardLoad()
+          if (l >= 0) maxLoad = math.max(maxLoad, l)
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          val (b, c, expire) = watchdogTick(budgetLeftMs, contendedMs, tickMs,
+            l, LoadBar, wallMs, wallCapMs)
+          budgetLeftMs = b; contendedMs = c
+          if (expire) {
+            spark.sparkContext.cancelJobGroup(group)
+            spark.catalog.clearCache()
+            val paused = if (contendedMs > 0) s"; watchdog paused ${contendedMs / 1000}s under load/steal" else ""
+            result = Some(Left(s"timeout>${watchdogSec}s$paused"))
+          }
+        case e: Throwable =>
+          result = Some(Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(errLen)}"))
+      }
+    }
+    (result.get, maxLoad)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -245,6 +290,15 @@ object Bench {
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64),
       "vec_id", "embedding", threshold = 0.9)
       .write.mode("overwrite").format("noop").save()
+    // Fifth warmup: a 1024-row miniature through the offers/inventory
+    // pipeline family (broadcast part join → two-level decimal partial
+    // agg with e12's single-pass exact-distinct shape → mapping compile
+    // → serialized wire). BENCH_r17's one `unstable` residue was e13
+    // absorbing this codegen family on its cold first run (6.3 s cold /
+    // 2.35 s steady at sf0.1) — none of the four earlier warmups
+    // compile it, so the flag recurred every round the suite ordering
+    // put e13 before e12.
+    PipelineQueries.warmupMiniature(spark, sfDir)
     spark.catalog.clearCache()
 
     // Plan-metric accumulator: executed-plan SQLMetrics summed across
@@ -296,34 +350,7 @@ object Bench {
       val th = new Thread(task, s"bench-run-$name")
       th.setDaemon(true)
       th.start()
-      val tickMs = 2000L
-      var budgetLeftMs = watchdogSec * 1000L
-      var contendedMs = 0L
-      val wallCapMs = watchdogSec * 3000L
-      val t0 = System.nanoTime()
-      var maxLoad = 0.0
-      var result: Option[Either[String, Double]] = None
-      while (result.isEmpty) {
-        try result = Some(task.get(tickMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            val l = guardLoad()
-            if (l >= 0) maxLoad = math.max(maxLoad, l)
-            val wallMs = (System.nanoTime() - t0) / 1000000L
-            val (b, c, expire) = watchdogTick(budgetLeftMs, contendedMs, tickMs,
-              l, LoadBar, wallMs, wallCapMs)
-            budgetLeftMs = b; contendedMs = c
-            if (expire) {
-              spark.sparkContext.cancelJobGroup(group)
-              spark.catalog.clearCache()
-              val paused = if (contendedMs > 0) s"; watchdog paused ${contendedMs / 1000}s under load/steal" else ""
-              result = Some(Left(s"timeout>${watchdogSec}s$paused"))
-            }
-          case e: Throwable =>
-            result = Some(Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
-        }
-      }
-      (result.get, maxLoad)
+      watchdogPoll(spark, task, group, watchdogSec, errLen = 200)
     }
 
     val (loadBefore, memBefore) = machineLoad()
@@ -331,6 +358,11 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val unstable = scala.collection.mutable.ArrayBuffer[String]()
+    // raw run times of queries still flagged after adjudication — the
+    // artifact-side evidence (`unstable_detail`) that lets a reader
+    // adjudicate a residual flag from the JSON line alone instead of
+    // the stderr progress lines (r17 verdict #6)
+    val unstableRaw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     // mid-run load guard accounting: total re-quiet wait is bounded so a
     // permanently contended machine can't stall the artifact past its
     // deadlines — once the budget is spent, loaded timings stand (still
@@ -418,11 +450,19 @@ object Bench {
             if (now <= loadBar) {
               System.err.println(f"[bench] $name%-28s re-quiet run (published min " +
                 f"was taken under external load=${loadSeen}%.1f)")
-              Some(timed())
+              // the clean attempt's own wall (run time + any watchdog
+              // pauses) charges the SAME budget as the wait (ADVICE
+              // r17): the error arm's re-run of a genuinely hung query
+              // can cost up to 3× watchdog wall, and uncharged it would
+              // let repeated heals blow the soft-deadline envelope
+              val r0 = System.nanoTime()
+              try Some(timed())
+              finally requietUsedSec += (System.nanoTime() - r0) / 1e9
             } else None
           })
       if (requieted) requietCount += 1
       if (clearUnstable) unstable -= name
+      if (unstable.contains(name)) unstableRaw(name) = rawTimes.toSeq
       // listener-bus drain grace before reading the advisory metrics
       Thread.sleep(150)
       val m = metricSums.get()
@@ -451,7 +491,7 @@ object Bench {
     Thread.sleep(100)
     println(renderLine(runs, unstable.toSeq,
       (loadBefore, loadAfter, memBefore, memAfter), waitedSec, sfDir,
-      requietCount, stealCores))
+      requietCount, stealCores, unstableRaw.toMap))
     System.out.flush()
     spark.stop()
   }
@@ -573,7 +613,16 @@ object Bench {
       waitedSec: Double,
       sfDir: String,
       requietCount: Int = 0,
-      stealCores: Double = 0.0): String = {
+      stealCores: Double = 0.0,
+      /** Raw run times of still-flagged queries: rendered as
+        * `"unstable_detail":{"name":[t1,t2,...]}` next to the flag list
+        * so the artifact self-adjudicates (a 6.3/2.2/3.1 pattern reads
+        * as cold-run JIT, a 2.1/6.8/7.0 one as a live regression)
+        * without the stderr progress lines. Shed early in the clamp
+        * ladder — raw-run evidence goes before unstable NAMES and long
+        * before error reasons.
+        */
+      unstableRaw: Map[String, Seq[Double]] = Map.empty): String = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -584,7 +633,8 @@ object Bench {
     def sec(t: Double): String = f"$t%.3f"
     val allErrs = runs.collect { case (k, Left(err)) => k -> err }
     def render(errCap: Int, errLen: Int, slimLoad: Boolean, slimUnstable: Boolean,
-        dropFailedTimings: Boolean, prec: Int, minSpell: Double): String = {
+        dropFailedTimings: Boolean, prec: Int, minSpell: Double,
+        detail: Boolean): String = {
       // sub-minSpell successes roll up into fast_n/fast_sec: at 76+
       // queries the per-query map alone outgrows the tail, and the
       // sub-half-second timings are machine noise the plan audit never
@@ -604,9 +654,16 @@ object Bench {
         .mkString("{", ",", "}")
       val total = runs.collect { case (_, Right(t)) => t }.sum
       val nFailed = runs.count(_._2.isLeft)
-      val unstableJson =
-        if (slimUnstable) s""""unstable_n":${unstable.size}"""
-        else "\"unstable\":" + unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
+      val detailJson =
+        if (!detail) ""
+        else {
+          val d = unstable.flatMap(n => unstableRaw.get(n).filter(_.nonEmpty).map(rs =>
+            s"\"${esc(n)}\":" + rs.map(t => f"$t%.2f").mkString("[", ",", "]")))
+          if (d.isEmpty) "" else d.mkString(""""unstable_detail":{""", ",", "},")
+        }
+      val unstableJson = detailJson +
+        (if (slimUnstable) s""""unstable_n":${unstable.size}"""
+         else "\"unstable\":" + unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]"))
       val loadJson =
         if (slimLoad) s""""load":[${load._1},${load._2}]"""
         else s""""load":[${load._1},${load._2},${load._3},${load._4}]"""
@@ -630,28 +687,30 @@ object Bench {
     // round-7 artifact spent its whole budget on placeholders and an
     // `{"_more":14}` with zero reasons.
     val ladder = Seq(
-      (8, 60, false, false, false, 3, 0.0), // full detail
-      (8, 60, false, false, false, 2, 0.0), // centisecond timings FIRST:
+      (8, 60, false, false, false, 3, 0.0, true), // full detail
+      (8, 60, false, false, false, 2, 0.0, true), // centisecond timings FIRST:
                                             // cheapest shed (sub-10 ms is noise)
-      (8, 60, true, false, false, 2, 0.0),  // drop memory columns
-      (8, 60, true, false, false, 1, 0.0),  // decisecond timings
-      (8, 60, true, false, false, 1, 0.3),  // roll up sub-0.3 s queries —
+      (8, 60, true, false, false, 2, 0.0, true),  // drop memory columns
+      (8, 60, true, false, false, 1, 0.0, true),  // decisecond timings
+      (8, 60, true, false, false, 1, 0.3, true),  // roll up sub-0.3 s queries —
                                             // unstable names still spelled; a
                                             // healthy 76-query line lands here
-      (8, 60, true, false, false, 1, 0.6),
-      (8, 60, true, true, false, 1, 0.6),   // only now collapse unstable to count
-      (8, 40, true, true, false, 2, 1.0),   // shorten error text
-      (6, 32, true, true, false, 2, 1.0),
-      (4, 24, true, true, false, 2, 2.0),
-      (8, 60, true, true, true, 2, 2.0),    // drop -1 placeholders, restore reasons
-      (6, 32, true, true, true, 2, 1.0),    // placeholders gone, slow spelled
-      (4, 24, true, true, true, 2, 1.0),    // tighter reasons, slow still spelled
-      (4, 24, true, true, true, 2, 1e9),    // roll up every success
-      (4, 12, true, true, true, 1, 1e9)     // floor: ≥4 named failures, always
+      (8, 60, true, false, false, 1, 0.6, true),
+      (8, 60, true, false, false, 1, 0.6, false), // shed raw-run detail before
+                                            // names collapse, long before reasons
+      (8, 60, true, true, false, 1, 0.6, false),  // only now collapse unstable to count
+      (8, 40, true, true, false, 2, 1.0, false),  // shorten error text
+      (6, 32, true, true, false, 2, 1.0, false),
+      (4, 24, true, true, false, 2, 2.0, false),
+      (8, 60, true, true, true, 2, 2.0, false),   // drop -1 placeholders, restore reasons
+      (6, 32, true, true, true, 2, 1.0, false),   // placeholders gone, slow spelled
+      (4, 24, true, true, true, 2, 1.0, false),   // tighter reasons, slow still spelled
+      (4, 24, true, true, true, 2, 1e9, false),   // roll up every success
+      (4, 12, true, true, true, 1, 1e9, false)    // floor: ≥4 named failures, always
     )
     ladder.iterator.map((render _).tupled)
       .find(_.length <= 1915)
       .getOrElse(render(4, 12, slimLoad = true, slimUnstable = true,
-        dropFailedTimings = true, prec = 1, minSpell = 1e9))
+        dropFailedTimings = true, prec = 1, minSpell = 1e9, detail = false))
   }
 }

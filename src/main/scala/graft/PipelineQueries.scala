@@ -35,6 +35,29 @@ object PipelineQueries {
   private def dec2(expr: String): String =
     s"CAST(CAST(CAST($expr AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE)"
 
+  /** Untimed bench warmup: the offers/inventory pipeline codegen family
+    * (broadcast part join → two-level decimal partial aggregate — e12's
+    * single-pass exact-distinct shape — → mapping compile → serialized
+    * wire) over a 1024-row lineitem slice, into the noop sink. Exists
+    * because this family's C2 compiles are shared by e12/e13 (and e06's
+    * mapping tail) but reached by none of the bench's other warmups:
+    * BENCH_r17's one residual `unstable` flag was e13 absorbing them on
+    * its cold first run (6.3 s cold vs 2.35 s steady at sf0.1).
+    */
+  private[graft] def warmupMiniature(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val lim: DataFrame => DataFrame = _.limit(1024)
+    Seq(
+      serialized(Pipeline.compile(SpecLoader.fromResource("inventory"),
+        inventoryAgg(s, dir, lim), refreshedAt = Some(to_timestamp(lit(Refresh)))),
+        Seq("qty_on_hand")),
+      serialized(Pipeline.compile(SpecLoader.fromResource("offers"),
+        offersAgg(s, dir, lim), refreshedAt = Some(to_timestamp(lit(Refresh)))),
+        Seq("discount_amount_usd", "gross_margin_usd", "order_mix_pct",
+          "sales_mix_usd_pct", "net_sales_usd", "target_food_cost_usd"))
+    ).foreach(_.write.mode("overwrite").format("noop").save())
+  }
+
   /** sales_channel — the 5-dim × 5-measure shape
     * (`/root/reference/pipelines/pipelines.yaml:94-98`): store × date ×
     * actor × channel × day-part with TY/LY comparative measures. LY is

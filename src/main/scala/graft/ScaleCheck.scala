@@ -308,35 +308,17 @@ object ScaleCheck {
         }
       })
       val th = new Thread(task, s"scale-run-$name"); th.setDaemon(true); th.start()
-      val tickMs = 2000L
-      var budgetLeftMs = watchdogSec * 1000L
-      var contendedMs = 0L
-      val wallCapMs = watchdogSec * 3000L
-      val t0 = System.nanoTime()
-      var maxLoad = 0.0
-      var result: Option[Either[String, Double]] = None
-      while (result.isEmpty) {
-        try result = Some(task.get(tickMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            val l = Bench.guardLoad()
-            if (l >= 0) maxLoad = math.max(maxLoad, l)
-            val wallMs = (System.nanoTime() - t0) / 1000000L
-            val (b, c, expire) = Bench.watchdogTick(budgetLeftMs, contendedMs,
-              tickMs, l, Bench.LoadBar, wallMs, wallCapMs)
-            budgetLeftMs = b; contendedMs = c
-            if (expire) {
-              spark.sparkContext.cancelJobGroup(group)
-              spark.catalog.clearCache()
-              val paused = if (contendedMs > 0) s"; watchdog paused ${contendedMs / 1000}s under load/steal" else ""
-              result = Some(Left(s"timeout>${watchdogSec}s$paused"))
-            }
-          case e: Throwable =>
-            result = Some(Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
-        }
-      }
-      (result.get, maxLoad)
+      Bench.watchdogPoll(spark, task, group, watchdogSec, errLen = 300)
     }
+
+    // bounded re-quiet budget shared across all rows (the Bench
+    // discipline, ADVICE r17: the error arm's clean re-run previously
+    // had no budget here at all — a run of hung-under-load rows could
+    // each spend up to 3× watchdog of extra wall). Wait time AND the
+    // clean attempt's own wall both charge it.
+    val requietBudgetSec =
+      sys.env.get("SPARK_GRAFT_REQUIET_SEC").flatMap(_.toDoubleOption).getOrElse(600.0)
+    var requietUsedSec = 0.0
 
     /** (min seconds over 2 runs | error, per-run-avg metric rollup).
       * Scale rows carry the same mid-run load guard as the bench
@@ -370,15 +352,27 @@ object ScaleCheck {
         case Right(t1) => run().fold(Left(_), t2 => Right(math.min(t1, t2)))
         case l => l
       }
-      val (r, requieted, _) = Bench.requietPublish(r0, loadSeen, loadBar = 1.0,
+      // the bar is the shared Bench.LoadBar so "contention-distorted"
+      // has ONE definition across the guard and the watchdog (ADVICE r17)
+      val (r, requieted, _) = Bench.requietPublish(r0, loadSeen, loadBar = Bench.LoadBar,
         wasUnstable = false,
-        quietRun = () => {
-          val w0 = System.nanoTime()
-          def waited: Double = (System.nanoTime() - w0) / 1e9
-          var now = Bench.guardLoad()
-          while (now > 1.0 && waited < 120.0) { Thread.sleep(5000); now = Bench.guardLoad() }
-          if (now <= 1.0) Some(run()) else None
-        })
+        quietRun = () =>
+          if (requietUsedSec >= requietBudgetSec) None
+          else {
+            val w0 = System.nanoTime()
+            def waited: Double = (System.nanoTime() - w0) / 1e9
+            var now = Bench.guardLoad()
+            while (now > Bench.LoadBar && waited < 120.0 &&
+                requietUsedSec + waited < requietBudgetSec) {
+              Thread.sleep(5000); now = Bench.guardLoad()
+            }
+            requietUsedSec += waited
+            if (now <= Bench.LoadBar) {
+              val t0 = System.nanoTime()
+              try Some(run())
+              finally requietUsedSec += (System.nanoTime() - t0) / 1e9
+            } else None
+          })
       if (requieted) System.err.println(
         f"[scale] ${q.name}%-28s re-quiet run (min was taken under external load=$loadSeen%.1f)")
       Thread.sleep(200) // listener-bus drain grace

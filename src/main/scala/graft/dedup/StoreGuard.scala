@@ -512,7 +512,14 @@ private[graft] final case class StoreGuard(metaTable: String, tables: Seq[String
         true
       }
     } catch {
-      case e: Throwable => unlock(spark); throw e
+      // release only a lock THIS CALL created (ADVICE r17): when we
+      // proceeded FENCED under a dead/foreign-host/self stamp, a
+      // transient failure here (the pending open, the snapshot read)
+      // must leave that lock in place for a clean retry — deleting a
+      // fence this process doesn't own while the pending remains would
+      // reopen the exact fresh-writer-overwrites-pending window this
+      // arbitration exists to close
+      case e: Throwable => if (claimed) unlock(spark); throw e
     }
   }
 

@@ -181,6 +181,47 @@ class BenchSpec extends SparkSpec {
       "a healthy run keeps its unstable names once fast queries roll up")
   }
 
+  test("unstable_detail: a flagged query's raw runs ride the artifact; shed before names collapse") {
+    // r17 verdict #6: a residual `unstable` flag must be adjudicable
+    // from the JSON line alone — the raw runs (e.g. 6.3/2.2/3.1 = cold
+    // JIT vs 2.1/6.8/7.0 = live regression) previously lived only in
+    // stderr progress lines a bounded tail capture drops.
+    val real = Queries.all.map(_.name)
+    val runs = real.zipWithIndex.map { case (n, i) =>
+      n -> (Right(if (i % 3 == 0) 2.345678 else 0.2123): Either[String, Double])
+    }
+    val flagged = real.head
+    val line = Bench.renderLine(runs, Seq(flagged),
+      (1.25, 3.96, 126220L, 121148L), 0.0, "/root/testdata/sf0.1",
+      unstableRaw = Map(flagged -> Seq(6.30, 2.21, 3.14), "not_flagged" -> Seq(9.9)))
+    assert(line.length <= TailBudget, s"${line.length} bytes")
+    val row = parse(line)
+    val detail = row.getAs[org.apache.spark.sql.Row]("unstable_detail")
+    // raw runs present for the flagged query, 2-decimal precision
+    assert(detail.getSeq[Double](detail.fieldIndex(flagged)).toSeq == Seq(6.30, 2.21, 3.14), line)
+    // raws for a query NOT in the flag list never render (evidence only
+    // accompanies a standing flag)
+    assert(detail.schema.fieldNames.toSeq == Seq(flagged), line)
+    // back-compat: no raws provided -> no key at all
+    assert(!Bench.renderLine(runs, Seq(flagged),
+      (1.25, 3.96, 126220L, 121148L), 0.0, "sf0.1").contains("unstable_detail"))
+    // catastrophic run: the clamp ladder sheds the detail BEFORE
+    // unstable names collapse and long before error reasons — a
+    // 63-failure artifact spends its budget on diagnosis, not raw runs
+    val names63 = (1 to 63).map(i => f"q$i%02d_some_operator_name")
+    val nasty = "org.apache.spark.SparkException: stage failure " + "y" * 200
+    val failedRuns = names63.map(n => n -> (Left(nasty): Either[String, Double]))
+    val clamped = Bench.renderLine(failedRuns, names63.take(5),
+      (9.9, 9.9, 126220L, 121148L), 88.0, "/root/testdata/sf0.1",
+      unstableRaw = names63.take(5).map(n => n -> Seq(1.0, 9.0, 9.1)).toMap)
+    assert(clamped.length <= TailBudget, s"${clamped.length} bytes")
+    assert(!clamped.contains("unstable_detail"), clamped)
+    val crow = parse(clamped)
+    val spelled = crow.getAs[org.apache.spark.sql.Row]("errors")
+      .schema.fieldNames.filter(_ != "_more")
+    assert(spelled.length >= 4, s"error diagnosis lost to detail shedding: $clamped")
+  }
+
   test("worst case: 60 failures with hostile text still parse under the cap") {
     val nasty = "java.lang.RuntimeException: \"quoted\"\\backslash\n" + "x" * 300
     val runs = names.map(n => n -> (Left(nasty): Either[String, Double]))

@@ -770,6 +770,37 @@ class DedupSpec extends SparkSpec {
       assert(!fs.exists(lockFile),
         "a post-claim failure must release the claimed lock, not strand it")
       fs.delete(pendFile, true)
+
+      // arm 5 — the SAME failure while proceeding FENCED (claim lost to
+      // a dead same-host stamp) releases NOTHING (ADVICE r17): pre-fix
+      // the catch-all unlock deleted a fence this call never created
+      // while the pending remained, reopening the exact
+      // fresh-writer-overwrites-pending window the arbitration closes.
+      // The dead owner's lock must survive, stamp intact, for a retry.
+      val preSnap5 = SignatureStore.snapshot(spark, name)
+      SignatureStore.ingest(spark, Seq((5L, doc(5))).toDF("doc_id", "text"), name)
+      val deadStamp = StoreGuard.ownerStampFor(deadPid())
+      locally {
+        val out = fs.create(lockFile, true)
+        try out.write(deadStamp.getBytes("UTF-8")) finally out.close()
+      }
+      fs.mkdirs(pendFile) // unreadable pending: the open throws mid-fence
+      intercept[Exception](SignatureStore.recover(spark, name))
+      assert(fs.exists(lockFile),
+        "a fenced failure must leave the dead predecessor's lock in place")
+      locally {
+        val in = fs.open(lockFile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+        assert(txt == deadStamp, "the surviving fence must keep the dead owner's stamp")
+      }
+      // the retry with a READABLE pending completes under that same
+      // fence and releases it — the transient failure cost nothing
+      fs.delete(pendFile, true)
+      writePend(preSnap5)
+      assert(SignatureStore.recover(spark, name))
+      assert(SignatureStore.snapshot(spark, name) == preSnap5)
+      assert(!fs.exists(lockFile) && !fs.exists(pendFile))
     } finally {
       StoreGuard.onRecoverClaimed = () => ()
       SignatureStore.drop(spark, name)
