@@ -807,6 +807,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-JVM maintenance: retune + compact run through ensureRegistered (EXTERNAL) entries") {
+    // the text twin of EmbeddingStoreSpec's fresh-JVM arm, pinning what
+    // the r18 CLI proof drove through 12 fresh JVMs: the monthly sweep
+    // runs in a fresh JVM (the cron cadence) whose catalog entries come
+    // from ensureRegistered as EXTERNAL tables (CREATE ... LOCATION) —
+    // the state in-JVM specs' MANAGED entries structurally never see,
+    // and exactly where the embedding twin hid its
+    // saveAsTable-vs-EXTERNAL bug for four rounds. The sweep's
+    // remediation (retune: reset + saveAsTable full rebuild, geometry
+    // re-pinned) and routine pass (compact: stagedSwap rewrite) must
+    // both work through those entries and leave a usable store.
+    import graft.dedup.{SignatureStore, StoreGuard}
+    def doc(i: Int): String = (0 until 24).map(w => s"x${i}_$w").mkString(" ")
+    val name = "graft_sigstore_xjvm_spec"
+    SignatureStore.drop(spark, name)
+    SignatureStore.build(spark,
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), name)
+    try {
+      // unregister-without-delete: DROP on a managed entry would delete
+      // the files, so move each dir aside across the DROP (the
+      // fresh-JVM simulation pattern)
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(SignatureStore.bandsTable(name), SignatureStore.shinglesTable(name),
+          SignatureStore.sizesTable(name), SignatureStore.metaTable(name)).foreach { t =>
+        val loc = StoreGuard.tableLocation(spark, t)
+        val fs = loc.getFileSystem(conf)
+        val save = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".xjvm")
+        assert(fs.rename(loc, save), s"stash $t")
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        assert(fs.rename(save, loc), s"restore $t")
+      }
+      SignatureStore.ensureRegistered(spark, name) // the fresh-JVM entries
+      // the sweep's remediation op: full rebuild from the corpus with
+      // the tightened geometry, re-pinned in meta through the external
+      // entries
+      SignatureStore.retune(spark,
+        Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3))).toDF("doc_id", "text"),
+        name, SignatureStore.Spec(k = 3, bands = 16, maxDf = 100, rows = 3))
+      val m = spark.table(SignatureStore.metaTable(name)).head()
+      assert(m.getAs[Int]("bands") == 16 && m.getAs[Int]("rows") == 3,
+        "retune must re-pin the tightened geometry through the external entries")
+      // the sweep's routine pass right after (a no-op at the rebuild's
+      // file floor, but it must not throw through the external entries)
+      SignatureStore.compact(spark, name)
+      // the store stays fully usable: a replayed doc flags against the
+      // retuned history
+      val flags = SignatureStore.ingest(spark,
+          Seq((9L, doc(3))).toDF("doc_id", "text"), name)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+      assert(flags == Seq((9L, true, 3L)), flags.toString)
+    } finally SignatureStore.drop(spark, name)
+  }
+
   test("duplicatedSpans: overlap chains merge, whole-doc dup, within-doc repetition excluded") {
     // tokens are single letters so offsets are hand-checkable; k=3,
     // minTokens=5 keeps the arithmetic small
