@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --schedule --store mystore --auto-remediate --sf ...
   *   runMain graft.Runner --schedule --store-emb estore --auto-remediate \
   *     --fire-now monthly_maintenance --sf ...   (operator-forced sweep)
+  *   runMain graft.Runner --ivf-build /data/idx --nlist 8 \
+  *     [--batch-mod N --batch-rem R] --sf ...    (index day-0 publish)
+  *   runMain graft.Runner --ivf-append /data/idx --batch-mod N --batch-rem R \
+  *     --sf ...                                  (daily frozen-centroid delta)
+  *   runMain graft.Runner --ivf-retrain /data/idx --sf ...   (monthly fold)
   *   runMain graft.Runner --full-refresh daily_sales --fy-from 1995 --fy-to 1997 \
   *     --confirm-delete --confirm-fy [--dry-run] --sf ...
   */
@@ -63,6 +68,24 @@ object Runner {
       bands = opts.getOrElse("bands", "16").toInt,
       maxDf = opts.getOrElse("max-df", "100").toInt,
       rows = opts.getOrElse("rows", "3").toInt)
+
+  /** The `--batch-mod N --batch-rem R` deterministic daily slice shared
+    * by every ingest-shaped CLI form (corpus text/embedding ingest, IVF
+    * build/append): carve day-batches out of the synthetic corpus by id
+    * residue; a production deployment filters by ingest date instead. A
+    * half-specified pair must not silently ingest the WHOLE corpus as
+    * one "day" — that is a wrong-scope store mutation.
+    */
+  private def batchSlice(opts: Map[String, String],
+      df: org.apache.spark.sql.DataFrame, idCol: String): org.apache.spark.sql.DataFrame =
+    (opts.get("batch-mod"), opts.get("batch-rem")) match {
+      case (Some(m), Some(r)) =>
+        df.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
+      case (None, None) => df
+      case _ => sys.error("--batch-mod and --batch-rem must be given together")
+    }
 
   /** `--key value` pairs plus bare `--flag`s (recorded as "true"). */
   private def parseOpts(args: Array[String]): Map[String, String] = {
@@ -174,7 +197,8 @@ object Runner {
     }
 
     if (opts.contains("maintain-store") || opts.contains("maintain-store-emb") ||
-        opts.contains("ivf-retrain") || opts.contains("corpus-retune")) {
+        opts.contains("ivf-retrain") || opts.contains("corpus-retune") ||
+        opts.contains("ivf-build") || opts.contains("ivf-append")) {
       // store maintenance: compact a signature/embedding store's
       // bucketed tables back to ~`buckets` files each (a year of daily
       // ingests is ~365 files/bucket with no remediation — the store
@@ -233,6 +257,31 @@ object Runner {
       // centroids for the post-append distribution — the monthly slot
       // that settles frozen-centroid drift, as reband does for the
       // embedding store's geometry.
+      // the index lifecycle's other two phases as CLI forms, completing
+      // the cron-cadence story (one fresh JVM per run — the index is
+      // file-root-versioned with no catalog entries, so nothing needs
+      // re-registration): --ivf-build <root> [--nlist N --iters I
+      // --sample-mod M] [--batch-mod/--batch-rem] trains and publishes
+      // v1 from the embeddings table; --ivf-append <root>
+      // [--batch-mod/--batch-rem] publishes a frozen-centroid delta —
+      // the daily ingest whose drift/proliferation debt the monthly
+      // --ivf-retrain (or the scheduled sweep's --ivf-index arm) settles.
+      opts.get("ivf-build").foreach { root =>
+        val v = graft.similarity.IvfIndex.buildTrained(
+          batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id"),
+          "vec_id", "embedding", root,
+          nlist = opts.getOrElse("nlist", "8").toInt,
+          iters = opts.getOrElse("iters", "2").toInt,
+          sampleMod = opts.getOrElse("sample-mod", "1").toInt)
+        println(s"[maintain-ivf] $root built and published -> v$v")
+      }
+      opts.get("ivf-append").foreach { root =>
+        val delta = graft.similarity.IvfIndex.append(
+          batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id"),
+          "vec_id", "embedding", root)
+        println(if (delta == 0) s"[maintain-ivf] $root append: empty batch, nothing published"
+          else s"[maintain-ivf] $root appended frozen-centroid delta $delta")
+      }
       opts.get("ivf-retrain").foreach { root =>
         // --nlist 0 (default) keeps the index's own cell count, read
         // from the published centroid table — the no-config sweep form
@@ -268,16 +317,7 @@ object Runner {
         println(s"[corpus] initialized empty embedding store '$store'")
       }
       def slice(df: org.apache.spark.sql.DataFrame, idCol: String) =
-        (opts.get("batch-mod"), opts.get("batch-rem")) match {
-          case (Some(m), Some(r)) =>
-            df.filter(org.apache.spark.sql.functions.pmod(
-              org.apache.spark.sql.functions.col(idCol),
-              org.apache.spark.sql.functions.lit(m.toLong)) === r.toLong)
-          case (None, None) => df
-          // a half-specified pair must not silently ingest the WHOLE
-          // corpus as one "day" — that's a wrong-scope store mutation
-          case _ => sys.error("--batch-mod and --batch-rem must be given together")
-        }
+        batchSlice(opts, df, idCol)
       def report(res: Orchestrator.CorpusResult): Unit = res.error match {
         case Some(e) => println(s"[corpus] ${res.store} INGEST FAILED: $e"); sys.exit(1)
         case None =>
