@@ -53,7 +53,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    (r16: a distorted failure is the worse distortion and got the
   *    weaker treatment): a FAILURE taken under load/steal spends the
   *    same bounded budget on one clean attempt — a clean success
-  *    replaces the error, a clean failure confirms it;
+  *    replaces the error, a clean failure confirms it. The guard has
+  *    NO silent arm (r18: e20 published a 20× loaded min unmarked
+  *    after the budget ran dry): any published result whose min was
+  *    taken above the bar with no quiet run adjudicating it is named
+  *    under `loaded` ([[minTakenLoaded]], spec-pinned), its per-run
+  *    [seconds, guard cores] evidence rides `unstable_detail`, and a
+  *    DEFERRED end-of-suite pass retries each such query once on a
+  *    fresh bounded budget (bursts usually pass before the suite
+  *    ends) — a clean success adjudicates it like an in-run re-quiet;
+  *  - a CROSS-ROUND DRIFT TRIPWIRE compares the published mins against
+  *    the previous round's artifact and names every >2.5× mover with
+  *    its guard evidence in a sibling `BENCH_DRIFT.json`
+  *    ([[driftMovers]], spec-pinned), plus a `drift` count on the
+  *    line — r18's e-block inflation was only catchable by hand-diff;
   *  - the session timezone is pinned UTC like Runner/Verify so timing
   *    runs execute the same plans the correctness gate verified.
   */
@@ -358,22 +371,41 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val unstable = scala.collection.mutable.ArrayBuffer[String]()
-    // raw run times of queries still flagged after adjudication — the
-    // artifact-side evidence (`unstable_detail`) that lets a reader
+    // per-query (seconds, guard cores) for every successful timed run —
+    // the artifact-side evidence (`unstable_detail`) that lets a reader
     // adjudicate a residual flag from the JSON line alone instead of
-    // the stderr progress lines (r17 verdict #6)
-    val unstableRaw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // the stderr progress lines (r17 verdict #6). Since r19 each run
+    // carries ITS OWN guard sample next to the time (r18 verdict #1:
+    // e16's raw runs [3.15, 7.07, 13.01, 21.49] read as a live
+    // regression by the documented monotone-growth heuristic when they
+    // were a ramping co-tenant burst — only per-run load columns can
+    // tell the two apart from the JSON line alone).
+    val rawByName = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
+    val loadSeenByName = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // queries whose published result was taken above the load bar with
+    // NO clean run adjudicating it ([[minTakenLoaded]]) — the r18 hole:
+    // once the re-quiet budget was spent, a query whose runs were
+    // CONSISTENTLY loaded (no >2x spread, so no `unstable` flag either)
+    // published a loaded min silently — e20 landed at 6.1 s (20x its
+    // steady sub-0.3 s) with no mark at all, indistinguishable from a
+    // real regression without a judge's probe. Such queries now ride
+    // the artifact under `loaded` (with their per-run evidence in
+    // `unstable_detail`) unless the deferred end-of-suite pass below
+    // manages to adjudicate them after all.
+    val loaded = scala.collection.mutable.ArrayBuffer[String]()
     // mid-run load guard accounting: total re-quiet wait is bounded so a
     // permanently contended machine can't stall the artifact past its
-    // deadlines — once the budget is spent, loaded timings stand (still
-    // flagged via `requiet`? no: an un-re-run loaded query keeps its
-    // unstable/raw-run evidence; `requiet` counts queries that DID get
-    // their clean confirmation run)
+    // deadlines — once the budget is spent, loaded timings stand,
+    // flagged under `loaded` with their evidence; `requiet` counts
+    // queries that DID get their clean confirmation run
     val loadBar = LoadBar
     val requietBudgetSec = envInt("SPARK_GRAFT_REQUIET_SEC", 300).toDouble
     var requietUsedSec = 0.0
     var requietCount = 0
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
+    queryFns.foreach { case (name, fn) =>
       // untimed warm-up of persistent state (signature stores, ANN
       // indexes) so every timed run exercises the steady-state
       // incremental path — and runs agree, instead of run 1 absorbing a
@@ -395,7 +427,8 @@ object Bench {
       // reset AFTER the prepare so the one-time build's scan/shuffle
       // bytes aren't attributed to the timed runs' diagnostic line
       metricSums.set(Map.empty)
-      val rawTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      val raw = rawByName.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer[(Double, Double)]())
       // max EXTERNAL load sampled over this query's timed runs — the
       // mid-run teeth: the startup quiet bar can't see load that
       // arrives later, but this sample can. Sampled AFTER each run so
@@ -407,9 +440,12 @@ object Bench {
           () => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
         // tick-granular max from the watchdog loop, plus the tail window
         // since its last sample — a short burst inside a long run no
-        // longer averages away below the bar
-        loadSeen = math.max(loadSeen, math.max(tickMax, guardLoad()))
-        r.foreach(rawTimes += _)
+        // longer averages away below the bar. The PER-RUN max rides
+        // next to the run's own time so the evidence distinguishes a
+        // contention ramp from a live regression (r18 verdict #1).
+        val runLoad = math.max(tickMax, guardLoad())
+        loadSeen = math.max(loadSeen, runLoad)
+        r.foreach(t => raw += ((t, runLoad)))
         r
       }
       val r0 =
@@ -447,7 +483,12 @@ object Bench {
               Thread.sleep(5000); now = guardLoad()
             }
             requietUsedSec += waited
-            if (now <= loadBar) {
+            // the budget is re-checked here (ADVICE r18): the wait loop
+            // can exit on budget exhaustion while the LAST load sample
+            // happens to sit under the bar, and the clean attempt would
+            // otherwise still launch — one overshoot of up to 3×
+            // watchdog wall past the budget the envelope promises
+            if (now <= loadBar && requietUsedSec < requietBudgetSec) {
               System.err.println(f"[bench] $name%-28s re-quiet run (published min " +
                 f"was taken under external load=${loadSeen}%.1f)")
               // the clean attempt's own wall (run time + any watchdog
@@ -455,27 +496,86 @@ object Bench {
               // r17): the error arm's re-run of a genuinely hung query
               // can cost up to 3× watchdog wall, and uncharged it would
               // let repeated heals blow the soft-deadline envelope
-              val r0 = System.nanoTime()
+              val healT0 = System.nanoTime()
               try Some(timed())
-              finally requietUsedSec += (System.nanoTime() - r0) / 1e9
+              finally requietUsedSec += (System.nanoTime() - healT0) / 1e9
             } else None
           })
       if (requieted) requietCount += 1
       if (clearUnstable) unstable -= name
-      if (unstable.contains(name)) unstableRaw(name) = rawTimes.toSeq
+      // the silent-loaded-min mark (r18 verdict #1): a published result
+      // taken above the bar that NO quiet run adjudicated joins
+      // `loaded` — deferred pass below gets one more chance to clear it
+      if (minTakenLoaded(r, raw.toSeq, loadSeen, loadBar, requieted)) loaded += name
+      loadSeenByName(name) = loadSeen
+      results(name) = r
       // listener-bus drain grace before reading the advisory metrics
       Thread.sleep(150)
       val m = metricSums.get()
       def mib(k: String): Long = m.getOrElse(k, 0L) / (1024 * 1024)
       val shown = r.fold(identity[String], t => f"$t%.3fs")
-      val raws = rawTimes.map(t => f"$t%.2f").mkString("/")
+      val raws = raw.map { case (t, l) => f"$t%.2f@$l%.1f" }.mkString("/")
       System.err.println(
         f"[bench] $name%-28s $shown%-10s runs=[$raws] elapsed=${elapsedSec}%.0fs " +
         f"scan=${mib("filesSize")}MiB shuffle=${mib("shuffleBytesWritten")}MiB " +
         f"spill=${mib("spillSize")}MiB actions=${actionCount.get()} " +
         f"ext=$loadSeen%.1f") // max external+steal cores seen — post-mortem aid
-      name -> r
     }
+
+    // DEFERRED END-OF-SUITE RE-QUIET PASS (r18 verdict #1): a co-tenant
+    // burst that outlived the in-run budget has often passed by the time
+    // the suite's other ~90 queries finish, so queries still carrying an
+    // unadjudicated loaded min get one more clean attempt on a fresh
+    // (bounded) budget. A clean success adjudicates exactly like an
+    // in-run re-quiet (min of all runs, counted under `requiet`, the
+    // `loaded`/`unstable` marks clear when the quiet run confirms
+    // within 2×); a still-loaded machine or a failed attempt leaves the
+    // mark standing with the new run appended to its evidence.
+    val deferredBudgetSec = envInt("SPARK_GRAFT_DEFERRED_REQUIET_SEC", 240).toDouble
+    var deferredUsedSec = 0.0
+    for (name <- loaded.toList
+         if deferredUsedSec < deferredBudgetSec && elapsedSec <= hardDeadlineSec) {
+      val w0 = System.nanoTime()
+      def waited: Double = (System.nanoTime() - w0) / 1e9
+      var now = guardLoad()
+      while (now > loadBar && waited < 90.0 &&
+          deferredUsedSec + waited < deferredBudgetSec) {
+        Thread.sleep(5000); now = guardLoad()
+      }
+      deferredUsedSec += waited
+      if (now <= loadBar && deferredUsedSec < deferredBudgetSec) {
+        val fn = SparkEntry.queries(name)
+        guardLoad()
+        val healT0 = System.nanoTime()
+        val (res, tickMax) = once(name,
+          () => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        deferredUsedSec += (System.nanoTime() - healT0) / 1e9
+        val runLoad = math.max(tickMax, guardLoad())
+        res match {
+          case Right(t) =>
+            rawByName(name) += ((t, runLoad))
+            if (runLoad <= loadBar) {
+              requietCount += 1
+              val best = results(name).fold(_ => t, p => math.min(p, t))
+              results(name) = Right(best)
+              if (t <= 2.0 * best) {
+                loaded -= name
+                unstable -= name // the quiet run adjudicated the spread too
+              }
+              System.err.println(f"[bench] $name%-28s deferred re-quiet $t%.2fs " +
+                f"(published $best%.3fs${if (loaded.contains(name)) ", still flagged" else ""})")
+            } else System.err.println(
+              f"[bench] $name%-28s deferred re-quiet ran loaded again (ext=$runLoad%.1f) — mark stands")
+          case Left(err) =>
+            System.err.println(s"[bench] $name deferred re-quiet failed: $err — prior result stands")
+        }
+      }
+    }
+    val runs = results.toSeq
+    // evidence map for every still-marked query (unstable OR loaded):
+    // per-run [seconds, guard cores] pairs
+    val unstableRaw = (unstable ++ loaded).distinct.flatMap(n =>
+      rawByName.get(n).filter(_.nonEmpty).map(n -> _.toSeq)).toMap
     val (loadAfter, memAfter) = machineLoad()
     // whole-run hypervisor-steal average (cores): the artifact's own
     // record of host-side contention no in-guest load column can show
@@ -484,6 +584,47 @@ object Bench {
         (s1 - s0).toDouble / (t1 - t0) * Runtime.getRuntime.availableProcessors()
       case _ => 0.0
     }
+    // CROSS-ROUND DRIFT TRIPWIRE (r18 verdict #4): compare this run's
+    // published mins against the previous round's artifact and name
+    // every >2.5× mover WITH its guard evidence — r18's e-block
+    // inflation (e20 6.1 s vs a sub-0.3 s steady state) was only
+    // catchable by a hand diff against BENCH_r17. The detail lands in a
+    // sibling file (the artifact line's budget is for the run itself);
+    // the line carries the mover COUNT so a drifted artifact self-flags.
+    val prevArtifact = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"))
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .lastOption.map(_.getPath)
+    }
+    val movers = prevArtifact.toSeq.flatMap { p =>
+      val prevLine = try {
+        val src = scala.io.Source.fromFile(p)
+        try src.mkString finally src.close()
+      } catch { case _: Throwable => "" }
+      val prev = parseQueryTimes(prevLine)
+      // same-SF comparisons only: a sf0.01 smoke run vs the sf0.1
+      // artifact of record would flag every scale-sensitive query
+      val prevSf = "\"sf\":([0-9.]+)".r.findFirstMatchIn(prevLine).map(_.group(1))
+      val curSf = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1).stripSuffix("."))
+      if (prev.isEmpty || prevSf.isEmpty || prevSf != curSf) Nil
+      else driftMovers(prev, runs.collect { case (n, Right(t)) => n -> t })
+    }
+    if (movers.nonEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_DRIFT_OUT", "/root/repo/BENCH_DRIFT.json")
+      val drift = renderDrift(prevArtifact.getOrElse("?"), movers,
+        rawByName.map { case (k, v) => k -> v.toSeq }.toMap,
+        loaded.toSeq, unstable.toSeq)
+      try {
+        val w = new java.io.PrintWriter(out); try w.println(drift) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] drift file write failed: $e")
+      }
+      movers.foreach { case (n, prevT, curT) =>
+        System.err.println(f"[bench] DRIFT $n%-28s $prevT%.2fs -> $curT%.2fs " +
+          f"(${curT / prevT}%.1fx; loaded=${loaded.contains(n)} unstable=${unstable.contains(n)})")
+      }
+    }
     // drain stderr BEFORE emitting the artifact so the progress lines
     // can't interleave after the JSON in a merged output capture and
     // push its head out of a bounded tail
@@ -491,9 +632,99 @@ object Bench {
     Thread.sleep(100)
     println(renderLine(runs, unstable.toSeq,
       (loadBefore, loadAfter, memBefore, memAfter), waitedSec, sfDir,
-      requietCount, stealCores, unstableRaw.toMap))
+      requietCount, stealCores, unstableRaw, loaded.toSeq, movers.size))
     System.out.flush()
     spark.stop()
+  }
+
+  /** The silent-loaded-min decision (pure — BenchSpec pins the
+    * contract; r18 verdict #1). A published result must carry a mark
+    * when it was taken under contention and nothing clean adjudicated
+    * it: BENCH_r18 published e20_default_fill at 6.1 s (20× its steady
+    * sub-0.3 s), e21 at 2.9 s, e17 at 2.1 s with NO flag and no
+    * `requiet` mark — their runs were CONSISTENTLY loaded (no >2×
+    * spread → no `unstable`) and the re-quiet budget was spent (no
+    * clean run → no `requiet`), so the reader had no way to tell a 20×
+    * regression from a co-tenant burst without independent probes.
+    *
+    * A TIMING is adjudicated when any quiet run (guard ≤ bar) landed
+    * within 2× of the published min — the quiet run either IS the min
+    * or bounds it (the same 2× criterion `requietPublish` uses to clear
+    * an unstable flag). A FAILURE is adjudicated when it happened on a
+    * quiet machine (genuine breakage) or a clean attempt confirmed it
+    * (`requieted`). Everything else is marked `loaded`.
+    *
+    * `raw` is the query's per-run (seconds, guard cores) evidence —
+    * successful runs only, which is all a published Right can be made
+    * of.
+    */
+  private[graft] def minTakenLoaded(published: Either[String, Double],
+      raw: Seq[(Double, Double)], loadSeen: Double, loadBar: Double,
+      requieted: Boolean): Boolean = published match {
+    case Right(t) => !raw.exists { case (rt, rl) => rl <= loadBar && rt <= 2.0 * t }
+    case Left(_) => loadSeen > loadBar && !requieted
+  }
+
+  /** Parse the per-query timings out of a prior round's artifact line
+    * (pure — BenchSpec pins it against [[renderLine]]'s own output).
+    * Only the `"queries":{...}` object is read: name→seconds pairs,
+    * `-1` failure placeholders dropped. Queries that rolled into
+    * `fast_n`/`fast_sec` in that round are simply absent — the caller
+    * treats absence as "was fast last round" ([[driftMovers]]).
+    * Returns empty on anything unparseable (a missing or truncated
+    * prior artifact must never break the current round's artifact).
+    */
+  private[graft] def parseQueryTimes(line: String): Map[String, Double] = {
+    val start = line.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = line.substring(start + "\"queries\":{".length)
+      val end = body.indexOf('}') // flat object: values are bare numbers
+      if (end < 0) Map.empty
+      else "\"([^\"]+)\":(-?[0-9][0-9.]*)".r.findAllMatchIn(body.substring(0, end))
+        .flatMap(m => m.group(2).toDoubleOption.filter(_ >= 0).map(m.group(1) -> _))
+        .toMap
+    }
+  }
+
+  /** The >factor× movers vs the prior artifact (pure — BenchSpec pins
+    * the contract; r18 verdict #4). A query absent from the prior
+    * line's spelled timings was in its fast rollup (or new), so its
+    * prior time is bounded by the rollup threshold — `fastFloor` (the
+    * healthy ladder rung's 0.3 s) stands in, which is exactly how the
+    * r18 e20 case (sub-0.3 s steady → 6.1 s loaded publish) becomes
+    * visible. Sub-`minCur` current timings never flag: a 0.2 s → 0.8 s
+    * move is scheduler noise at local[32], not drift worth a mark.
+    * Only slower movers flag — a big improvement is the prior round's
+    * contamination healing, not this round's problem.
+    */
+  private[graft] def driftMovers(prev: Map[String, Double],
+      cur: Seq[(String, Double)], factor: Double = 2.5,
+      fastFloor: Double = 0.3, minCur: Double = 1.0): Seq[(String, Double, Double)] =
+    cur.collect {
+      case (n, t) if t >= minCur && t > factor * prev.getOrElse(n, fastFloor) =>
+        (n, prev.getOrElse(n, fastFloor), t)
+    }
+
+  /** The sibling drift file: one JSON object naming each mover with its
+    * prior/current seconds and the guard evidence a reader needs to
+    * adjudicate it in place — per-run [seconds, guard cores] pairs and
+    * whether the query is still marked `loaded`/`unstable`. Pure —
+    * BenchSpec parses it back.
+    */
+  private[graft] def renderDrift(prevArtifact: String,
+      movers: Seq[(String, Double, Double)],
+      raw: Map[String, Seq[(Double, Double)]],
+      loaded: Seq[String], unstable: Seq[String]): String = {
+    val prevName = prevArtifact.split('/').last
+    val rows = movers.map { case (n, p, c) =>
+      val runs = raw.getOrElse(n, Nil)
+        .map { case (t, l) => f"[$t%.2f,$l%.1f]" }.mkString("[", ",", "]")
+      f""""$n":{"prev":$p%.3f,"cur":$c%.3f,"ratio":${c / p}%.1f,""" +
+        s""""runs":$runs,"loaded":${loaded.contains(n)},""" +
+        s""""unstable":${unstable.contains(n)}}"""
+    }
+    s"""{"prev":"$prevName","factor":2.5,"movers":{${rows.mkString(",")}}}"""
   }
 
   /** Back-to-back spread adjudication (pure — BenchSpec pins the
@@ -614,15 +845,26 @@ object Bench {
       sfDir: String,
       requietCount: Int = 0,
       stealCores: Double = 0.0,
-      /** Raw run times of still-flagged queries: rendered as
-        * `"unstable_detail":{"name":[t1,t2,...]}` next to the flag list
-        * so the artifact self-adjudicates (a 6.3/2.2/3.1 pattern reads
-        * as cold-run JIT, a 2.1/6.8/7.0 one as a live regression)
-        * without the stderr progress lines. Shed early in the clamp
-        * ladder — raw-run evidence goes before unstable NAMES and long
-        * before error reasons.
+      /** Per-run (seconds, guard cores) of still-marked queries:
+        * rendered as `"unstable_detail":{"name":[[t1,g1],[t2,g2],...]}`
+        * next to the flag lists so the artifact self-adjudicates (a
+        * [[3.2,0.2],[7.1,1.4],[13.0,2.1]] ramp reads as a rising
+        * co-tenant burst, a [[2.1,0.1],[6.8,0.2],[7.0,0.1]] one as a
+        * live regression) without the stderr progress lines. Shed early
+        * in the clamp ladder — raw-run evidence goes before flag NAMES
+        * and long before error reasons.
         */
-      unstableRaw: Map[String, Seq[Double]] = Map.empty): String = {
+      unstableRaw: Map[String, Seq[(Double, Double)]] = Map.empty,
+      /** Queries whose published result was taken above the load bar
+        * with no clean run adjudicating it ([[minTakenLoaded]]) — the
+        * r18 silent-publish hole. Named in the artifact like `unstable`
+        * (collapsing to `loaded_n` in the same ladder rung).
+        */
+      loaded: Seq[String] = Nil,
+      /** Count of >2.5× movers vs the prior round's artifact
+        * ([[driftMovers]]) — detail lands in the sibling drift file.
+        */
+      driftCount: Int = 0): String = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -657,13 +899,23 @@ object Bench {
       val detailJson =
         if (!detail) ""
         else {
-          val d = unstable.flatMap(n => unstableRaw.get(n).filter(_.nonEmpty).map(rs =>
-            s"\"${esc(n)}\":" + rs.map(t => f"$t%.2f").mkString("[", ",", "]")))
+          // evidence accompanies any standing mark — unstable OR loaded
+          val d = (unstable ++ loaded).distinct
+            .flatMap(n => unstableRaw.get(n).filter(_.nonEmpty).map(rs =>
+              s"\"${esc(n)}\":" + rs.map { case (t, l) => f"[$t%.2f,$l%.1f]" }
+                .mkString("[", ",", "]")))
           if (d.isEmpty) "" else d.mkString(""""unstable_detail":{""", ",", "},")
         }
+      // `loaded` names shed in the same rung as unstable names: both
+      // are distrust marks whose NAMES must outlive the evidence arrays
+      val loadedJson =
+        if (loaded.isEmpty) ""
+        else if (slimUnstable) s""","loaded_n":${loaded.size}"""
+        else ""","loaded":""" + loaded.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
       val unstableJson = detailJson +
         (if (slimUnstable) s""""unstable_n":${unstable.size}"""
-         else "\"unstable\":" + unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]"))
+         else "\"unstable\":" + unstable.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")) +
+        loadedJson
       val loadJson =
         if (slimLoad) s""""load":[${load._1},${load._2}]"""
         else s""""load":[${load._1},${load._2},${load._3},${load._4}]"""
@@ -676,7 +928,10 @@ object Bench {
       // average cores STOLEN by the hypervisor across the whole run —
       // the contention signature no in-guest load column records
       val stealJson = if (stealCores >= 0.05) f""","steal":$stealCores%.1f""" else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$fastJson,"errors":$errs,"failed":$nFailed,$unstableJson,$loadJson$waitJson$requietJson$stealJson,"sf":$sfNum}"""
+      // >2.5× movers vs the prior artifact: the line self-flags drift
+      // even when the sibling detail file is not at hand
+      val driftJson = if (driftCount > 0) s""","drift":$driftCount""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$fastJson,"errors":$errs,"failed":$nFailed,$unstableJson,$loadJson$waitJson$requietJson$stealJson$driftJson,"sf":$sfNum}"""
     }
     // Self-clamp ladder: shed timing precision, then memory columns,
     // then the fast-query rollup, then unstable names, then error-text

@@ -83,11 +83,28 @@ object E11Probe {
     }
 
     dirs.foreach { dir =>
+      // null-then-poll instead of a fixed sleep (ADVICE r18): the
+      // listener bus delivers asynchronously, so a fixed 300 ms could
+      // NPE on a slow bus or — worse — silently read the PREVIOUS
+      // dir's executed plan, mis-attributing the exchange numbers this
+      // probe exists to record
+      lastQe.set(null)
       PipelineQueries.salesChannelAgg(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      Thread.sleep(300) // listener-bus drain
+      // the query persists intermediates, so several actions deliver;
+      // wait for non-null AND for the identity to settle (3 quiet
+      // polls) so the plan read is the final noop save's
+      var polls = 0
+      var settle = 0
+      var qe: QueryExecution = null
+      while (settle < 3 && polls < 100) {
+        Thread.sleep(100); polls += 1
+        val cur = lastQe.get()
+        if (cur != null && (cur eq qe)) settle += 1 else { qe = cur; settle = 0 }
+      }
+      require(qe != null, s"listener never delivered the executed plan for $dir")
       println(s"== $dir")
-      walk(lastQe.get().executedPlan).foreach {
+      walk(qe.executedPlan).foreach {
         case e: ShuffleExchangeLike =>
           def m(k: String): Long = e.metrics.get(k).map(_.value).getOrElse(-1L)
           println(f"  shuffle   records=${m("shuffleRecordsWritten")}%12d " +

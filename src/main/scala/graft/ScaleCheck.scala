@@ -367,7 +367,11 @@ object ScaleCheck {
               Thread.sleep(5000); now = Bench.guardLoad()
             }
             requietUsedSec += waited
-            if (now <= Bench.LoadBar) {
+            // budget re-checked in the gate (ADVICE r18): the wait loop
+            // can exit on budget exhaustion while the last sample sits
+            // under the bar — the clean attempt must not launch then
+            // (one overshoot of up to 3× watchdog wall past the budget)
+            if (now <= Bench.LoadBar && requietUsedSec < requietBudgetSec) {
               val t0 = System.nanoTime()
               try Some(run())
               finally requietUsedSec += (System.nanoTime() - t0) / 1e9

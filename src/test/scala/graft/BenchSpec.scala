@@ -181,11 +181,12 @@ class BenchSpec extends SparkSpec {
       "a healthy run keeps its unstable names once fast queries roll up")
   }
 
-  test("unstable_detail: a flagged query's raw runs ride the artifact; shed before names collapse") {
-    // r17 verdict #6: a residual `unstable` flag must be adjudicable
-    // from the JSON line alone — the raw runs (e.g. 6.3/2.2/3.1 = cold
-    // JIT vs 2.1/6.8/7.0 = live regression) previously lived only in
-    // stderr progress lines a bounded tail capture drops.
+  test("unstable_detail: a flagged query's per-run [sec, guard] pairs ride the artifact; shed before names collapse") {
+    // r17 verdict #6 + r18 verdict #1: a residual mark must be
+    // adjudicable from the JSON line alone — and since r19 each raw run
+    // carries its own guard sample, so a ramp ([3.2@0.2, 7.1@1.4,
+    // 13.0@2.1] = rising co-tenant burst) is distinguishable from a
+    // live regression ([2.1@0.1, 6.8@0.2] = quiet machine, real spread).
     val real = Queries.all.map(_.name)
     val runs = real.zipWithIndex.map { case (n, i) =>
       n -> (Right(if (i % 3 == 0) 2.345678 else 0.2123): Either[String, Double])
@@ -193,14 +194,16 @@ class BenchSpec extends SparkSpec {
     val flagged = real.head
     val line = Bench.renderLine(runs, Seq(flagged),
       (1.25, 3.96, 126220L, 121148L), 0.0, "/root/testdata/sf0.1",
-      unstableRaw = Map(flagged -> Seq(6.30, 2.21, 3.14), "not_flagged" -> Seq(9.9)))
+      unstableRaw = Map(flagged -> Seq((6.30, 0.2), (2.21, 1.4), (3.14, 0.0)),
+        "not_flagged" -> Seq((9.9, 9.9))))
     assert(line.length <= TailBudget, s"${line.length} bytes")
     val row = parse(line)
     val detail = row.getAs[org.apache.spark.sql.Row]("unstable_detail")
-    // raw runs present for the flagged query, 2-decimal precision
-    assert(detail.getSeq[Double](detail.fieldIndex(flagged)).toSeq == Seq(6.30, 2.21, 3.14), line)
+    // per-run [seconds, guard cores] pairs, 2-/1-decimal precision
+    assert(detail.getSeq[scala.collection.Seq[Double]](detail.fieldIndex(flagged))
+      .map(_.toSeq) == Seq(Seq(6.30, 0.2), Seq(2.21, 1.4), Seq(3.14, 0.0)), line)
     // raws for a query NOT in the flag list never render (evidence only
-    // accompanies a standing flag)
+    // accompanies a standing mark)
     assert(detail.schema.fieldNames.toSeq == Seq(flagged), line)
     // back-compat: no raws provided -> no key at all
     assert(!Bench.renderLine(runs, Seq(flagged),
@@ -213,13 +216,128 @@ class BenchSpec extends SparkSpec {
     val failedRuns = names63.map(n => n -> (Left(nasty): Either[String, Double]))
     val clamped = Bench.renderLine(failedRuns, names63.take(5),
       (9.9, 9.9, 126220L, 121148L), 88.0, "/root/testdata/sf0.1",
-      unstableRaw = names63.take(5).map(n => n -> Seq(1.0, 9.0, 9.1)).toMap)
+      unstableRaw = names63.take(5).map(n => n -> Seq((1.0, 0.0), (9.0, 3.2), (9.1, 3.0))).toMap)
     assert(clamped.length <= TailBudget, s"${clamped.length} bytes")
     assert(!clamped.contains("unstable_detail"), clamped)
     val crow = parse(clamped)
     val spelled = crow.getAs[org.apache.spark.sql.Row]("errors")
       .schema.fieldNames.filter(_ != "_more")
     assert(spelled.length >= 4, s"error diagnosis lost to detail shedding: $clamped")
+  }
+
+  test("silent-loaded-min hole closed: unadjudicated loaded publishes are named with evidence") {
+    // the decision itself (r18 verdict #1 — the e20 case: every run
+    // consistently loaded, no spread, budget spent → previously
+    // published silently)
+    // quiet min: no mark
+    assert(!Bench.minTakenLoaded(Right(0.3), Seq((0.3, 0.2), (0.31, 0.1)),
+      loadSeen = 0.2, loadBar = 1.0, requieted = false))
+    // THE e20 shape: all runs loaded, no quiet run ever adjudicated
+    assert(Bench.minTakenLoaded(Right(6.1), Seq((6.1, 2.4), (6.3, 2.2)),
+      loadSeen = 2.4, loadBar = 1.0, requieted = false))
+    // loaded min but a quiet run landed within 2x — adjudicated, no mark
+    // (the quiet run bounds the number; same 2x criterion requietPublish
+    // uses to clear an unstable flag)
+    assert(!Bench.minTakenLoaded(Right(3.0), Seq((3.0, 2.4), (5.5, 0.2)),
+      loadSeen = 2.4, loadBar = 1.0, requieted = true))
+    // loaded min and the only quiet run is FAR from it (>2x): the quiet
+    // evidence contradicts the published min — mark stands
+    assert(Bench.minTakenLoaded(Right(3.0), Seq((3.0, 2.4), (9.0, 0.2)),
+      loadSeen = 2.4, loadBar = 1.0, requieted = true))
+    // failure on a quiet machine: genuine breakage, not a loaded mark
+    assert(!Bench.minTakenLoaded(Left("boom"), Nil, loadSeen = 0.2,
+      loadBar = 1.0, requieted = false))
+    // failure under load, unadjudicated: marked
+    assert(Bench.minTakenLoaded(Left("timeout>120s"), Nil, loadSeen = 4.0,
+      loadBar = 1.0, requieted = false))
+    // failure under load but a clean attempt ran (confirm or heal): no mark
+    assert(!Bench.minTakenLoaded(Left("timeout>120s"), Nil, loadSeen = 4.0,
+      loadBar = 1.0, requieted = true))
+
+    // the render: loaded names + their per-run evidence ride the line,
+    // absent entirely when the list is empty
+    val real = Queries.all.map(_.name)
+    val runs = real.map(n => n -> (Right(0.2123): Either[String, Double]))
+    val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1",
+      unstableRaw = Map(real.head -> Seq((6.1, 2.4), (6.3, 2.2))),
+      loaded = Seq(real.head))
+    assert(line.length <= TailBudget)
+    val row = parse(line)
+    assert(row.getSeq[String](row.fieldIndex("loaded")) == Seq(real.head), line)
+    val detail = row.getAs[org.apache.spark.sql.Row]("unstable_detail")
+    assert(detail.getSeq[scala.collection.Seq[Double]](detail.fieldIndex(real.head))
+      .map(_.toSeq) == Seq(Seq(6.1, 2.4), Seq(6.3, 2.2)),
+      "evidence must accompany a loaded mark even when not unstable")
+    assert(!Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1")
+      .contains("loaded"), "no loaded key on a clean run")
+    // catastrophic clamp: loaded collapses to a count alongside
+    // unstable_n, never silently dropped
+    val names63 = (1 to 63).map(i => f"q$i%02d_some_operator_name")
+    val nasty = "org.apache.spark.SparkException: stage failure " + "y" * 200
+    val failedRuns = names63.map(n => n -> (Left(nasty): Either[String, Double]))
+    val clamped = Bench.renderLine(failedRuns, names63.take(5),
+      (9.9, 9.9, 126220L, 121148L), 88.0, "/root/testdata/sf0.1",
+      loaded = names63.slice(5, 12))
+    assert(clamped.length <= TailBudget)
+    assert(parse(clamped).getAs[Long]("loaded_n") == 7, clamped)
+  }
+
+  test("cross-round drift tripwire: parse prior artifact, flag >2.5x movers, render the sibling file") {
+    // parseQueryTimes round-trips renderLine's own output (spelled
+    // timings recovered, -1 failure placeholders dropped, fast-rolled
+    // queries absent)
+    val runs: Seq[(String, Either[String, Double])] = Seq(
+      "q01_slow" -> Right(5.4321), "q02_fast" -> Right(0.12),
+      "q03_bad" -> Left("timeout>120s"), "q04_mid" -> Right(1.9876))
+    val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1")
+    val parsed = Bench.parseQueryTimes(line)
+    assert(math.abs(parsed("q01_slow") - 5.432) < 0.01, parsed.toString)
+    assert(math.abs(parsed("q04_mid") - 1.988) < 0.01)
+    assert(!parsed.contains("q03_bad"), "failure placeholders are not timings")
+    // a 4-query line renders at full detail, so q02_fast is spelled here;
+    // on a real-size line it rolls into fast_n and is simply absent —
+    // the healthy-rung shape parseQueryTimes must handle:
+    val rolled = """{"metric":"total","value":9.9,"unit":"sec","queries":""" +
+      """{"q01_slow":5.4},"fast_n":3,"fast_sec":0.6,"errors":{},"failed":0,""" +
+      """"unstable":[],"load":[1,1],"sf":0.1}"""
+    assert(Bench.parseQueryTimes(rolled) == Map("q01_slow" -> 5.4))
+    // garbage in, empty out — a truncated prior artifact must never
+    // break the current round
+    assert(Bench.parseQueryTimes("").isEmpty)
+    assert(Bench.parseQueryTimes("""{"metric":"total","value":1}""").isEmpty)
+
+    // driftMovers: the r18 e-block shapes
+    val prev = Map("q11_agg" -> 6.9, "e16_ddl" -> 3.1)
+    val movers = Bench.driftMovers(prev, Seq(
+      "q11_agg" -> 8.0,   // 1.16x: inside band, no flag
+      "e16_ddl" -> 9.0,   // 2.9x: flagged
+      "e20_default_fill" -> 6.1, // fast-rolled last round (prev<=0.3): flagged
+      "e17_odata" -> 0.8, // sub-1s current: never flags (scheduler noise)
+      "d01_exact" -> 0.2))
+    assert(movers.map(m => (m._1, m._3)).toSet ==
+      Set(("e16_ddl", 9.0), ("e20_default_fill", 6.1)), movers.toString)
+    assert(movers.find(_._1 == "e20_default_fill").get._2 == 0.3,
+      "fast-rolled prior stands in at the rollup threshold")
+    // improvement never flags — that is the PRIOR round's contamination
+    assert(Bench.driftMovers(Map("a" -> 9.0), Seq("a" -> 2.0)).isEmpty)
+
+    // the sibling file parses and carries the guard evidence
+    val drift = Bench.renderDrift("/root/repo/BENCH_r18.json",
+      Seq(("e20_default_fill", 0.3, 6.1)),
+      Map("e20_default_fill" -> Seq((6.1, 2.4), (6.3, 2.2))),
+      loaded = Seq("e20_default_fill"), unstable = Nil)
+    val drow = parse(drift)
+    assert(drow.getAs[String]("prev") == "BENCH_r18.json")
+    val mv = drow.getAs[org.apache.spark.sql.Row]("movers")
+      .getAs[org.apache.spark.sql.Row]("e20_default_fill")
+    assert(mv.getAs[Double]("cur") == 6.1 && mv.getAs[Boolean]("loaded"), drift)
+    assert(mv.getSeq[scala.collection.Seq[Double]](mv.fieldIndex("runs"))
+      .map(_.toSeq) == Seq(Seq(6.1, 2.4), Seq(6.3, 2.2)), drift)
+    // drift count rides the artifact line; absent when zero
+    val flaggedLine = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1",
+      driftCount = 2)
+    assert(parse(flaggedLine).getAs[Long]("drift") == 2)
+    assert(!line.contains("drift"))
   }
 
   test("worst case: 60 failures with hostile text still parse under the cap") {
