@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Runner --schedule --store mystore --auto-remediate --sf ...
   *   runMain graft.Runner --schedule --store-emb estore --auto-remediate \
   *     --fire-now monthly_maintenance --sf ...   (operator-forced sweep)
+  *   runMain graft.Runner --stage-docs /data/in --batch-mod 7 --batch-rem 0 --sf ...
+  *   runMain graft.Runner --corpus-stream mystore --stream-src /data/in \
+  *     --flags-root /data/flags --checkpoint /data/ckpt \
+  *     [--max-files N --threshold T] [--inject-crash after-flags|after-marker] \
+  *     --sf ...   (drain arriving files through the store ingest; the
+  *                 crash flag is the operator recovery drill)
+  *   runMain graft.Runner --stage-emb /data/in-e --batch-mod 7 --batch-rem 0 --sf ...
+  *   runMain graft.Runner --corpus-stream-emb estore --stream-src /data/in-e \
+  *     --flags-root /data/flags-e --checkpoint /data/ckpt-e [--bucket-cap N] --sf ...
   *   runMain graft.Runner --ivf-build /data/idx --nlist 8 \
   *     [--batch-mod N --batch-rem R] --sf ...    (index day-0 publish)
   *   runMain graft.Runner --ivf-append /data/idx --batch-mod N --batch-rem R \
@@ -76,7 +85,7 @@ object Runner {
     * half-specified pair must not silently ingest the WHOLE corpus as
     * one "day" — that is a wrong-scope store mutation.
     */
-  private def batchSlice(opts: Map[String, String],
+  private[graft] def batchSlice(opts: Map[String, String],
       df: org.apache.spark.sql.DataFrame, idCol: String): org.apache.spark.sql.DataFrame =
     (opts.get("batch-mod"), opts.get("batch-rem")) match {
       case (Some(m), Some(r)) =>
@@ -87,8 +96,49 @@ object Runner {
       case _ => sys.error("--batch-mod and --batch-rem must be given together")
     }
 
+  /** The three IVF-index CLI forms (`--ivf-build` / `--ivf-append` /
+    * `--ivf-retrain`) against parsed opts, returning the report lines
+    * main prints. Factored out of main (r18 verdict #5) so OpsSpec can
+    * drive the full build→append→retrain lifecycle — including the
+    * shared [[batchSlice]] day-slice parser feeding all six
+    * ingest-shaped forms — through the REAL parsed-opts path without a
+    * Runner.main session lifecycle: the 3-JVM CLI proof pinned the
+    * cross-JVM cadence, this seam pins the opt wiring per-commit.
+    */
+  private[graft] def ivfOps(spark: SparkSession, opts: Map[String, String],
+      sfDir: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    opts.get("ivf-build").foreach { root =>
+      val v = graft.similarity.IvfIndex.buildTrained(
+        batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id"),
+        "vec_id", "embedding", root,
+        nlist = opts.getOrElse("nlist", "8").toInt,
+        iters = opts.getOrElse("iters", "2").toInt,
+        sampleMod = opts.getOrElse("sample-mod", "1").toInt)
+      out += s"[maintain-ivf] $root built and published -> v$v"
+    }
+    opts.get("ivf-append").foreach { root =>
+      val delta = graft.similarity.IvfIndex.append(
+        batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id"),
+        "vec_id", "embedding", root)
+      out += (if (delta == 0) s"[maintain-ivf] $root append: empty batch, nothing published"
+        else s"[maintain-ivf] $root appended frozen-centroid delta $delta")
+    }
+    opts.get("ivf-retrain").foreach { root =>
+      // --nlist 0 (default) keeps the index's own cell count, read
+      // from the published centroid table — the no-config sweep form
+      val v = graft.similarity.IvfIndex.retrain(spark, root,
+        nlist = opts.getOrElse("nlist", "0").toInt,
+        iters = opts.getOrElse("iters", "2").toInt,
+        sampleMod = opts.getOrElse("sample-mod", "1").toInt)
+      out += s"[maintain-ivf] $root retrained -> v$v (deltas folded, " +
+        "centroids re-derived)"
+    }
+    out.toSeq
+  }
+
   /** `--key value` pairs plus bare `--flag`s (recorded as "true"). */
-  private def parseOpts(args: Array[String]): Map[String, String] = {
+  private[graft] def parseOpts(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap[String, String]()
     var i = 0
     while (i < args.length) {
@@ -196,6 +246,77 @@ object Runner {
       return
     }
 
+    if (opts.contains("corpus-stream") || opts.contains("corpus-stream-emb") ||
+        opts.contains("stage-docs") || opts.contains("stage-emb")) {
+      // the CONTINUOUS corpus-ingest cadence as a CLI surface — one
+      // fresh JVM per run, the cron-to-streaming migration shape
+      // ([[graft.streaming.CorpusStream]]): arriving files in
+      // --stream-src become micro-batches, each runs the store ingest
+      // under the commit-marker protocol, flags land batch-partitioned
+      // at --flags-root, and the checkpoint makes a crashed run's batch
+      // redeliver on the next invocation. --stage-docs/--stage-emb
+      // write one day-slice parquet file into the source dir (the
+      // harness stand-in for files arriving from an upstream feed).
+      // --inject-crash after-flags|after-marker hard-halts the JVM at
+      // that point of the NEXT batch — the operator recovery DRILL that
+      // proves the crash arbitration on production shape: after-flags
+      // leaves lock + pending + unmarked flags (mid-mutation window),
+      // after-marker leaves the marker→pending-clear residue window;
+      // the following run must arbitrate, replay, and converge.
+      def need(k: String): String =
+        opts.getOrElse(k, sys.error(s"--corpus-stream needs --$k <dir>"))
+      def crashHook(phase: String): () => Unit =
+        if (!opts.get("inject-crash").contains(phase)) () => ()
+        else () => {
+          System.err.println(s"[stream] INJECTED CRASH $phase (recovery drill) — halting JVM")
+          System.err.flush()
+          Runtime.getRuntime.halt(137)
+        }
+      opts.get("stage-docs").foreach { dir =>
+        val slice = batchSlice(opts, Tables.documents(spark, sfDir), "doc_id")
+        slice.coalesce(1).write.mode("append").parquet(dir)
+        println(s"[stage] ${slice.count()} docs staged -> $dir")
+      }
+      opts.get("stage-emb").foreach { dir =>
+        val slice = batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id")
+        slice.coalesce(1).write.mode("append").parquet(dir)
+        println(s"[stage] ${slice.count()} vectors staged -> $dir")
+      }
+      def report(store: String, flagsRoot: String): Unit = {
+        val flags = spark.read.parquet(flagsRoot)
+        val idCol = if (flags.columns.contains("doc_id")) "doc_id" else "vec_id"
+        val batches = flags.select("batch_id").distinct().count()
+        val dups = flags.filter(org.apache.spark.sql.functions.col("is_dup")).count()
+        println(s"[stream] $store drained: flag log $batches batches, " +
+          s"${flags.select(idCol).count()} rows, $dups flagged dup")
+      }
+      opts.get("corpus-stream").foreach { store =>
+        graft.streaming.CorpusStream.ingestStream(
+          graft.streaming.CorpusStream.read(spark, need("stream-src"),
+            opts.get("max-files").map(_.toInt)),
+          store, need("flags-root"), need("checkpoint"),
+          threshold = opts.getOrElse("threshold", "0.5").toDouble,
+          onFlagsWritten = crashHook("after-flags"),
+          onMarkerWritten = crashHook("after-marker"))
+          .awaitTermination()
+        report(store, need("flags-root"))
+      }
+      opts.get("corpus-stream-emb").foreach { store =>
+        graft.streaming.CorpusStream.ingestEmbeddingsStream(
+          graft.streaming.CorpusStream.readEmbeddings(spark, need("stream-src"),
+            opts.get("max-files").map(_.toInt)),
+          store, need("flags-root"), need("checkpoint"),
+          threshold = opts.getOrElse("threshold", "0.9").toDouble,
+          bucketCap = opts.getOrElse("bucket-cap", "1000").toInt,
+          onFlagsWritten = crashHook("after-flags"),
+          onMarkerWritten = crashHook("after-marker"))
+          .awaitTermination()
+        report(store, need("flags-root"))
+      }
+      spark.stop()
+      return
+    }
+
     if (opts.contains("maintain-store") || opts.contains("maintain-store-emb") ||
         opts.contains("ivf-retrain") || opts.contains("corpus-retune") ||
         opts.contains("ivf-build") || opts.contains("ivf-append")) {
@@ -266,32 +387,7 @@ object Runner {
       // [--batch-mod/--batch-rem] publishes a frozen-centroid delta —
       // the daily ingest whose drift/proliferation debt the monthly
       // --ivf-retrain (or the scheduled sweep's --ivf-index arm) settles.
-      opts.get("ivf-build").foreach { root =>
-        val v = graft.similarity.IvfIndex.buildTrained(
-          batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id"),
-          "vec_id", "embedding", root,
-          nlist = opts.getOrElse("nlist", "8").toInt,
-          iters = opts.getOrElse("iters", "2").toInt,
-          sampleMod = opts.getOrElse("sample-mod", "1").toInt)
-        println(s"[maintain-ivf] $root built and published -> v$v")
-      }
-      opts.get("ivf-append").foreach { root =>
-        val delta = graft.similarity.IvfIndex.append(
-          batchSlice(opts, Tables.embeddings(spark, sfDir), "vec_id"),
-          "vec_id", "embedding", root)
-        println(if (delta == 0) s"[maintain-ivf] $root append: empty batch, nothing published"
-          else s"[maintain-ivf] $root appended frozen-centroid delta $delta")
-      }
-      opts.get("ivf-retrain").foreach { root =>
-        // --nlist 0 (default) keeps the index's own cell count, read
-        // from the published centroid table — the no-config sweep form
-        val v = graft.similarity.IvfIndex.retrain(spark, root,
-          nlist = opts.getOrElse("nlist", "0").toInt,
-          iters = opts.getOrElse("iters", "2").toInt,
-          sampleMod = opts.getOrElse("sample-mod", "1").toInt)
-        println(s"[maintain-ivf] $root retrained -> v$v (deltas folded, " +
-          "centroids re-derived)")
-      }
+      ivfOps(spark, opts, sfDir).foreach(println)
       spark.stop()
       return
     }

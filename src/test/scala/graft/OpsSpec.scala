@@ -920,6 +920,50 @@ class OpsSpec extends SparkSpec {
     } finally Seq(locked, healthy).foreach(SignatureStore.drop(spark, _))
   }
 
+  test("IVF CLI forms drive build->append->retrain through the parsed opts (E1)") {
+    // r18 verdict #5: the 3-JVM CLI proof pinned the cross-JVM cadence,
+    // but the forms had no in-process arm — and the shared batchSlice
+    // parser now feeds all six ingest-shaped CLI forms, so a parser
+    // regression would silently mis-scope every ingest-shaped store
+    // mutation. This drives the REAL parseOpts -> ivfOps path.
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-cli")
+      .toString + "/idx"
+    // day 0: build v1 from the even half of the corpus (the day slice)
+    val l1 = Runner.ivfOps(spark, Runner.parseOpts(Array(
+      "--ivf-build", root, "--nlist", "4", "--iters", "1", "--sample-mod", "2",
+      "--batch-mod", "2", "--batch-rem", "0")), sfDir)
+    assert(l1 == Seq(s"[maintain-ivf] $root built and published -> v1"), l1)
+    val v1 = spark.read.parquet(s"$root/v00001/vectors")
+    assert(v1.count() == 250 && v1.filter(col("vec_id") % 2 =!= 0).count() == 0,
+      "the --batch-mod/--batch-rem slice must scope the build")
+    // daily cadence: append the odd half as a frozen-centroid delta
+    val l2 = Runner.ivfOps(spark, Runner.parseOpts(Array(
+      "--ivf-append", root, "--batch-mod", "2", "--batch-rem", "1")), sfDir)
+    assert(l2 == Seq(s"[maintain-ivf] $root appended frozen-centroid delta 1"), l2)
+    assert(spark.read.parquet(s"$root/v00001/delta-00001").count() == 250)
+    // monthly slot: retrain folds the delta and republishes (default
+    // --nlist 0 keeps the index's own cell count)
+    val l3 = Runner.ivfOps(spark, Runner.parseOpts(Array(
+      "--ivf-retrain", root)), sfDir)
+    assert(l3.head.contains(s"$root retrained -> v2"), l3)
+    val v2 = spark.read.parquet(s"$root/v00002/vectors")
+    assert(v2.count() == 500, "retrain must fold base + delta into v2")
+    // a half-specified day slice must refuse loudly, not ingest the
+    // whole corpus as one 'day' (a wrong-scope store mutation)
+    val err = intercept[RuntimeException] {
+      Runner.ivfOps(spark, Runner.parseOpts(Array(
+        "--ivf-append", root, "--batch-mod", "2")), sfDir)
+    }
+    assert(err.getMessage.contains("--batch-mod and --batch-rem must be given together"))
+    // and bare-flag parsing records the half-specified flag as "true",
+    // which must ALSO refuse (not coerce): --batch-rem without a value
+    val err2 = intercept[RuntimeException] {
+      Runner.ivfOps(spark, Runner.parseOpts(Array(
+        "--ivf-append", root, "--batch-rem", "3")), sfDir)
+    }
+    assert(err2.getMessage.contains("must be given together"))
+  }
+
   test("orchestrator failure path still notifies with the error (E1)") {
     import java.net.InetSocketAddress
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
