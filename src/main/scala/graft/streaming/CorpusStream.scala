@@ -165,7 +165,18 @@ object CorpusStream {
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, storeName: String,
       flagsRoot: String, batchId: Long, threshold: Double = 0.5,
-      autoRecover: Boolean = true): Unit = {
+      autoRecover: Boolean = true,
+      /** Fault-injection seams for recovery DRILLS (the ops practice of
+        * proving the crash arbitration on production shape, not just in
+        * specs — Runner's `--inject-crash` wires `Runtime.halt` here):
+        * `onFlagsWritten` fires after the flag partition (and audit
+        * sidecar) land but before any append — halting there leaves
+        * lock + pending + unmarked flags, the mid-mutation window;
+        * `onMarkerWritten` fires right after the `_COMMITTED` marker —
+        * halting there leaves the marker→pending-clear residue window.
+        */
+      onFlagsWritten: () => Unit = () => (),
+      onMarkerWritten: () => Unit = () => ()): Unit = {
     SignatureStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
       () => SignatureStore.recoverArbitrated(spark, storeName),
@@ -185,8 +196,9 @@ object CorpusStream {
             val out = fs.create(p, true)
             try out.write(a.json.getBytes("UTF-8")) finally out.close()
           }
+          onFlagsWritten()
         },
-        onCommitted = mark,
+        onCommitted = () => { mark(); onMarkerWritten() },
         onAudit = a => audit.set(Some(a)))
       ()
     }
@@ -202,14 +214,16 @@ object CorpusStream {
   def ingestStream(docs: DataFrame, storeName: String, flagsRoot: String,
       checkpoint: String, threshold: Double = 0.5, autoRecover: Boolean = true,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      onFlagsWritten: () => Unit = () => (),
+      onMarkerWritten: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.sparkSession, batch.toDF(), storeName, flagsRoot,
-          batchId, threshold, autoRecover)
+          batchId, threshold, autoRecover, onFlagsWritten, onMarkerWritten)
       }
       .start()
 
@@ -237,7 +251,9 @@ object CorpusStream {
     */
   def ingestEmbeddingsBatch(spark: SparkSession, batch: DataFrame, storeName: String,
       flagsRoot: String, batchId: Long, threshold: Double = 0.9,
-      autoRecover: Boolean = true, bucketCap: Int = 1000): Unit = {
+      autoRecover: Boolean = true, bucketCap: Int = 1000,
+      onFlagsWritten: () => Unit = () => (),
+      onMarkerWritten: () => Unit = () => ()): Unit = {
     EmbeddingStore.ensureRegistered(spark, storeName)
     committed(spark, flagsRoot, batchId, autoRecover,
       () => EmbeddingStore.recoverArbitrated(spark, storeName),
@@ -254,8 +270,9 @@ object CorpusStream {
             val out = fs.create(p, true)
             try out.write(a.json.getBytes("UTF-8")) finally out.close()
           }
+          onFlagsWritten()
         },
-        onCommitted = mark,
+        onCommitted = () => { mark(); onMarkerWritten() },
         bucketCap = bucketCap,
         onAudit = a => audit.set(Some(a)))
       ()
@@ -267,14 +284,17 @@ object CorpusStream {
       checkpoint: String, threshold: Double = 0.9, autoRecover: Boolean = true,
       bucketCap: Int = 1000,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      onFlagsWritten: () => Unit = () => (),
+      onMarkerWritten: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestEmbeddingsBatch(batch.sparkSession, batch.toDF(), storeName,
-          flagsRoot, batchId, threshold, autoRecover, bucketCap)
+          flagsRoot, batchId, threshold, autoRecover, bucketCap,
+          onFlagsWritten, onMarkerWritten)
       }
       .start()
 }

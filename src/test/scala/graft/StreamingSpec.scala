@@ -557,6 +557,118 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("fresh-JVM replay: streaming ingest arbitrates crash state through ensureRegistered EXTERNAL entries; drill seams fire at the real windows") {
+    // pins what the r19 CLI proof drove through 20 fresh JVMs (r18
+    // verdict #2): the streaming wrapper's marker/pending arbitration
+    // working against a fresh JVM's catalog — ensureRegistered EXTERNAL
+    // entries, the state in-JVM specs' MANAGED entries structurally
+    // never see and where the embedding store hid its
+    // saveAsTable-vs-EXTERNAL bug for four rounds. Also pins the
+    // `--inject-crash` drill seams at their REAL windows: onFlagsWritten
+    // must fire before any append reaches the store (so halting there
+    // leaves the mid-mutation state the proof crashed into), and
+    // onMarkerWritten with the marker already durable.
+    import graft.streaming.CorpusStream
+    import graft.dedup.{SignatureStore, StoreGuard}
+    val docs = Tables.documents(spark, sfDir)
+    val sName = "graft_cstream_xjvm_spec"
+    SignatureStore.drop(spark, sName)
+    SignatureStore.build(spark, docs.filter(col("doc_id") % 10 === 0), sName)
+    val flagsRoot = java.nio.file.Files.createTempDirectory("graft-xjvm-flags").toString
+    val fs = new org.apache.hadoop.fs.Path(flagsRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = Seq(SignatureStore.bandsTable(sName), SignatureStore.shinglesTable(sName),
+      SignatureStore.sizesTable(sName), SignatureStore.metaTable(sName))
+    def dataFiles = tables.init.map(StoreGuard.dataFileCount(spark, _)).sum
+    try {
+      // batch 0, clean commit — with the seam contract asserted live
+      val marker0 = new org.apache.hadoop.fs.Path(s"$flagsRoot/batch_id=0/_COMMITTED")
+      val files0 = dataFiles
+      var filesAtFlagsSeam = -1L
+      var markerAtFlagsSeam = true
+      var markerAtMarkerSeam = false
+      CorpusStream.ingestBatch(spark, docs.filter(col("doc_id") % 10 === 1),
+        sName, flagsRoot, 0L,
+        onFlagsWritten = () => {
+          filesAtFlagsSeam = dataFiles
+          markerAtFlagsSeam = fs.exists(marker0)
+        },
+        onMarkerWritten = () => markerAtMarkerSeam = fs.exists(marker0))
+      assert(filesAtFlagsSeam == files0,
+        "after-flags seam must fire before any append reaches the store")
+      assert(!markerAtFlagsSeam, "after-flags seam must fire before the marker")
+      assert(markerAtMarkerSeam, "after-marker seam must fire with the marker durable")
+
+      // fresh-JVM catalog: stash each table dir aside across DROP (a
+      // managed DROP deletes files), then re-register — EXTERNAL entries
+      val conf = spark.sparkContext.hadoopConfiguration
+      tables.foreach { t =>
+        val loc = StoreGuard.tableLocation(spark, t)
+        val tfs = loc.getFileSystem(conf)
+        val save = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".xjvm")
+        assert(tfs.rename(loc, save), s"stash $t")
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        assert(tfs.rename(save, loc), s"restore $t")
+      }
+      SignatureStore.ensureRegistered(spark, sName)
+
+      // the after-flags crash window for batch 1 (what --inject-crash
+      // after-flags leaves): flags partition without marker, pending on
+      // disk; the in-process throw releases the claimed lock (the r17
+      // failure-path contract), so restore the hard-halt's stamped
+      // dead-writer lock by hand
+      val batch1 = docs.filter(col("doc_id") % 10 === 2)
+      val part1 = s"$flagsRoot/batch_id=1"
+      val e = intercept[RuntimeException](SignatureStore.ingest(spark, batch1, sName,
+        onFlags = f => {
+          f.write.mode("overwrite").parquet(part1)
+          sys.error("halt after flags (drill window)")
+        }))
+      assert(e.getMessage.contains("halt after flags"), e.getMessage)
+      val preCrashFlags = spark.read.parquet(part1).collect().map(_.toString).sorted.toSeq
+      val metaLoc = StoreGuard.tableLocation(spark, SignatureStore.metaTable(sName))
+      val lockP = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".lock")
+      locally {
+        val out = fs.create(lockP, true)
+        try out.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally out.close()
+      }
+      // the redelivered batch must arbitrate (dead owner ⇒ recover),
+      // re-run through the EXTERNAL entries, and commit IDENTICAL flags
+      CorpusStream.ingestBatch(spark, batch1, sName, flagsRoot, 1L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$part1/_COMMITTED")))
+      assert(spark.read.parquet(part1).collect().map(_.toString).sorted.toSeq
+        == preCrashFlags, "replayed flags must be idempotent")
+      assert(!fs.exists(lockP), "the dead writer's lock must be released")
+
+      // the marker→pending-clear residue window, still through the
+      // EXTERNAL entries: fabricate the dead writer's pending + lock
+      // beside batch 1's committed marker — the replay must discharge
+      // and SKIP (no store mutation, flags untouched)
+      val pendingP = new org.apache.hadoop.fs.Path(metaLoc.getParent, metaLoc.getName + ".pending")
+      locally {
+        val out = fs.create(pendingP, true)
+        try out.write("bogus-snapshot-line".getBytes("UTF-8")) finally out.close()
+        val lo = fs.create(lockP, true)
+        try lo.write(StoreGuard.ownerStampFor(deadPid()).getBytes("UTF-8"))
+        finally lo.close()
+      }
+      val filesBefore = dataFiles
+      CorpusStream.ingestBatch(spark, batch1, sName, flagsRoot, 1L)
+      assert(!fs.exists(pendingP) && !fs.exists(lockP),
+        "moot recovery state must be discharged on the committed replay")
+      assert(dataFiles == filesBefore, "skip path must not touch the store")
+
+      // the store stays fully usable through the EXTERNAL entries: a
+      // replayed doc in the next batch flags dup against the history
+      val replayed = docs.filter(col("doc_id") % 10 === 1)
+      CorpusStream.ingestBatch(spark, replayed, sName, flagsRoot, 2L)
+      val flags2 = spark.read.parquet(s"$flagsRoot/batch_id=2")
+      assert(flags2.filter(col("is_dup")).count() == replayed.count(),
+        "every replayed doc must flag dup against the surviving history")
+    } finally SignatureStore.drop(spark, sName)
+  }
+
   test("owner-stamped locks: a LIVE foreign writer's lock fails the batch fast; maintenance and a stream interleave safely") {
     import graft.streaming.CorpusStream
     import graft.dedup.{SignatureStore, StoreGuard}
