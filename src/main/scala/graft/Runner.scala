@@ -179,6 +179,16 @@ object Runner {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the deployment posture the scale harness measures (r18 verdict
+      // #3): start shuffles wide and let AQE coalesce to byte-sized
+      // partitions — at production scale a core-count-pinned shuffle
+      // holds GBs per partition and sort-spills; at CLI scale AQE
+      // coalesces straight back down, so this is free. The advisory
+      // TARGET is left at Spark's default here (it should track the
+      // deployment's per-task memory, not this harness's 8 GB local
+      // heap — see ScaleCheck for the measured local sizing).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName(s"graft-$which")

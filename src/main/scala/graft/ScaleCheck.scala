@@ -253,7 +253,7 @@ object ScaleCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val watchdogSec = sys.env.get("SPARK_GRAFT_WATCHDOG_SEC").map(_.toInt).getOrElse(600)
 
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE right-size every shuffle by bytes instead of pinning it
       // to the core count: at 30× a 32-way shuffle holds ~17M rows per
@@ -265,7 +265,29 @@ object ScaleCheck {
         (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // REDUCE-side byte TARGET (r18 verdict #3 evaluation, measured):
+    // initialPartitionNum only raises the starting count — AQE
+    // coalesces back to the 64 MB ADVISORY target, and 64 MB of
+    // compressed shuffle decompresses far past a task's execution share
+    // of an 8 GB / 32-thread local heap (~150 MB), which is where the
+    // reduce-side sorts actually spilled. 8 MB targets sized to that
+    // share are the harness default since r19: at 30×/default heap
+    // they eliminate e11's SMJ-sort spill entirely (3.8 GB → 0, wall
+    // 18.7 → 14.2 s) and cut e12 4× (21.4 → 5.5 GB, wall ~28 → 18.1 s,
+    // both at steal ≤ 0.05). e12's residual 5.46 GB is the MAP-side
+    // partial-agg fallback at its near-unique (dims, orderkey) grain —
+    // byte-identical under 16 MB scan splits and under both advisory
+    // settings, i.e. one in-memory pass of the fact that only per-task
+    // memory removes: the 48 GB deploy-conf artifact measures it at
+    // spill 0. A real executor fleet brings both levers: cluster-sized
+    // advisory targets and executor heap.
+    builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"))
+    // scan-split sizing stays env-gated for A/Bs (measured: no effect
+    // on either spill — the map-side term is total-bytes, not per-task)
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(v => builder.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
