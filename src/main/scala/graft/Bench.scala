@@ -598,10 +598,15 @@ object Bench {
         .lastOption.map(_.getPath)
     }
     val movers = prevArtifact.toSeq.flatMap { p =>
-      val prevLine = try {
+      val prevRaw = try {
         val src = scala.io.Source.fromFile(p)
         try src.mkString finally src.close()
       } catch { case _: Throwable => "" }
+      // unescape the driver's wrapper form for the sf sniff below, the
+      // same way parseQueryTimes does internally (r19 fix)
+      val prevLine =
+        if (prevRaw.contains("\"queries\":{")) prevRaw
+        else prevRaw.replace("\\\"", "\"")
       val prev = parseQueryTimes(prevLine)
       // same-SF comparisons only: a sf0.01 smoke run vs the sf0.1
       // artifact of record would flag every scale-sensitive query
@@ -674,7 +679,14 @@ object Bench {
     * Returns empty on anything unparseable (a missing or truncated
     * prior artifact must never break the current round's artifact).
     */
-  private[graft] def parseQueryTimes(line: String): Map[String, Double] = {
+  private[graft] def parseQueryTimes(raw: String): Map[String, Double] = {
+    // the driver's BENCH_rNN.json wraps the artifact line as an ESCAPED
+    // JSON string field (`\"queries\":{...}` inside "tail") — the r19
+    // baseline run silently skipped drift detection against BENCH_r18
+    // because this marker never matched the escaped form. Unescape when
+    // the raw marker is absent; a genuine artifact line is unaffected.
+    val line =
+      if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
     val start = line.indexOf("\"queries\":{")
     if (start < 0) Map.empty
     else {

@@ -27,8 +27,16 @@ object CubeQueries {
   val q01 = QueryDef(
     "q01_pricing_summary",
     (s, dir) => {
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      // keyed fan-out (r19, guide §2.5): single-row-group input = serial
+      // fused partial agg. Keys = countDistinct's phase-1 grain, so the
+      // repartition IS that phase's exchange, moved below the scan
+      // (phase 2's (rf, ls) exchange carries ~6 partial rows); the
+      // group-key-only alternative has too few distinct values (6) to
+      // fan anything. Identity on healthy layouts; order-safe measures.
+      Tables.fanOutBy(s, dir, "lineitem",
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02"))),
+        col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -234,7 +242,11 @@ object CubeQueries {
   val q06 = QueryDef(
     "q06_ratio_measures",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // keyless fan-out (r19, guide §2.5): 25 brands are too few to key
+      // a repartition on, so round-robin past the serial scan and keep
+      // the map-side partial aggregate (25 groups/task — it compresses);
+      // identity on healthy layouts. Order-safe: exact decimal sums.
+      val li = Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir))
       val part = Tables.part(s, dir)
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
@@ -262,7 +274,11 @@ object CubeQueries {
   val q07 = QueryDef(
     "q07_rollup_all",
     (s, dir) => {
-      CubeQuery.rollupAll(Tables.lineitem(s, dir),
+      // keyless fan-out (r19): parallelizes the rollup's Expand (3x the
+      // input) + partial agg past the serial scan; 6 detail groups are
+      // too few to key on. Order-safe: decimal sum + count.
+      CubeQuery.rollupAll(
+        Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir)),
         Seq("l_returnflag", "l_linestatus"),
         Seq(CubeQuery.Measure("net_sales", dsum(col("l_extendedprice"))),
           CubeQuery.Measure("n_lines", count(lit(1)))))
@@ -473,7 +489,18 @@ object CubeQueries {
     QueryDef(
       "q11_daily_sales_wide",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+        // keyed fan-out (r19): the sf inputs are single-row-group files,
+        // so the 49-function partial aggregate otherwise runs fused into
+        // a ONE-TASK scan (8.3 s serial vs 1.6 s fanned at 32 cores /
+        // sf0.1). Repartitioning on the leading group key moves the
+        // aggregate's own exchange below the scan — same exchange count,
+        // every core aggregating — and both the wide and the distinct
+        // branch reuse the one exchange (subset partitioning satisfies
+        // their clustering). Identity on healthy multi-row-group layouts.
+        // Order-safe: every measure is an exact decimal sum, count,
+        // min/max, or countDistinct.
+        val li = Tables.fanOutBy(s, dir, "lineitem",
+          Tables.lineitem(s, dir), col("l_suppkey"))
         def grouped(df: org.apache.spark.sql.DataFrame) = df.groupBy(
           col("l_suppkey"),
           FiscalCalendar.fiscalYear(col("l_shipdate")).as("fiscal_year"),
@@ -581,7 +608,9 @@ object CubeQueries {
   val q14 = QueryDef(
     "q14_full_cube",
     (s, dir) => {
-      Tables.lineitem(s, dir)
+      // keyless fan-out (r19): parallelizes cube()'s 4x Expand + partial
+      // agg past the serial scan (see q07). Order-safe measures.
+      Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_extendedprice")).as("net_sales"),
           count(lit(1)).as("n_lines"),
@@ -621,7 +650,12 @@ object CubeQueries {
     "q15_comp_store_tyly",
     (s, dir) => {
       val d = to_date(col("l_shipdate"))
-      val weekly = Tables.lineitem(s, dir)
+      // keyed fan-out (r19): the (store, fy, fw)-grain weekly aggregate
+      // otherwise runs fused into the serial single-row-group scan;
+      // store partitioning satisfies its clustering (exchange count
+      // unchanged) and the downstream joins stay at group grain.
+      val weekly = Tables.fanOutBy(s, dir, "lineitem",
+          Tables.lineitem(s, dir), col("l_suppkey"))
         .groupBy(col("l_suppkey").as("store"),
           FiscalCalendar.fiscalYearAnchored(d).as("fiscal_year"),
           FiscalCalendar.fiscalWeekAnchored(d).as("fiscal_week"))
@@ -711,7 +745,12 @@ object CubeQueries {
           org.apache.spark.sql.Encoders.scalaLong)
         val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
-        Tables.lineitem(s, dir)
+        // keyless fan-out (r19): the per-row md5 + KMV partial sketch is
+        // the query's whole cost and otherwise runs on the one-task
+        // scan; 3 return flags are too few to key on. Order-safe: the
+        // KMV sketch is the k smallest DISTINCT hashes (set semantics),
+        // countDistinct likewise.
+        Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir))
           .select(col("l_returnflag"), h.as("h"))
           .groupBy("l_returnflag")
           .agg(countDistinct(col("h")).as("n_exact"),

@@ -120,8 +120,12 @@ object DedupQueries {
   val d02 = QueryDef(
     "d02_ngram_jaccard",
     (s, dir) =>
+      // keyless fan-out (r19, guide §2.5): documents.parquet is a single
+      // row group, so the tokenize+explode shingle pass otherwise runs
+      // on one core; set-semantics downstream (distinct/df-cap/joins).
       Dedup.jaccardPairs(
-        Dedup.shingleIndex(Tables.documents(s, dir)).localCheckpoint(true),
+        Dedup.shingleIndex(Tables.fanOut(s, dir, "documents",
+          Tables.documents(s, dir))).localCheckpoint(true),
         threshold = 0.5),
     Some(s"""
       WITH $shingleCtes,
@@ -172,7 +176,8 @@ object DedupQueries {
     */
   val d03 = QueryDef(
     "d03_minhash_lsh",
-    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir)),
+    (s, dir) => Dedup.minhashLshPairs( // fan-out: see d02 (r19)
+      Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))),
     Some(s"""
       WITH $lshPairCtes
       SELECT doc_a, doc_b, jaccard FROM pairs
@@ -192,7 +197,10 @@ object DedupQueries {
     "d06_dup_clusters",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.clusters(Dedup.minhashLshPairs(docs), docs)
+      // fan-out the LSH side only (see d02, r19); the id-universe side
+      // is a cheap projection
+      Dedup.clusters(Dedup.minhashLshPairs(
+        Tables.fanOut(s, dir, "documents", docs)), docs)
     },
     Some(s"""
       WITH RECURSIVE $lshPairCtes,
@@ -234,7 +242,8 @@ object DedupQueries {
       .mkString(" + ")
     QueryDef(
       "d04_simhash",
-      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir)),
+      (s, dir) => Dedup.simhashPairs( // fan-out: see d02 (r19)
+        Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))),
       Some(s"""
         WITH toks AS (
           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
@@ -276,6 +285,9 @@ object DedupQueries {
   val d05 = QueryDef(
     "d05_embedding_neardup",
     (s, dir) => {
+      // fan-out probed and REJECTED here (r19): min 2.6 s fanned vs
+      // 1.9 s as-is — the union's two consumers re-execute the extra
+      // exchange and the band kernels are already past the scan stage
       val emb = Tables.embeddings(s, dir)
       val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -505,8 +517,11 @@ object DedupQueries {
     "d09_decontamination",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // fan-out the train side (see d02, r19); the benchmark side stays
+      // a broadcast-bound aggregate
       Dedup.decontaminate(
-        train = docs.filter(col("source") =!= "src0"),
+        train = Tables.fanOut(s, dir, "documents",
+          docs.filter(col("source") =!= "src0")),
         benchmark = docs.filter(col("source") === "src0"),
         k = 5)
     },
@@ -549,8 +564,9 @@ object DedupQueries {
   val d10 = QueryDef(
     "d10_containment",
     (s, dir) =>
-      Dedup.containmentPairs(
-        Dedup.shingleIndex(Tables.documents(s, dir)).localCheckpoint(true),
+      Dedup.containmentPairs( // fan-out: see d02 (r19)
+        Dedup.shingleIndex(Tables.fanOut(s, dir, "documents",
+          Tables.documents(s, dir))).localCheckpoint(true),
         threshold = 0.6),
     Some(s"""
       WITH $shingleCtes,
@@ -581,7 +597,8 @@ object DedupQueries {
   val d11 = QueryDef(
     "d11_boilerplate",
     (s, dir) => {
-      val sh = Dedup.shingles(Tables.documents(s, dir)).distinct()
+      val sh = Dedup.shingles(Tables.fanOut(s, dir, "documents",
+        Tables.documents(s, dir))).distinct() // fan-out: see d02 (r19)
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       sh.join(df, "shingle")
         .groupBy("doc_id")
@@ -644,7 +661,9 @@ object DedupQueries {
 
   val d12 = QueryDef(
     "d12_substring_dedup",
-    (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir)),
+    (s, dir) => Dedup.duplicatedSpans( // fan-out: see d02 (r19);
+      // span windows key on explicit (doc_id, pos) — order-safe
+      Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))),
     Some(s"""
       WITH ${substringCtes("documents")}
       SELECT sp.doc_id,
@@ -688,7 +707,8 @@ object DedupQueries {
     */
   val d13 = QueryDef(
     "d13_substring_cut",
-    (s, dir) => Dedup.cutSpans(Tables.documents(s, dir)),
+    (s, dir) => Dedup.cutSpans( // fan-out: see d02/d12 (r19)
+      Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))),
     Some(s"""
       WITH ${substringCtes("documents")},
       $cutCtes
@@ -706,8 +726,9 @@ object DedupQueries {
     "d14_decontamination_spans",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.decontaminateSpans(
-        train = docs.filter(col("source") =!= "src0"),
+      Dedup.decontaminateSpans( // train-side fan-out: see d09 (r19)
+        train = Tables.fanOut(s, dir, "documents",
+          docs.filter(col("source") =!= "src0")),
         benchmark = docs.filter(col("source") === "src0"))
     },
     Some("""
@@ -761,6 +782,9 @@ object DedupQueries {
     "d15_corpus_manifest",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // fan-out probed and REJECTED here (r19): 5.3 s fanned vs 3.6 s
+      // as-is — `flagged` feeds two consumers, each re-executing the
+      // added exchange below the __fp window
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val flagged = docs
         .withColumn("__fp", graft.text.TextFunctions.fingerprint(col("text")))
@@ -818,8 +842,9 @@ object DedupQueries {
     "d16_bloom_decontamination",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.bloomDecontaminate(
-        train = docs.filter(col("source") =!= "src0"),
+      Dedup.bloomDecontaminate( // train-side fan-out: see d09 (r19)
+        train = Tables.fanOut(s, dir, "documents",
+          docs.filter(col("source") =!= "src0")),
         benchmark = docs.filter(col("source") === "src0"),
         k = 5, kHashes = 5, mBits = 1 << 22)
     },

@@ -33,7 +33,10 @@ object EtlQueries {
   val e01 = QueryDef(
     "e01_typed_projection",
     (s, dir) => {
-      val raw = Tables.events(s, dir)
+      // keyless fan-out (r19, guide §2.5): events.parquet is a single
+      // row group; the per-row JSON parse + typed projection otherwise
+      // run on one core. Pure projection — row set unchanged.
+      val raw = Tables.fanOut(s, dir, "events", Tables.events(s, dir))
         .withColumn("k_raw", get_json_object(col("props"), "$.k"))
       val spec = PipelineSpec(
         name = "events_typed",
@@ -153,7 +156,9 @@ object EtlQueries {
   val e05 = QueryDef(
     "e05_coercion_kernels",
     (s, dir) => {
-      val raw = Tables.events(s, dir).select(
+      // keyless fan-out (r19): see e01 — parallelizes the coercion
+      // kernels past the single-row-group scan.
+      val raw = Tables.fanOut(s, dir, "events", Tables.events(s, dir)).select(
         col("event_id"),
         concat(col("user_id").cast("string"), lit(","),
           lpad((col("event_id") % 1000).cast("string"), 3, "0")).as("raw_int"),

@@ -71,7 +71,16 @@ object PipelineQueries {
     */
   private[graft] def salesChannelAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity, salts: Int = 0): DataFrame = {
-    val li = pre(Tables.lineitem(s, dir))
+    // keyed fan-out (r19, guide §2.5): the sf inputs are single-row-group
+    // files, so the (dims, orderkey)-grain partial aggregate otherwise
+    // runs fused into a one-task scan. Repartitioning on the leading
+    // group expression (StoreNumber) moves the aggregate's own exchange
+    // below the scan — subset partitioning satisfies both countDistinct
+    // phases AND the salted variant's clustering, so the exchange count
+    // is unchanged at every scale; identity on healthy layouts. Order-
+    // safe: decimal sums + countDistinct only.
+    val li = Tables.fanOutBy(s, dir, "lineitem",
+      pre(Tables.lineitem(s, dir)), col("l_suppkey").cast("string"))
     val dayPart = (col("l_linenumber") % 3).cast("int")
     val dims: Seq[(String, Column)] = Seq(
       "StoreNumber" -> col("l_suppkey").cast("string"),
@@ -176,7 +185,12 @@ object PipelineQueries {
     */
   private[graft] def offersAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity): DataFrame = {
-    val li = pre(Tables.lineitem(s, dir))
+    // keyed fan-out (r19, guide §2.5) — see salesChannelAgg: parallelizes
+    // the broadcast part join + two-level decimal partial aggregate past
+    // the single-row-group scan; StoreNumber partitioning satisfies both
+    // aggregate levels' clustering (no extra exchange at any scale).
+    val li = Tables.fanOutBy(s, dir, "lineitem",
+      pre(Tables.lineitem(s, dir)), col("l_suppkey").cast("string"))
     val part = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
     val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
@@ -265,7 +279,9 @@ object PipelineQueries {
     */
   private[graft] def inventoryAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity): DataFrame = {
-    val li = pre(Tables.lineitem(s, dir))
+    // keyed fan-out (r19, guide §2.5) — see salesChannelAgg.
+    val li = Tables.fanOutBy(s, dir, "lineitem",
+      pre(Tables.lineitem(s, dir)), col("l_suppkey").cast("string"))
     val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(

@@ -92,7 +92,13 @@ object SourceQueries {
       OncePerJvm("graft_e08_csv", dir) {
         ev.write.mode("overwrite").option("header", "true").csv(tmp)
       }
+      // fan-out (r19): the fixture is written by a serial plan into few
+      // csv part files, so the mapping layer (multi-format date parse per
+      // row) otherwise runs 1-2 cores wide. The fixture is this query's
+      // pinned input at every scale, so an unconditional conf-sized
+      // repartition is the honest shape (pure projection downstream).
       val raw = Connectors.csv(s, tmp)
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val spec = PipelineSpec(
         name = "csv_load",
         fields = Seq(

@@ -130,4 +130,82 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  // ---- scan-layout fan-out (r19 optimization; guide §2.5 input skew) ----
+
+  private val scanParCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Effective scan parallelism of the parquet at `path`, bounded by its
+    * ROW-GROUP layout rather than its byte size: Spark splits files by
+    * byte ranges, but a row group is consumed whole by whichever split
+    * holds its midpoint, so a single-row-group file executes every fused
+    * map operator (projection, explode, partial aggregation, broadcast
+    * probe) on ONE core no matter the split count or the session's core
+    * count — the "one unsplittable file" input skew of the optimization
+    * guide, and exactly how the driver's testdata is laid out (every
+    * `sf0.1` table is one file with one row group; q11's 49-function
+    * partial aggregate measured 8.3 s serial vs 1.6 s fanned at 32
+    * cores). Counted from the parquet footers — metadata only, cached
+    * per path, one open per file; a layout with at least as many data
+    * files as the session has cores is healthy without opening any
+    * footer, so at production scale this never reads a footer at all.
+    * Probe failures report the layout healthy (fan-out is a remediation,
+    * never a requirement).
+    */
+  private[graft] def effectiveScanParallelism(spark: SparkSession, path: String): Int =
+    scanParCache.getOrElseUpdate(path, {
+      try {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = spark.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(root).isFile) Array(root)
+          else fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        val cores = spark.sparkContext.defaultParallelism
+        if (files.length >= cores) files.length
+        else files.map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try r.getRowGroups.size finally r.close()
+        }.sum
+      } catch { case _: Throwable => Int.MaxValue }
+    })
+
+  private def underParallel(spark: SparkSession, dir: String, table: String): Boolean =
+    effectiveScanParallelism(spark, s"$dir/$table.parquet") <
+      spark.sparkContext.defaultParallelism
+
+  /** Round-robin fan-out of a frame read from `dir/table` to the
+    * session's shuffle parallelism — applied ONLY when the source's
+    * row-group layout caps the scan below the session's cores
+    * ([[effectiveScanParallelism]]); the identity on healthy layouts,
+    * so at production scale no extra exchange ever appears. For
+    * operators whose downstream is order-insensitive (aggregates over
+    * exact decimal sums / counts / min-max, set-semantics joins,
+    * explode→aggregate chains): a keyless repartition redistributes and
+    * reorders rows, which such consumers cannot observe. The partition
+    * count comes from the session conf (scale-adaptive), never a
+    * constant.
+    */
+  def fanOut(spark: SparkSession, dir: String, table: String,
+      df: DataFrame): DataFrame =
+    if (underParallel(spark, dir, table))
+      df.repartition(spark.sessionState.conf.numShufflePartitions)
+    else df
+
+  /** Keyed fan-out: like [[fanOut]] but hash-repartitions on `keys` so a
+    * downstream aggregate/join clustered by a SUPERSET of `keys` needs
+    * no further exchange — the shuffle the aggregate was going to pay
+    * anyway, moved below the serial scan so the heavy per-row work runs
+    * on every core. Prefer this over [[fanOut]] wherever the consumer
+    * has grouping keys: the plan's exchange count stays identical to
+    * the un-fanned plan at every scale.
+    */
+  def fanOutBy(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    if (underParallel(spark, dir, table))
+      df.repartition(spark.sessionState.conf.numShufflePartitions, keys: _*)
+    else df
 }

@@ -305,6 +305,15 @@ class BenchSpec extends SparkSpec {
     // break the current round
     assert(Bench.parseQueryTimes("").isEmpty)
     assert(Bench.parseQueryTimes("""{"metric":"total","value":1}""").isEmpty)
+    // the DRIVER'S wrapper form (r19 fix): BENCH_rNN.json carries the
+    // artifact line as an escaped JSON string inside "tail" — the r19
+    // baseline run silently skipped drift detection against BENCH_r18
+    // because the escaped `\"queries\":{` never matched the raw marker
+    val wrapped = """{"n": 18, "rc": 0, "tail": "[info] """ +
+      line.replace("\\", "\\\\").replace("\"", "\\\"") + """\n"}"""
+    val wparsed = Bench.parseQueryTimes(wrapped)
+    assert(math.abs(wparsed("q01_slow") - 5.432) < 0.01, wparsed.toString)
+    assert(!wparsed.contains("q03_bad"))
 
     // driftMovers: the r18 e-block shapes
     val prev = Map("q11_agg" -> 6.9, "e16_ddl" -> 3.1)

@@ -45,9 +45,16 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("(fiscal_year#") && scan.contains("= 1996)"), scan)
   }
 
-  test("e01: typed projection is a pure narrow plan (no shuffle)") {
+  test("e01: typed projection adds no shuffle beyond the scan-layout fan-out") {
+    // r19: a single round-robin exchange right above the scan is the
+    // scan-layout fan-out (Tables.fanOut — the testdata is one row group,
+    // so the JSON parse + projection would otherwise run one core wide);
+    // the mapping itself must still add NO exchange of its own.
     val p = planOf("e01_typed_projection")
-    assert(!p.contains("Exchange"), "mapping projection must not shuffle")
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")) &&
+      exchanges.size <= 1,
+      s"mapping projection must not shuffle beyond the fan-out: $exchanges")
   }
 
   test("d05: LSH candidate generation has no nested-loop/theta join") {
