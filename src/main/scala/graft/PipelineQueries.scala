@@ -71,16 +71,6 @@ object PipelineQueries {
     */
   private[graft] def salesChannelAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity, salts: Int = 0): DataFrame = {
-    // keyed fan-out (r19, guide §2.5): the sf inputs are single-row-group
-    // files, so the (dims, orderkey)-grain partial aggregate otherwise
-    // runs fused into a one-task scan. Repartitioning on the leading
-    // group expression (StoreNumber) moves the aggregate's own exchange
-    // below the scan — subset partitioning satisfies both countDistinct
-    // phases AND the salted variant's clustering, so the exchange count
-    // is unchanged at every scale; identity on healthy layouts. Order-
-    // safe: decimal sums + countDistinct only.
-    val li = Tables.fanOutBy(s, dir, "lineitem",
-      pre(Tables.lineitem(s, dir)), col("l_suppkey").cast("string"))
     val dayPart = (col("l_linenumber") % 3).cast("int")
     val dims: Seq[(String, Column)] = Seq(
       "StoreNumber" -> col("l_suppkey").cast("string"),
@@ -89,6 +79,18 @@ object PipelineQueries {
       "SourceChannel" -> col("l_linestatus"),
       "DayPart" -> when(dayPart === 0, "Morning")
         .when(dayPart === 1, "Afternoon").otherwise("Evening"))
+    // keyed fan-out (r19, guide §2.5): the sf inputs are single-row-group
+    // files, so the (dims, orderkey)-grain partial aggregate otherwise
+    // runs fused into a one-task scan. Repartitioning on ALL FIVE dim
+    // expressions moves the aggregate's own exchange below the scan
+    // (subset partitioning satisfies both countDistinct phases and the
+    // salted variant's clustering) AND covers every TY/LY join key, so
+    // the TY side of the merge join below is exchange-free — Spark's
+    // co-partitioning check (requireAllClusterKeysForCoPartition)
+    // accepts nothing less. Identity on healthy layouts. Order-safe:
+    // decimal sums + countDistinct only.
+    val li = Tables.fanOutBy(s, dir, "lineitem",
+      pre(Tables.lineitem(s, dir)), dims.map(_._2): _*)
     // Persist the group-grain aggregate: TY and LY are the SAME
     // aggregate (LY = TY shifted 364 days), and without the persist the
     // self-join recomputes the full fact scan + 5-dim hash agg twice —
@@ -130,7 +132,15 @@ object PipelineQueries {
       col("SourceActor"), col("SourceChannel"), col("DayPart"),
       col("TY Net Sales USD").as("LY Net Sales USD"),
       col("TY Orders").as("LY Orders"))
-    ty.join(ly,
+    // merge hint (r19): the TY grain is near-unique (~595k rows at
+    // sf0.1), so the planner's broadcast pick builds and ships a
+    // 595k-row hash relation per run — measured erratic 3.5-19 s under
+    // driver-heap churn. Both join inputs read the SAME cached
+    // aggregate partitioned by StoreNumber (a subset of the join keys),
+    // so the sort-merge join is exchange-free; AQE already makes this
+    // exact flip at 30x scale (the r18 e11 attribution), the hint just
+    // stops the local plan from re-deriving the broadcast each round.
+    ty.join(ly.hint("merge"),
       Seq("StoreNumber", "CalendarDate", "SourceActor", "SourceChannel", "DayPart"),
       "left")
   }
