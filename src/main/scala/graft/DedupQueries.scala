@@ -662,7 +662,11 @@ object DedupQueries {
   val d12 = QueryDef(
     "d12_substring_dedup",
     (s, dir) => Dedup.duplicatedSpans( // fan-out: see d02 (r19);
-      // span windows key on explicit (doc_id, pos) — order-safe
+      // span windows key on explicit (doc_id, pos) — order-safe.
+      // An eager pin of the fanned input was probed and REJECTED
+      // (1.9 s pinned vs 1.6-1.8 fanned): ReuseExchange already shares
+      // the fan shuffle across the re-tokenizing consumers, and the
+      // blocking checkpoint only adds a materialization.
       Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))),
     Some(s"""
       WITH ${substringCtes("documents")}
@@ -707,7 +711,8 @@ object DedupQueries {
     */
   val d13 = QueryDef(
     "d13_substring_cut",
-    (s, dir) => Dedup.cutSpans( // fan-out: see d02/d12 (r19)
+    (s, dir) => Dedup.cutSpans( // fan-out: see d02/d12 (r19); an eager
+      // pin was probed and REJECTED here too (3.6 s vs 1.9-2.2 fanned)
       Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))),
     Some(s"""
       WITH ${substringCtes("documents")},
@@ -782,15 +787,23 @@ object DedupQueries {
     "d15_corpus_manifest",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // fan-out probed and REJECTED here (r19): 5.3 s fanned vs 3.6 s
-      // as-is — `flagged` feeds two consumers, each re-executing the
-      // added exchange below the __fp window
+      // the SURVIVOR corpus is the multiply-consumed intermediate here:
+      // cutSpans re-tokenizes its input for each of its internal
+      // consumers (grams, position cover, anchor), and un-pinned each
+      // re-execution replays the scan + fingerprint + keeper window.
+      // Pin it ONCE, fanned to the session's parallelism (the same
+      // corpus-row weight class as d02's checkpointed shingle index) —
+      // probing showed fanning `docs` instead regresses (the window
+      // repartitions by __fp right after, wasting the fan) and
+      // checkpointing `flagged` pins too early (the cut re-tokenizes
+      // either way).
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val flagged = docs
         .withColumn("__fp", graft.text.TextFunctions.fingerprint(col("text")))
         .withColumn("__keeper", min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
-      val survivors = flagged.filter(col("doc_id") === col("__keeper"))
-        .select("doc_id", "text")
+      val survivors = Tables.fanOut(s, dir, "documents",
+          flagged.filter(col("doc_id") === col("__keeper")).select("doc_id", "text"))
+        .localCheckpoint(true)
       val cut = Dedup.cutSpans(survivors)
       flagged
         .withColumn("__toks", graft.text.TextFunctions.tokens(col("text")))

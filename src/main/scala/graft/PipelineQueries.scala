@@ -336,7 +336,11 @@ object PipelineQueries {
     */
   private[graft] def clockInOutAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity): DataFrame = {
-    val ev = pre(Tables.events(s, dir))
+    // keyed fan-out (r19, guide §2.5) — see salesChannelAgg; keyed on
+    // the SystemUserID group expression (the store expression has only
+    // 10 distinct values).
+    val ev = Tables.fanOutBy(s, dir, "events",
+      pre(Tables.events(s, dir)), col("user_id").cast("string"))
     val spanH = (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
       .cast("double") / lit(3600000000.0)
     ev.groupBy(

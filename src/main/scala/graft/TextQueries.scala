@@ -223,7 +223,10 @@ object TextQueries {
   val t07 = QueryDef(
     "t07_repetition_signals",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      // keyless fan-out (r19, guide §2.5): the per-row HOF scoring is
+      // the whole query and otherwise runs on the one-task scan; pure
+      // projection — row set unchanged.
+      val d = Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))
         .withColumn("toks", tokens(col("text")))
       val withGrams = d.withColumn("grams", shinglesOf(col("toks"), 2))
       withGrams.select(
@@ -610,7 +613,9 @@ object TextQueries {
     "t14_bpe_encode",
     (s, dir) => {
       graft.text.BpeFunctions.register(s)
-      Tables.documents(s, dir)
+      // keyless fan-out (r19): the per-row BPE encode dominates and
+      // otherwise runs on the one-task scan; count aggregate downstream.
+      Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))
         .withColumn("norm", normText(col("text")))
         .select(col("doc_id"), explode(expr("bpe_tokens(norm)")).as("token"))
         .groupBy(col("doc_id"), col("token"))
@@ -716,7 +721,8 @@ object TextQueries {
       import org.apache.spark.sql.graft.ColumnBridge
       val toks = ColumnBridge.column(graft.text.BpeTokensExpr(
         ColumnBridge.expression(col("text")), t15Vocab))
-      Tables.documents(s, dir)
+      // keyless fan-out (r19): see t14.
+      Tables.fanOut(s, dir, "documents", Tables.documents(s, dir))
         .select(col("doc_id"), explode(toks).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("cnt"))

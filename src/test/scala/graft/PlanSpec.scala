@@ -214,9 +214,15 @@ class PlanSpec extends SparkSpec {
   test("t15: byte-level encode is scan → explode → one count shuffle; columns prune") {
     val p = planOf("t15_bpe_byte_encode")
     // the encoder kernel and token-id lookup are per-row expressions —
-    // the ONLY wide op is the (doc_id, token) count's exchange, with
-    // map-side partial combine in front of it
-    assert("Exchange".r.findAllIn(p).size == 1, p.linesIterator.take(30).mkString("\n"))
+    // the only wide ops are the (doc_id, token) count's exchange (with
+    // map-side partial combine in front of it) and, since r19, the
+    // round-robin scan-layout fan-out below the encode (Tables.fanOut —
+    // the testdata is one row group per file)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rrEx = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(hashEx == 1 && rrEx <= 1 &&
+      "Exchange".r.findAllIn(p).size == hashEx + rrEx,
+      p.linesIterator.take(30).mkString("\n"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate expected")
     assert(!p.contains("Join") && !p.contains("Window"), p)
     // only (doc_id, text) of the documents table's five columns reach

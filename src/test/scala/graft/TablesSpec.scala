@@ -229,6 +229,39 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("scan-layout fan-out: repartitions row-group-bound reads, identity on healthy layouts") {
+    // r19 optimization: every sf table is ONE file with ONE row group,
+    // so effective scan parallelism is 1 regardless of split count —
+    // the fan-out must fire there...
+    assert(Tables.effectiveScanParallelism(spark, s"$sfDir/lineitem.parquet") == 1)
+    val fanned = Tables.fanOut(spark, sfDir, "lineitem", Tables.lineitem(spark, sfDir))
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions)
+    // ...and the KEYED form must satisfy a downstream aggregate's
+    // clustering so the plan holds exactly ONE exchange (the fan
+    // itself, below the scan) — the property every fanOutBy call site
+    // relies on for "exchange count unchanged at every scale"
+    val agg = Tables
+      .fanOutBy(spark, sfDir, "lineitem", Tables.lineitem(spark, sfDir),
+        col("l_suppkey"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // row CONTENT is unchanged by the fan (only distribution moves)
+    val want = Tables.lineitem(spark, sfDir).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    // healthy layout (≥ cores data files): both helpers are the IDENTITY
+    // — no exchange is ever added at production-shaped inputs
+    withTmp { dir =>
+      spark.range(1000).repartition(8).write.parquet(s"$dir/fat.parquet")
+      val df = spark.read.parquet(s"$dir/fat.parquet")
+      assert(Tables.fanOut(spark, dir, "fat", df) eq df)
+      assert(Tables.fanOutBy(spark, dir, "fat", df, col("id")) eq df)
+      assert(Tables.effectiveScanParallelism(spark, s"$dir/fat.parquet") >= 8)
+    }
+  }
+
   test("nanos-illegal detector matches error class and wrapped messages") {
     val byMessage = new RuntimeException(
       "caused by [PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64 (TIMESTAMP(NANOS,false))")
