@@ -54,8 +54,18 @@ object PipelineQueries {
       serialized(Pipeline.compile(SpecLoader.fromResource("offers"),
         offersAgg(s, dir, lim), refreshedAt = Some(to_timestamp(lit(Refresh)))),
         Seq("discount_amount_usd", "gross_margin_usd", "order_mix_pct",
-          "sales_mix_usd_pct", "net_sales_usd", "target_food_cost_usd"))
+          "sales_mix_usd_pct", "net_sales_usd", "target_food_cost_usd")),
+      // sales_channel miniature (r19): e11's TY/LY join is a sort-merge
+      // join since this round, and no other warmup reaches that codegen
+      // family (SMJ sorts + cached-aggregate self-join + the wire tail)
+      // — un-warmed, e11's two timed runs publish the C2 ramp (4.1 s
+      // bench vs 2.1-2.3 s isolated steady state after ~4 runs), the
+      // exact pattern the e13 warmup fixed in r18.
+      serialized(Pipeline.compile(SpecLoader.fromResource("sales_channel"),
+        salesChannelAgg(s, dir, lim), refreshedAt = Some(to_timestamp(lit(Refresh)))),
+        Seq("ty_net_sales_usd", "discounts_usd", "ly_net_sales_usd"))
     ).foreach(_.write.mode("overwrite").format("noop").save())
+    s.catalog.clearCache() // drop the miniature's TY persist
   }
 
   /** sales_channel — the 5-dim × 5-measure shape
