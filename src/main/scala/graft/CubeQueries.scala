@@ -74,7 +74,12 @@ object CubeQueries {
   val q02 = QueryDef(
     "q02_star_join_revenue",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // keyless fan-out (r19): all four dimension joins broadcast (the
+      // PlanSpec pin), so the probe + partial agg otherwise run fused
+      // into the serial single-row-group scan. Group keys (r,n) are too
+      // few to key on; the countDistinct grain needs o_custkey, which
+      // only exists post-join. Order-safe measures.
+      val li = Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir))
       val ord = Tables.orders(s, dir)
       val cust = Tables.customer(s, dir)
       val nat = Tables.nation(s, dir)
@@ -301,7 +306,10 @@ object CubeQueries {
   val q08 = QueryDef(
     "q08_top_customers",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // keyless fan-out (r19): see q02 — broadcast-joined dims leave the
+      // revenue partial agg on the serial scan otherwise. The final
+      // TakeOrderedAndProject is ordering-explicit (revenue, custkey).
+      val li = Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir))
       val ord = Tables.orders(s, dir)
       val cust = Tables.customer(s, dir)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -806,7 +814,9 @@ object CubeQueries {
       (s, dir) => {
         import s.implicits._
         import graft.functions.{TopKAggregator, TopKEntry}
-        val rev = Tables.lineitem(s, dir)
+        // keyless fan-out (r19): see q02; the TopK entries are
+        // deterministic (revenue DESC, custkey tie-break).
+        val rev = Tables.fanOut(s, dir, "lineitem", Tables.lineitem(s, dir))
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))

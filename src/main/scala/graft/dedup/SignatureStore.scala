@@ -496,6 +496,12 @@ object SignatureStore {
     val survIds = ids.join(histDup, Seq("doc_id"), "left_anti")
     val ssh = bsh.join(survIds, "doc_id")
     val comp = staged("survivor LSH + components") {
+      // r19 probe note: eagerly pinning the survivor index (consumed 3×
+      // inside lshPairsFrom) was measured break-even-to-worse here
+      // (2.95 s vs 2.67 s stage time) — the index subtree is identical
+      // across its consumers, so ReuseExchange already shares its
+      // shuffles and the blocking checkpoint only adds a
+      // materialization. Left un-pinned deliberately.
       Dedup.clusters(
         Dedup.lshPairsFrom(bBands.join(survIds, "doc_id"),
           Dedup.indexFromShingles(ssh, spec.maxDf), threshold),
