@@ -602,11 +602,10 @@ object Bench {
         val src = scala.io.Source.fromFile(p)
         try src.mkString finally src.close()
       } catch { case _: Throwable => "" }
-      // unescape the driver's wrapper form for the sf sniff below, the
-      // same way parseQueryTimes does internally (r19 fix)
-      val prevLine =
-        if (prevRaw.contains("\"queries\":{")) prevRaw
-        else prevRaw.replace("\\\"", "\"")
+      // unescape the driver's wrapper form for the sf sniff below — the
+      // same shared helper parseQueryTimes uses (ADVICE r19: the two
+      // call sites carried duplicate two-line unescapes)
+      val prevLine = unescapeWrapper(prevRaw)
       val prev = parseQueryTimes(prevLine)
       // same-SF comparisons only: a sf0.01 smoke run vs the sf0.1
       // artifact of record would flag every scale-sensitive query
@@ -679,14 +678,21 @@ object Bench {
     * Returns empty on anything unparseable (a missing or truncated
     * prior artifact must never break the current round's artifact).
     */
+  /** Unescape the driver's BENCH_rNN.json wrapper form — the artifact
+    * line embedded as an ESCAPED JSON string inside a `"tail"` field
+    * (`\"queries\":{...}`). The r19 baseline run silently skipped drift
+    * detection against BENCH_r18 because the raw marker never matched
+    * the escaped form. Identity on a genuine artifact line. `\\` is
+    * handled BEFORE `\"` via a placeholder (ADVICE r19) so an escaped
+    * backslash in a query name or tail can't mis-parse; shared by
+    * [[parseQueryTimes]] and the movers sniff.
+    */
+  private[graft] def unescapeWrapper(raw: String): String =
+    if (raw.contains("\"queries\":{")) raw
+    else raw.replace("\\\\", "\u0000").replace("\\\"", "\"").replace('\u0000', '\\')
+
   private[graft] def parseQueryTimes(raw: String): Map[String, Double] = {
-    // the driver's BENCH_rNN.json wraps the artifact line as an ESCAPED
-    // JSON string field (`\"queries\":{...}` inside "tail") — the r19
-    // baseline run silently skipped drift detection against BENCH_r18
-    // because this marker never matched the escaped form. Unescape when
-    // the raw marker is absent; a genuine artifact line is unaffected.
-    val line =
-      if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
+    val line = unescapeWrapper(raw)
     val start = line.indexOf("\"queries\":{")
     if (start < 0) Map.empty
     else {

@@ -146,10 +146,14 @@ object PipelineQueries {
     // sf0.1), so the planner's broadcast pick builds and ships a
     // 595k-row hash relation per run — measured erratic 3.5-19 s under
     // driver-heap churn. Both join inputs read the SAME cached
-    // aggregate partitioned by StoreNumber (a subset of the join keys),
-    // so the sort-merge join is exchange-free; AQE already makes this
-    // exact flip at 30x scale (the r18 e11 attribution), the hint just
-    // stops the local plan from re-deriving the broadcast each round.
+    // aggregate, whose partitioning is the 5-dim hash of its own
+    // grouping exchange (or of the fan-out above when it fired — same
+    // keys either way), i.e. EXACTLY the five join keys — so the TY
+    // side of the sort-merge join is exchange-free at every scale; the
+    // LY side must re-shuffle because its CalendarDate is the derived
+    // key date_add(CalendarDate, 364). AQE already makes this exact
+    // flip at 30x scale (the r18 e11 attribution), the hint just stops
+    // the local plan from re-deriving the broadcast each round.
     ty.join(ly.hint("merge"),
       Seq("StoreNumber", "CalendarDate", "SourceActor", "SourceChannel", "DayPart"),
       "left")

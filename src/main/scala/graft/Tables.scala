@@ -146,32 +146,41 @@ object Tables {
     * `sf0.1` table is one file with one row group; q11's 49-function
     * partial aggregate measured 8.3 s serial vs 1.6 s fanned at 32
     * cores). Counted from the parquet footers — metadata only, cached
-    * per path, one open per file; a layout with at least as many data
-    * files as the session has cores is healthy without opening any
-    * footer, so at production scale this never reads a footer at all.
-    * Probe failures report the layout healthy (fan-out is a remediation,
-    * never a requirement).
+    * per (path, root mtime), one open per file; a layout with at least
+    * as many data files as the session has cores is healthy without
+    * opening any footer, so at production scale this never reads a
+    * footer at all. A directory with NO top-level data files (e.g. a
+    * Hive-style directory-partitioned table, whose data sits in
+    * `k=v/` subdirectories) reports healthy too (ADVICE r19): such
+    * layouts are written by parallel writers, and fan-out is a
+    * remediation, never a requirement — reporting them unhealthy would
+    * inject a permanent full-table repartition at production scale.
+    * Probe failures also report healthy, and are NOT cached (a probe
+    * that ran before the file existed must not pin a stale verdict);
+    * the mtime cache key re-probes a rewritten layout.
     */
   private[graft] def effectiveScanParallelism(spark: SparkSession, path: String): Int =
-    scanParCache.getOrElseUpdate(path, {
-      try {
-        import org.apache.parquet.hadoop.ParquetFileReader
-        import org.apache.parquet.hadoop.util.HadoopInputFile
-        val conf = spark.sparkContext.hadoopConfiguration
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(conf)
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val rootStatus = fs.getFileStatus(root)
+      scanParCache.getOrElseUpdate(s"$path@${rootStatus.getModificationTime}", {
         val files =
-          if (fs.getFileStatus(root).isFile) Array(root)
+          if (rootStatus.isFile) Array(root)
           else fs.listStatus(root).map(_.getPath)
             .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
         val cores = spark.sparkContext.defaultParallelism
-        if (files.length >= cores) files.length
+        if (files.isEmpty && !rootStatus.isFile) Int.MaxValue
+        else if (files.length >= cores) files.length
         else files.map { f =>
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
           try r.getRowGroups.size finally r.close()
         }.sum
-      } catch { case _: Throwable => Int.MaxValue }
-    })
+      })
+    } catch { case _: Throwable => Int.MaxValue }
 
   private def underParallel(spark: SparkSession, dir: String, table: String): Boolean =
     effectiveScanParallelism(spark, s"$dir/$table.parquet") <

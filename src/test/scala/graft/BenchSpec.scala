@@ -314,6 +314,17 @@ class BenchSpec extends SparkSpec {
     val wparsed = Bench.parseQueryTimes(wrapped)
     assert(math.abs(wparsed("q01_slow") - 5.432) < 0.01, wparsed.toString)
     assert(!wparsed.contains("q03_bad"))
+    // unescapeWrapper (ADVICE r19): \\ handled BEFORE \" — a backslash
+    // in a query name or the tail must round-trip, not eat the next
+    // quote; and it is the identity on a raw artifact line
+    assert(Bench.unescapeWrapper("""pre \\ mid \" post""") == """pre \ mid " post""")
+    assert(Bench.unescapeWrapper(line) eq line)
+    val bsLine = """{"metric":"total","value":1.0,"unit":"sec","queries":""" +
+      """{"q\\x":1.500},"errors":{},"failed":0,"unstable":[],"load":[1,1],"sf":0.1}"""
+    val bsWrapped = """{"tail": "[info] """ +
+      bsLine.replace("\\", "\\\\").replace("\"", "\\\"") + """\n"}"""
+    assert(Bench.parseQueryTimes(bsWrapped) == Map("""q\\x""" -> 1.5),
+      Bench.parseQueryTimes(bsWrapped).toString)
 
     // driftMovers: the r18 e-block shapes
     val prev = Map("q11_agg" -> 6.9, "e16_ddl" -> 3.1)

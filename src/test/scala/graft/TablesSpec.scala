@@ -262,6 +262,38 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("scan-layout probe: partitioned layouts healthy, failures uncached, rewrites re-probed") {
+    // ADVICE r19 (medium): a Hive-style directory-partitioned table has
+    // NO top-level *.parquet files — the probe must report it HEALTHY
+    // (identity fan-out), not inject a permanent full-table repartition
+    // at production scale
+    withTmp { dir =>
+      spark.range(100).selectExpr("id", "id % 3 AS k")
+        .write.partitionBy("k").parquet(s"$dir/part.parquet")
+      assert(Tables.effectiveScanParallelism(spark, s"$dir/part.parquet") == Int.MaxValue)
+      val df = spark.read.parquet(s"$dir/part.parquet")
+      assert(Tables.fanOut(spark, dir, "part", df) eq df)
+    }
+    // ADVICE r19 (low): the failure sentinel must not be cached — a
+    // probe that ran before the file existed must not pin "healthy"
+    // forever once the (unhealthy) file appears
+    withTmp { dir =>
+      assert(Tables.effectiveScanParallelism(spark, s"$dir/late.parquet") == Int.MaxValue)
+      spark.range(100).coalesce(1).write.parquet(s"$dir/late.parquet")
+      assert(Tables.effectiveScanParallelism(spark, s"$dir/late.parquet") < Int.MaxValue)
+    }
+    // ...and a REWRITTEN layout re-probes (mtime cache key): a reused
+    // dir that goes from 1 file to ≥cores files flips to healthy
+    withTmp { dir =>
+      spark.range(100).coalesce(1).write.parquet(s"$dir/re.parquet")
+      val before = Tables.effectiveScanParallelism(spark, s"$dir/re.parquet")
+      assert(before <= 1)
+      Thread.sleep(1100) // ensure a distinct directory mtime second
+      spark.range(1000).repartition(8).write.mode("overwrite").parquet(s"$dir/re.parquet")
+      assert(Tables.effectiveScanParallelism(spark, s"$dir/re.parquet") >= 8)
+    }
+  }
+
   test("nanos-illegal detector matches error class and wrapped messages") {
     val byMessage = new RuntimeException(
       "caused by [PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64 (TIMESTAMP(NANOS,false))")
