@@ -18,6 +18,12 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
+  /** Unique suffix for per-round convergence observations in
+    * [[clusters]] — observation names are matched per query execution,
+    * and a reused name across concurrent queries could cross-wire.
+    */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup: keep the lowest doc id per content fingerprint. One
     * shuffle on the 60-bit fingerprint.
     */
@@ -265,19 +271,38 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist()
+    // the emptiness check rides the checkpoint's own job (same observed-
+    // metric mechanics as the per-round convergence check below)
+    val obs0 = org.apache.spark.sql.Observation(
+      s"graft_cc_${ccObsId.incrementAndGet()}")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    var converged = labels.isEmpty
+    var converged = scala.util.Try(scala.concurrent.Await.result(
+        obs0.future, scala.concurrent.duration.Duration(10, "s"))) match {
+      case scala.util.Success(row) => row.getLong(0) == 0L
+      case scala.util.Failure(_) => labels.isEmpty
+    }
     var round = 0
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nbr_min"))
-      // hop: pull the min label across one edge
+      // hop: pull the min label across one edge. The convergence check
+      // rides the checkpoint's own job as an OBSERVED metric (r20,
+      // guide §2.6 job-count): store-lifecycle ingests (d08/s06) pay
+      // 2–3 rounds per batch, and a separate `hop.filter(...).isEmpty`
+      // action per round was pure job-launch latency — the observation
+      // is collected DURING the eager checkpoint (measured 0.3–2.5 ms
+      // post-action vs a ~0.1–0.2 s extra job). The explicit job
+      // remains as the fallback arm if the metric ever fails to post.
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${ccObsId.incrementAndGet()}")
       val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .observe(obs, count(when(col("lbl") < col("prev"), 1)).as("changed"))
         .localCheckpoint(true) // feeds the check and both jump sides below
       // labels only decrease, so any strict drop means more work. When
       // the HOP changed nothing we are at the plain-propagation
@@ -285,7 +310,11 @@ object Dedup {
       // component min — the jump is provably a no-op there, so the
       // final round (and a 2–3-round near-clique corpus generally)
       // skips the jump join entirely
-      converged = hop.filter(col("lbl") < col("prev")).isEmpty
+      converged = scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(10, "s"))) match {
+        case scala.util.Success(row) => row.getLong(0) == 0L
+        case scala.util.Failure(_) => hop.filter(col("lbl") < col("prev")).isEmpty
+      }
       if (converged || round < 2) {
         // rounds 0–1 are plain hops: a near-clique corpus — every real
         // duplicate cluster — converges within them, so the common

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Overlap.{overlapped, overlapped2}
 
 /** Persisted MinHash signature store for INCREMENTAL dedup — the only
   * dedup shape that survives 100 TB of history. Re-running corpus-wide
@@ -462,36 +463,57 @@ object SignatureStore {
     // fewer than k tokens have no shingles but still need a flag row
     val ids = batch.select(col("doc_id").cast("long").as("doc_id"))
     val bsh = staged("shingle pass")(Dedup.shingles(batch, spec.k).localCheckpoint(true))
-    val bIdx = staged("batch index")(
-      Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true))
+    // index and bands are INDEPENDENT aggregates over the pinned shingle
+    // pass — overlap their materializations (guide §2.6; same pattern
+    // and thread-inheritance rationale as [[appendFrom]]'s writes). The
+    // r20 IngestProbe split had them at 0.53 s + 0.43 s sequential.
+    //
     // MinHash signatures are per-document (corpus-independent), so the
     // batch's bands are aggregated ONCE and every later consumer —
     // store join, within-survivor LSH, keeper append — is a semi-join
     // filter of this table, not a re-aggregation of the shingle pass
-    val bBands = staged("batch bands")(
-      Dedup.bandsFromShingles(bsh, spec.bands, spec.rows).localCheckpoint(true))
-    staged("bucket audit") {
-      // occupancy over the band_keys this batch touches, batch∪store
-      // members — the store side is a semi-join INTO its bucketing
-      // (only the small key set shuffles), never a full-store aggregate
-      val batchCnt = bBands
-        .select(concat_ws(":", col("band"), col("band_hash")).as("band_key"))
-        .groupBy("band_key").agg(count(lit(1)).as("n_batch"))
-      val row = batchCnt
-        .join(spark.table(bandsTable(name))
-            .join(batchCnt.select("band_key"), "band_key")
-            .groupBy("band_key").agg(count(lit(1)).as("n_store")),
-          Seq("band_key"), "left")
-        .select((col("n_batch") + coalesce(col("n_store"), lit(0L))).as("occ"))
-        .agg(count(lit(1)), max(col("occ"))).head()
-      onAudit(IngestAudit(ids.count(), spec.bands,
-        row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+    val (bIdx, bBands) = staged("batch index ∥ bands") {
+      overlapped2(
+        Dedup.indexFromShingles(bsh, spec.maxDf).localCheckpoint(true),
+        Dedup.bandsFromShingles(bsh, spec.bands, spec.rows).localCheckpoint(true))
     }
-    val histDup = staged("store join") {
-      pairsAgainstStore(spark, name, bBands, bIdx, threshold)
-        .groupBy(col("new_id").as("doc_id"))
-        .agg(min(col("hist_id")).as("hist_dup_of"))
-        .localCheckpoint(true)
+    // the bucket audit only READS the store and the pinned batch tables,
+    // and its contract is "delivered before any append" — not "before
+    // the store join" — so its one-row aggregate runs CONCURRENTLY with
+    // the store join below and is awaited (and onAudit called, still on
+    // this thread) right after. The batch count is fused into the same
+    // single-row action (two one-row aggregates cross-joined) instead
+    // of a separate ids.count() job.
+    val auditRow = staged("bucket audit (submit)") {
+      overlapped {
+        // occupancy over the band_keys this batch touches, batch∪store
+        // members — the store side is a semi-join INTO its bucketing
+        // (only the small key set shuffles), never a full-store aggregate
+        val batchCnt = bBands
+          .select(concat_ws(":", col("band"), col("band_hash")).as("band_key"))
+          .groupBy("band_key").agg(count(lit(1)).as("n_batch"))
+        batchCnt
+          .join(spark.table(bandsTable(name))
+              .join(batchCnt.select("band_key"), "band_key")
+              .groupBy("band_key").agg(count(lit(1)).as("n_store")),
+            Seq("band_key"), "left")
+          .select((col("n_batch") + coalesce(col("n_store"), lit(0L))).as("occ"))
+          .agg(count(lit(1)).as("n_keys"), max(col("occ")).as("max_occ"))
+          .crossJoin(ids.agg(count(lit(1)).as("n_batch_docs")))
+          .head()
+      }
+    }
+    val histDup =
+      try staged("store join") {
+        pairsAgainstStore(spark, name, bBands, bIdx, threshold)
+          .groupBy(col("new_id").as("doc_id"))
+          .agg(min(col("hist_id")).as("hist_dup_of"))
+          .localCheckpoint(true)
+      } catch { case t: Throwable => Overlap.drain(auditRow); throw t }
+    staged("bucket audit (await)") {
+      val row = auditRow()
+      onAudit(IngestAudit(row.getLong(2), spec.bands,
+        row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
     }
     val survIds = ids.join(histDup, Seq("doc_id"), "left_anti")
     val ssh = bsh.join(survIds, "doc_id")

@@ -33,6 +33,12 @@ import graft.dedup.{Dedup, StoreGuard}
   */
 object EmbeddingStore {
 
+  /** Unique suffix for ingest's observed-metric names — observations
+    * are matched per query execution; a reused name across concurrent
+    * queries could cross-wire.
+    */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Band geometry. The default (0, 0) means DERIVE from the history
     * size at build time via [[Similarity.lshSpecFor]] — the adaptive
     * key space that keeps the candidate join's collision term linear in
@@ -57,9 +63,12 @@ object EmbeddingStore {
     * (the combined corpus a full-corpus LSH would hash into those
     * buckets); `cappedBuckets`/`cappedRows` are what the ingest's
     * candidate generation actually skipped. Delivered through ingest's
-    * `onAudit` hook as its own action (the inline `observe` alternative
-    * is best-effort under AQE empty-relation propagation — SURVEY
-    * note 23), so the counts can never be lost, and the orchestrated
+    * `onAudit` hook; since r20 the aggregates ride the occupancy
+    * checkpoint's job as observed metrics WITH an explicit recompute
+    * fallback ([[graft.dedup.Overlap.observedRow]]) — observe alone is
+    * best-effort under AQE empty-relation propagation (SURVEY note 23),
+    * so the fallback job keeps the counts lossless while the happy path
+    * stops paying a separate agg().head() job. The orchestrated
     * cadences file them in the run report/notification.
     */
   final case class IngestAudit(nBatch: Long, planes: Int, bandBits: Int,
@@ -524,14 +533,29 @@ object EmbeddingStore {
       }
       require(storedDims <= 0 || storedDims == dims,
         s"batch dims $dims != store dims $storedDims for '$name'")
-      val v = base.withColumn("ns", Similarity.normSq(col("emb"))).localCheckpoint(true)
-      val bBands = bandsOf(base, spec).localCheckpoint(true)
+      // normed vectors and band signatures are INDEPENDENT projections
+      // of the pinned base — overlap their materializations (guide
+      // §2.6, same pattern as SignatureStore.ingest). The batch count
+      // rides v's checkpoint as an observed metric (v is one row per
+      // batch vector) instead of a separate ids.count() job.
+      val vObs = org.apache.spark.sql.Observation(s"graft_es_v_${obsId.incrementAndGet()}")
+      val (v, bBands) = graft.dedup.Overlap.overlapped2(
+        base.withColumn("ns", Similarity.normSq(col("emb")))
+          .observe(vObs, count(lit(1)).as("n")).localCheckpoint(true),
+        bandsOf(base, spec).localCheckpoint(true))
 
       // bucket occupancy over the band_keys this batch touches, counting
       // batch AND stored members — buckets the batch does not touch can
       // produce neither candidates nor drops, so the store side is a
       // semi-join INTO its bucketing (only the small key set shuffles),
-      // never a full-store aggregate
+      // never a full-store aggregate. The audit aggregates ride the
+      // occupancy checkpoint's own job as observed metrics — the
+      // separate agg().head() job they used to pay is gone.
+      val occObs = org.apache.spark.sql.Observation(s"graft_es_occ_${obsId.incrementAndGet()}")
+      def occAudit = Seq(count(lit(1)).as("n_keys"),
+        sum(when(col("occ") > bucketCap, 1L).otherwise(0L)).as("n_hot"),
+        sum(when(col("occ") > bucketCap, col("occ")).otherwise(0L)).as("occ_hot"),
+        max(col("occ")).as("max_occ"))
       val batchCnt = bBands.groupBy("band_key").agg(count(lit(1)).as("n_batch"))
       val occ = batchCnt
         .join(spark.table(bandsTable(name))
@@ -540,12 +564,13 @@ object EmbeddingStore {
           Seq("band_key"), "left")
         .select(col("band_key"),
           (col("n_batch") + coalesce(col("n_store"), lit(0L))).as("occ"))
-        .localCheckpoint(true) // audit agg + hot-key filter both read it
-      val auditRow = occ.agg(count(lit(1)),
-        sum(when(col("occ") > bucketCap, 1L).otherwise(0L)),
-        sum(when(col("occ") > bucketCap, col("occ")).otherwise(0L)),
-        max(col("occ"))).head()
-      onAudit(IngestAudit(ids.count(), spec.planes, spec.bandBits,
+        .observe(occObs, occAudit.head, occAudit.tail: _*)
+        .localCheckpoint(true) // audit metrics + hot-key filter both ride it
+      val auditRow = graft.dedup.Overlap.observedRow(occObs,
+        occ.agg(occAudit.head, occAudit.tail: _*).head())
+      val batchN = graft.dedup.Overlap.observedRow(vObs,
+        v.agg(count(lit(1)).as("n")).head()).getLong(0)
+      onAudit(IngestAudit(batchN, spec.planes, spec.bandBits,
         auditRow.getLong(0),
         if (auditRow.isNullAt(1)) 0L else auditRow.getLong(1),
         if (auditRow.isNullAt(2)) 0L else auditRow.getLong(2),
