@@ -82,13 +82,18 @@ object PipelineQueries {
   private[graft] def salesChannelAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity, salts: Int = 0): DataFrame = {
     val dayPart = (col("l_linenumber") % 3).cast("int")
+    // r20 (guide §2.3 "narrower types"): the aggregate, the cached TY
+    // relation, and the TY/LY merge join all key on the NARROW native
+    // dims (long store, int day-part) — StoreNumber's string cast and
+    // DayPart's when-chain are injective, so the grain is identical and
+    // the display forms are derived once per group in the final
+    // projection instead of hashed/sorted/compared per fact row.
     val dims: Seq[(String, Column)] = Seq(
-      "StoreNumber" -> col("l_suppkey").cast("string"),
+      "__store" -> col("l_suppkey"),
       "CalendarDate" -> to_date(col("l_shipdate")),
       "SourceActor" -> col("l_returnflag"),
       "SourceChannel" -> col("l_linestatus"),
-      "DayPart" -> when(dayPart === 0, "Morning")
-        .when(dayPart === 1, "Afternoon").otherwise("Evening"))
+      "__daypart" -> dayPart)
     // keyed fan-out (r19, guide §2.5): the sf inputs are single-row-group
     // files, so the (dims, orderkey)-grain partial aggregate otherwise
     // runs fused into a one-task scan. Repartitioning on ALL FIVE dim
@@ -138,8 +143,8 @@ object PipelineQueries {
     }
     val ty = (if (salts > 1) tySalted else tyUnsalted).persist()
     val ly = ty.select(
-      col("StoreNumber"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
-      col("SourceActor"), col("SourceChannel"), col("DayPart"),
+      col("__store"), date_add(col("CalendarDate"), 364).as("CalendarDate"),
+      col("SourceActor"), col("SourceChannel"), col("__daypart"),
       col("TY Net Sales USD").as("LY Net Sales USD"),
       col("TY Orders").as("LY Orders"))
     // merge hint (r19): the TY grain is near-unique (~595k rows at
@@ -155,8 +160,16 @@ object PipelineQueries {
     // flip at 30x scale (the r18 e11 attribution), the hint just stops
     // the local plan from re-deriving the broadcast each round.
     ty.join(ly.hint("merge"),
-      Seq("StoreNumber", "CalendarDate", "SourceActor", "SourceChannel", "DayPart"),
+      Seq("__store", "CalendarDate", "SourceActor", "SourceChannel", "__daypart"),
       "left")
+      .select(
+        col("__store").cast("string").as("StoreNumber"),
+        col("CalendarDate"), col("SourceActor"), col("SourceChannel"),
+        when(col("__daypart") === 0, "Morning")
+          .when(col("__daypart") === 1, "Afternoon").otherwise("Evening")
+          .as("DayPart"),
+        col("TY Net Sales USD"), col("TY Orders"), col("Discounts USD"),
+        col("LY Net Sales USD"), col("LY Orders"))
   }
 
   val e11 = QueryDef(
@@ -211,10 +224,12 @@ object PipelineQueries {
       pre: DataFrame => DataFrame = identity): DataFrame = {
     // keyed fan-out (r19, guide §2.5) — see salesChannelAgg: parallelizes
     // the broadcast part join + two-level decimal partial aggregate past
-    // the single-row-group scan; StoreNumber partitioning satisfies both
-    // aggregate levels' clustering (no extra exchange at any scale).
+    // the single-row-group scan; the raw long l_suppkey (r20 — narrower
+    // than the string cast it replaced) is a subset of both aggregate
+    // levels' group keys, so it satisfies their clustering (no extra
+    // exchange at any scale).
     val li = Tables.fanOutBy(s, dir, "lineitem",
-      pre(Tables.lineitem(s, dir)), col("l_suppkey").cast("string"))
+      pre(Tables.lineitem(s, dir)), col("l_suppkey"))
     val part = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
     val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
@@ -226,9 +241,13 @@ object PipelineQueries {
     // to dsum in one level. Probed at sf0.1/local[32] against the
     // previous two-scan form (wide additive agg + narrow countDistinct
     // joined back at group grain): numbers in the commit message.
+    // r20 (guide §2.3 "narrower types"): both aggregate levels key on
+    // the raw long l_suppkey; the StoreNumber string cast (injective)
+    // moves to one final projection per group row instead of one per
+    // fact row through two hash-aggregate levels.
     def p6(c: Column) = sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
     val partial = joined.groupBy(
-        col("l_suppkey").cast("string").as("StoreNumber"),
+        col("l_suppkey"),
         to_date(col("l_shipdate")).as("CalendarDate"),
         col("p_brand").as("OfferCode"),
         col("p_type").as("OfferPOSDescription"),
@@ -242,7 +261,7 @@ object PipelineQueries {
         p6(net).as("net_p"),
         p6(col("l_quantity") * col("p_retailprice") * lit(0.31)).as("food_p"))
     partial
-      .groupBy(col("StoreNumber"), col("CalendarDate"),
+      .groupBy(col("l_suppkey"), col("CalendarDate"),
         col("OfferCode"), col("OfferPOSDescription"))
       .agg(
         sum(col("cnt")).as("Redeemed Count"),
@@ -254,6 +273,13 @@ object PipelineQueries {
         sum(col("food_p")).cast("double").as("Target Food Cost USD"),
         count(lit(1)).as("Order Count"))
       .withColumn("Order Mix %", col("Order Count") / col("Redeemed Count"))
+      .withColumn("StoreNumber", col("l_suppkey").cast("string"))
+      .select(col("StoreNumber"), col("CalendarDate"),
+        col("OfferCode"), col("OfferPOSDescription"),
+        col("Redeemed Count"), col("Discount Amount USD"),
+        col("Gross Margin USD"), col("Sales Mix USD %"),
+        col("Net Sales USD"), col("Target Food Cost USD"),
+        col("Order Count"), col("Order Mix %"))
   }
 
   val e12 = QueryDef(
@@ -303,17 +329,34 @@ object PipelineQueries {
     */
   private[graft] def inventoryAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity): DataFrame = {
-    // keyed fan-out (r19, guide §2.5) — see salesChannelAgg.
+    // keyed fan-out (r19, guide §2.5) — see salesChannelAgg. Since r20
+    // the fan key is the RAW long l_suppkey (a subset of the narrowed
+    // group keys below), so the aggregate still reuses the fan's
+    // exchange at bench layouts and needs exactly one at any other.
     val li = Tables.fanOutBy(s, dir, "lineitem",
-      pre(Tables.lineitem(s, dir)), col("l_suppkey").cast("string"))
+      pre(Tables.lineitem(s, dir)), col("l_suppkey"))
     val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .groupBy(
-        col("l_suppkey").cast("string").as("StoreNumber"),
-        to_date(col("l_shipdate")).as("CalendarDate"),
-        col("l_partkey").cast("string").as("ItemNumber"),
-        col("p_name").as("ItemDescription"))
+    // r20 (guide §2.3 "narrower types"): group on the NARROW native keys
+    // (long, date, long) and derive the string identities AFTER the
+    // aggregate — the old shape hashed/compared two per-row UTF8String
+    // casts plus p_name through a ~600 k-row near-unique-grain hash agg,
+    // pure allocation churn the wire projection can pay once per GROUP
+    // instead. The broadcast part join moves above the aggregate too:
+    // the group keys include l_partkey (the join key), so inner-join-
+    // before-agg ≡ inner-join-after-agg row for row, and the join now
+    // probes group rows, not fact rows. Results are bit-identical
+    // (injective key mapping, same dsum inputs); oracle + strictdiff
+    // re-verified this round.
+    li.groupBy(col("l_suppkey"),
+        to_date(col("l_shipdate")).as("CalendarDate"), col("l_partkey"))
       .agg(dsum(col("l_quantity")).as("Qty On Hand"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_suppkey").cast("string").as("StoreNumber"),
+        col("CalendarDate"),
+        col("l_partkey").cast("string").as("ItemNumber"),
+        col("p_name").as("ItemDescription"),
+        col("Qty On Hand"))
   }
 
   val e13 = QueryDef(
@@ -351,17 +394,20 @@ object PipelineQueries {
   private[graft] def clockInOutAgg(s: org.apache.spark.sql.SparkSession, dir: String,
       pre: DataFrame => DataFrame = identity): DataFrame = {
     // keyed fan-out (r19, guide §2.5) — see salesChannelAgg; keyed on
-    // the SystemUserID group expression (the store expression has only
-    // 10 distinct values).
+    // the raw long user_id since r20 (the store expression has only
+    // 10 distinct values; user_id is a subset of the narrowed group
+    // keys, so the aggregate reuses the fan's exchange).
     val ev = Tables.fanOutBy(s, dir, "events",
-      pre(Tables.events(s, dir)), col("user_id").cast("string"))
+      pre(Tables.events(s, dir)), col("user_id"))
     val spanH = (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
       .cast("double") / lit(3600000000.0)
-    ev.groupBy(
-        (col("user_id") % 10).cast("string").as("StoreNumber"),
-        to_date(col("ts")).as("CalendarDate"),
-        concat(lit("U"), col("user_id").cast("string")).as("EmployeeName"),
-        col("user_id").cast("string").as("SystemUserID"))
+    // r20 (guide §2.3 "narrower types"): group on (user_id, date) — the
+    // exact grain of the old 4-expression grouping, since StoreNumber /
+    // EmployeeName / SystemUserID are all injective functions of
+    // user_id — and build those display strings AFTER the aggregate,
+    // once per group instead of once per event row. Bit-identical
+    // output (same aggregate inputs, same double arithmetic).
+    ev.groupBy(col("user_id"), to_date(col("ts")).as("CalendarDate"))
       .agg(
         min(col("ts")).as("Actual Clock In Ts"),
         max(col("ts")).as("Actual Clock Out Ts"),
@@ -373,6 +419,15 @@ object PipelineQueries {
           .as("m_reg_pay_usd_sum"),
         dsum(when(col("event_type") === "view", col("value")).otherwise(lit(0.0)))
           .as("m_ovt_pay_usd_sum"))
+      .select(
+        (col("user_id") % 10).cast("string").as("StoreNumber"),
+        col("CalendarDate"),
+        concat(lit("U"), col("user_id").cast("string")).as("EmployeeName"),
+        col("user_id").cast("string").as("SystemUserID"),
+        col("Actual Clock In Ts"), col("Actual Clock Out Ts"),
+        col("m_reg_hours_worked_sum"), col("m_ovt_hours_worked_sum"),
+        col("m_total_hours_worked_sum"), col("m_total_pay_usd_sum"),
+        col("m_reg_pay_usd_sum"), col("m_ovt_pay_usd_sum"))
   }
 
   val e14 = QueryDef(
