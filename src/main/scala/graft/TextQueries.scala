@@ -417,12 +417,14 @@ object TextQueries {
     * step that turns a cleaned corpus into fixed-length LLM training
     * sequences.
     *
-    * The global running total is a DISTRIBUTED two-level prefix sum,
-    * not one global window sort: per-bucket cumulative sums run in
-    * parallel (window partitioned by `doc_id div 100`), bucket totals
-    * — corpus/bucket_size rows, control-plane-sized at any corpus
-    * scale — take one tiny global window, and their offsets broadcast
-    * back. Integer addition is associative, so the result is
+    * The global running total is a DISTRIBUTED three-level prefix sum
+    * with NO single-partition window anywhere (r20): per-bucket
+    * cumulative sums run in parallel (window partitioned by
+    * `doc_id div 100`), bucket totals cumsum within superbuckets
+    * (window partitioned by `bucket div 10000`), and the superbucket
+    * totals — corpus/10^6 rows, control-plane-sized at any corpus
+    * scale — take one O(m) array prefix on a single collected row,
+    * broadcast back. Integer addition is associative, so the result is
     * bit-identical to the oracle's single global cumsum.
     */
   /** The packing recipe over ANY (doc_id, n_tokens) frame — t11 feeds
@@ -438,17 +440,51 @@ object TextQueries {
     * most merges dead and silently inflates every count — the exact
     * failure `Bpe.loadVocab`'s arbitration exists to prevent.
     */
+  /** O(m) exclusive prefix sum over a control-plane-sized array — the
+    * TOP level of [[packSequences]]'s distributed cumsum. A Scala
+    * closure, but NEVER in the hot path: it runs exactly once per
+    * query, over one row holding the superbucket totals (corpus /
+    * 10^6 elements — 8 MB of longs at a trillion documents). Spark has
+    * no builtin scan/prefix HOF, and the `aggregate`/`transform`
+    * emulations are O(m²) in either time or array-copy churn.
+    */
+  private val exclusivePrefix =
+    udf((totals: Seq[Long]) => {
+      var acc = 0L
+      totals.map { t => val out = acc; acc += t; out }
+    })
+
   def packSequences(d0: org.apache.spark.sql.DataFrame,
       budget: Int = 2048): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = d0.withColumn("bucket", expr("doc_id div 100"))
     val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
     val local = d.withColumn("cum", sum(col("n_tokens")).over(wLocal))
-    val wBuckets = Window.orderBy("bucket")
+    // r19 shipped the bucket-offsets prefix as ONE GLOBAL window
+    // (`Window.orderBy("bucket")`, no partition — the source of
+    // Verify's WindowExec single-partition warnings): corpus/100 rows
+    // through one task, a 10^7-row single-task sort at a 10^9-document
+    // corpus. r20 (VERDICT #5): the prefix is now fully partitioned —
+    // bucket totals cumsum WITHIN superbuckets (10^4 buckets each, a
+    // partitioned window), and the superbucket totals (corpus/10^6
+    // rows, control-plane at any scale) take one O(m) array prefix on
+    // a single collected row ([[exclusivePrefix]]) instead of a
+    // single-partition WindowExec. Integer addition is associative, so
+    // the three-level decomposition is bit-identical to the oracle's
+    // single global cumsum.
+    val btot = d.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("sbucket", expr("bucket div 10000"))
+    val wSuper = Window.partitionBy("sbucket").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
-      .withColumn("boffset", coalesce(sum(col("btot")).over(wBuckets), lit(0L)))
-      .select("bucket", "boffset")
+    val sOff = btot.groupBy("sbucket").agg(sum(col("btot")).as("stot"))
+      .agg(sort_array(collect_list(struct(col("sbucket"), col("stot")))).as("a"))
+      .select(col("a.sbucket").as("sb"), exclusivePrefix(col("a.stot")).as("off"))
+      .select(explode(arrays_zip(col("sb"), col("off"))).as("z"))
+      .select(col("z.sb").as("sbucket"), col("z.off").as("soffset"))
+    val offsets = btot
+      .withColumn("scum", coalesce(sum(col("btot")).over(wSuper), lit(0L)))
+      .join(broadcast(sOff), "sbucket")
+      .select(col("bucket"), (col("soffset") + col("scum")).as("boffset"))
     local.join(broadcast(offsets), "bucket")
       .withColumn("tok_offset", col("boffset") + col("cum") - col("n_tokens"))
       .withColumn("seq_id", expr(s"tok_offset div $budget"))
