@@ -12,6 +12,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    and when the first two runs disagree by more than 2x (sustained
   *    external contention, not a one-off stall) a third run is taken and
   *    the min of three published, with the query listed under `unstable`;
+  *    a still-slow published min (≥1 s) additionally buys up to two
+  *    CONVERGENCE RUNS while each keeps improving the min >15%
+  *    ([[convergedMin]], spec-pinned; r20 — the r19 driver artifact's
+  *    heavy group published pre-ramp mins off runs still falling at
+  *    run 3), deadline-gated, min of all runs published;
   *  - every run is wrapped in a WATCHDOG (default 120 s — ~10x the
   *    judge-probed worst case of 11.4 s at sf0.1): on expiry the query's
   *    Spark job group is cancelled, `-1` + `timeout` land in the errors
@@ -312,6 +317,23 @@ object Bench {
     // compile it, so the flag recurred every round the suite ordering
     // put e13 before e12.
     PipelineQueries.warmupMiniature(spark, sfDir)
+    // Sixth warmup (r20, VERDICT r19 item 7): the SimHash banding
+    // kernel (d04) and the SQ8 quantized-scan kernel (s04) — the two
+    // remaining first-run C2 ramps the r19 driver artifact flagged
+    // (d04 runs [12.82, 5.38, 4.14] drifted 2.8x; s04 [20.68, 4.44,
+    // 2.25] flagged unstable) that none of the earlier warmups
+    // compiles. 256-doc / 64-vector miniatures, untimed, noop sink,
+    // cache cleared after like every other warmup.
+    graft.dedup.Dedup.simhashPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(256))
+      .write.mode("overwrite").format("noop").save()
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      graft.similarity.Similarity.sq8TopK(
+        queries = emb.filter("vec_id < 2"), corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 2)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.catalog.clearCache()
 
     // Plan-metric accumulator: executed-plan SQLMetrics summed across
@@ -461,13 +483,31 @@ object Bench {
           }
           case Left(err) => Left(err)
         }
+      // CONVERGENCE RUNS (r20; VERDICT r19 item 1's "more timed runs so
+      // the published min is post-ramp"): a JIT/GC ramp that outlives
+      // the standard two runs publishes a pre-steady-state min — the
+      // r19 driver artifact's heavy group showed exactly that shape
+      // (d04 runs [12.82, 5.38, 4.14] still falling at run 3, s04
+      // [20.68, 4.44, 2.25]). A slow published min (≥1 s) buys up to
+      // two more runs, continuing only while each run still improves
+      // the min by >15% — on a steady machine that is ONE extra run
+      // (~15 s suite-wide); in a ramping regime it chases the ramp to
+      // its floor. Methodology is unchanged otherwise: same timed()
+      // discipline, min of ALL runs published, every run's (seconds,
+      // guard) evidence recorded; deadline-gated like the re-quiet arm.
+      val rConv = r0 match {
+        case Right(t) if t >= 1.0 && elapsedSec <= softDeadlineSec =>
+          Right(convergedMin(t, () =>
+            if (elapsedSec > softDeadlineSec) Left("deadline") else timed()))
+        case other => other
+      }
       // mid-run load guard: a published min taken under external load
       // is a lie waiting for a future round to read as a regression —
       // wait (bounded) for the machine to re-quiet and take one clean
       // confirmation run; decision logic is the spec-pinned
       // requietPublish. Skipped past the soft deadline or once the
       // re-quiet budget is spent (the artifact must still land).
-      val (r, requieted, clearUnstable) = requietPublish(r0, loadSeen, loadBar,
+      val (r, requieted, clearUnstable) = requietPublish(rConv, loadSeen, loadBar,
         wasUnstable = unstable.contains(name),
         quietRun = () =>
           if (elapsedSec > softDeadlineSec || requietUsedSec >= requietBudgetSec) None
@@ -743,6 +783,36 @@ object Bench {
         s""""unstable":${unstable.contains(n)}}"""
     }
     s"""{"prev":"$prevName","factor":2.5,"movers":{${rows.mkString(",")}}}"""
+  }
+
+  /** Convergence-runs decision (pure — BenchSpec pins the contract;
+    * r20, VERDICT r19 item 1): given a slow published min, take up to
+    * `maxExtra` additional runs, continuing only while each run still
+    * improves the running min by more than the `improve` factor — the
+    * signature of a JIT/GC ramp that outlived the standard two runs
+    * (the r19 driver artifact's d04 published 4.1 s off runs
+    * [12.82, 5.38, 4.14] — still falling when the run budget ended).
+    * On a steady machine the first extra run lands within the band and
+    * the loop stops at one. The min over ALL runs is returned; a failed
+    * extra run (including a deadline sentinel from the caller) stops
+    * the loop and can never degrade the already-published success.
+    */
+  private[graft] def convergedMin(first: Double,
+      more: () => Either[String, Double],
+      maxExtra: Int = 2, improve: Double = 0.85): Double = {
+    var best = first
+    var extra = 0
+    var go = true
+    while (go && extra < maxExtra) {
+      extra += 1
+      more() match {
+        case Right(t) =>
+          go = t < best * improve
+          best = math.min(best, t)
+        case Left(_) => go = false
+      }
+    }
+    best
   }
 
   /** Back-to-back spread adjudication (pure — BenchSpec pins the

@@ -140,6 +140,27 @@ class BenchSpec extends SparkSpec {
     assert(err == (Left("boom"), true))
   }
 
+  test("convergence runs: a ramping min is chased to its floor, a steady one stops at one extra") {
+    // the r19-driver d04 shape: runs still falling — both extra runs
+    // spent, min of all published
+    var seq = List(2.9, 1.4)
+    val ramp = Bench.convergedMin(4.14, () => { val t = seq.head; seq = seq.tail; Right(t) })
+    assert(ramp == 1.4, ramp.toString)
+    // steady machine: first extra run lands inside the 15% band — stop,
+    // exactly one extra run taken
+    var calls = 0
+    val steady = Bench.convergedMin(2.0, () => { calls += 1; Right(1.95) })
+    assert(steady == 1.95 && calls == 1)
+    // a slightly-slower extra run still stops the loop and never
+    // degrades the published min
+    val worse = Bench.convergedMin(2.0, () => Right(2.4))
+    assert(worse == 2.0)
+    // a failed extra run (or the caller's deadline sentinel) stops the
+    // loop, published success intact
+    val failed = Bench.convergedMin(3.0, () => Left("deadline"))
+    assert(failed == 3.0)
+  }
+
   test("requiet count and steal average ride the artifact and parse; absent when zero") {
     val runs = names.take(10).map(n => n -> (Right(2.5): Either[String, Double]))
     val line = Bench.renderLine(runs, Nil, (1.0, 2.0, 1L, 1L), 0.0, "sf0.1",
