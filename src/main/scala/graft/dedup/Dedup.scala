@@ -271,55 +271,72 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist()
-    // the emptiness check rides the checkpoint's own job (same observed-
-    // metric mechanics as the per-round convergence check below)
-    val obs0 = org.apache.spark.sql.Observation(
-      s"graft_cc_${ccObsId.incrementAndGet()}")
+    // the INITIAL label table stays LAZY (r20): the fused first job's
+    // checkpoint below is the first lineage truncation, and the initial
+    // table's consumers inside that plan re-derive it from the
+    // PERSISTED edge list — one cheap recomputation instead of a whole
+    // separate checkpoint job, in a code path whose cost is job-launch
+    // latency (d08/s06 run this per 500-doc batch).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .observe(obs0, count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    var converged = scala.util.Try(scala.concurrent.Await.result(
-        obs0.future, scala.concurrent.duration.Duration(10, "s"))) match {
-      case scala.util.Success(row) => row.getLong(0) == 0L
-      case scala.util.Failure(_) => labels.isEmpty
-    }
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+    // one plain hop over the current labels. The convergence check
+    // rides the checkpoint's own job as an OBSERVED metric (r20, guide
+    // §2.6 job-count): store-lifecycle ingests (d08/s06) pay 2–3
+    // rounds per batch, and a separate `hop.filter(...).isEmpty`
+    // action per round was pure job-launch latency — the observation
+    // is collected DURING the eager checkpoint (measured 0.3–2.5 ms
+    // post-action vs a ~0.1–0.2 s extra job). The explicit job remains
+    // as the fallback arm if the metric ever fails to post.
+    def hopOf(lbls: DataFrame): DataFrame = {
+      val nbrMin = edges.join(lbls.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("lbl")).as("nbr_min"))
-      // hop: pull the min label across one edge. The convergence check
-      // rides the checkpoint's own job as an OBSERVED metric (r20,
-      // guide §2.6 job-count): store-lifecycle ingests (d08/s06) pay
-      // 2–3 rounds per batch, and a separate `hop.filter(...).isEmpty`
-      // action per round was pure job-launch latency — the observation
-      // is collected DURING the eager checkpoint (measured 0.3–2.5 ms
-      // post-action vs a ~0.1–0.2 s extra job). The explicit job
-      // remains as the fallback arm if the metric ever fails to post.
-      val obs = org.apache.spark.sql.Observation(
-        s"graft_cc_${ccObsId.incrementAndGet()}")
-      val hop = labels.join(nbrMin, Seq("id"), "left")
+      lbls.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+    }
+    def observedConverged(hop: DataFrame): (DataFrame, Boolean) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${ccObsId.incrementAndGet()}")
+      val ck = hop
         .observe(obs, count(when(col("lbl") < col("prev"), 1)).as("changed"))
         .localCheckpoint(true) // feeds the check and both jump sides below
+      val conv = scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(10, "s"))) match {
+        case scala.util.Success(row) => row.getLong(0) == 0L
+        case scala.util.Failure(_) => ck.filter(col("lbl") < col("prev")).isEmpty
+      }
+      (ck, conv)
+    }
+    // FIRST TWO PLAIN HOPS, FUSED INTO ONE JOB (r20): every real
+    // duplicate cluster is a near-clique that settles within two plain
+    // hops — and convergence can only be OBSERVED by a hop that
+    // changes nothing, so the minimum schedule for any nonempty graph
+    // is two hops. Fusing them (hop1 as a LAZY localCheckpoint that
+    // materializes inside hop2's eager checkpoint job, then serves
+    // hop2's two consumers from block storage) halves the common
+    // case's job count without changing a single hop: the round
+    // counter advances by the same two plain rounds the old loop ran
+    // before engaging the jump, so the jump schedule — and the
+    // spec-pinned O(log diameter) round count — is untouched. An empty
+    // graph just runs one empty fused job and reads as converged.
+    val first = {
+      val hop1 = hopOf(labels).select("id", "lbl").localCheckpoint(false)
+      observedConverged(hopOf(hop1))
+    }
+    var converged = first._2
+    labels = first._1.select("id", "lbl")
+    var round = 2
+    while (!converged && round < maxRounds) {
       // labels only decrease, so any strict drop means more work. When
       // the HOP changed nothing we are at the plain-propagation
       // fixpoint (every label ≤ its neighbors' min), which IS the
       // component min — the jump is provably a no-op there, so the
       // final round (and a 2–3-round near-clique corpus generally)
       // skips the jump join entirely
-      converged = scala.util.Try(scala.concurrent.Await.result(
-          obs.future, scala.concurrent.duration.Duration(10, "s"))) match {
-        case scala.util.Success(row) => row.getLong(0) == 0L
-        case scala.util.Failure(_) => hop.filter(col("lbl") < col("prev")).isEmpty
-      }
-      if (converged || round < 2) {
-        // rounds 0–1 are plain hops: a near-clique corpus — every real
-        // duplicate cluster — converges within them, so the common
-        // case pays exactly the pre-jump cost and the jump below only
-        // ever runs on graphs that genuinely have depth
+      val (hop, conv) = observedConverged(hopOf(labels))
+      converged = conv
+      if (converged) {
         labels = hop.select("id", "lbl")
       } else {
         // jump: lbl := min(lbl, lbl(lbl)) — pointer doubling. A label
