@@ -504,9 +504,17 @@ object EmbeddingStore {
     requireCurrentKernel(name, meta)
     val spec = Spec(meta.getAs[Int]("planes"), meta.getAs[Int]("band_bits"))
     val buckets = meta.getAs[Int]("buckets")
-    val base = baseOf(batch, idCol, vecCol).localCheckpoint(true)
+    // the dims probe and the batch count ride base's checkpoint as
+    // observed metrics (r20) instead of paying their own agg jobs —
+    // Overlap.observedRow recomputes explicitly if the metric ever
+    // fails to post
+    val baseObs = org.apache.spark.sql.Observation(s"graft_es_base_${obsId.incrementAndGet()}")
+    val base = baseOf(batch, idCol, vecCol)
+      .observe(baseObs, max(size(col("emb"))).as("dims"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val ids = base.select("vec_id")
-    val dimsRow = base.agg(max(size(col("emb")))).head()
+    val dimsRow = graft.dedup.Overlap.observedRow(baseObs,
+      base.agg(max(size(col("emb"))), count(lit(1))).head())
     // emptiness check BEFORE the pending snapshot: an empty batch
     // mutates nothing, so writing (and then never clearing) a pending
     // file here would make a later recover() falsely report a crashed
@@ -535,13 +543,9 @@ object EmbeddingStore {
         s"batch dims $dims != store dims $storedDims for '$name'")
       // normed vectors and band signatures are INDEPENDENT projections
       // of the pinned base — overlap their materializations (guide
-      // §2.6, same pattern as SignatureStore.ingest). The batch count
-      // rides v's checkpoint as an observed metric (v is one row per
-      // batch vector) instead of a separate ids.count() job.
-      val vObs = org.apache.spark.sql.Observation(s"graft_es_v_${obsId.incrementAndGet()}")
+      // §2.6, same pattern as SignatureStore.ingest).
       val (v, bBands) = graft.dedup.Overlap.overlapped2(
-        base.withColumn("ns", Similarity.normSq(col("emb")))
-          .observe(vObs, count(lit(1)).as("n")).localCheckpoint(true),
+        base.withColumn("ns", Similarity.normSq(col("emb"))).localCheckpoint(true),
         bandsOf(base, spec).localCheckpoint(true))
 
       // bucket occupancy over the band_keys this batch touches, counting
@@ -568,18 +572,19 @@ object EmbeddingStore {
         .localCheckpoint(true) // audit metrics + hot-key filter both ride it
       val auditRow = graft.dedup.Overlap.observedRow(occObs,
         occ.agg(occAudit.head, occAudit.tail: _*).head())
-      val batchN = graft.dedup.Overlap.observedRow(vObs,
-        v.agg(count(lit(1)).as("n")).head()).getLong(0)
-      onAudit(IngestAudit(batchN, spec.planes, spec.bandBits,
+      onAudit(IngestAudit(dimsRow.getLong(1), spec.planes, spec.bandBits,
         auditRow.getLong(0),
         if (auditRow.isNullAt(1)) 0L else auditRow.getLong(1),
         if (auditRow.isNullAt(2)) 0L else auditRow.getLong(2),
         if (auditRow.isNullAt(3)) 0L else auditRow.getLong(3),
         bucketCap.toLong))
       // candidate generation skips hot buckets (accounted above); the
-      // hot-key set is tiny (only over-cap keys) and broadcast
+      // hot-key set is tiny (only over-cap keys) and broadcast. It
+      // stays LAZY (r20): occ is already checkpointed, so each
+      // consumer's anti-join re-derives the filter from block storage
+      // — a trivial scan — instead of the set paying its own
+      // checkpoint job.
       val hotKeys = occ.filter(col("occ") > bucketCap).select("band_key")
-        .localCheckpoint(true)
       val bBandsOk = bBands.join(hotKeys, Seq("band_key"), "left_anti")
 
       // exact decimal cosine between candidate (new, hist-or-new) pairs
@@ -628,18 +633,25 @@ object EmbeddingStore {
 
       onFlags(flags) // before any append — see SignatureStore.ingest
       val keepIds = flags.filter(!col("is_dup")).select("vec_id")
-      bBands.join(keepIds, "vec_id")
-        .select("vec_id", "band", "band_hash", "band_key")
-        .repartition(buckets, col("band_key"))
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "band_key").sortBy("band_key")
-        .saveAsTable(bandsTable(name))
-      v.join(keepIds, "vec_id")
-        .select("vec_id", "emb", "ns")
-        .repartition(buckets, col("vec_id"))
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "vec_id").sortBy("vec_id")
-        .saveAsTable(vecsTable(name))
+      // the two table appends are independent jobs over already-pinned
+      // inputs — overlap them (r20; the exact pattern and rationale of
+      // SignatureStore.appendFrom: awaited together before returning
+      // OR rethrowing, so no straggler write can race a caller's
+      // rollback; any partial state a crash leaves is what the
+      // pending-snapshot rollback already restores)
+      graft.dedup.Overlap.overlapped2(
+        bBands.join(keepIds, "vec_id")
+          .select("vec_id", "band", "band_hash", "band_key")
+          .repartition(buckets, col("band_key"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "band_key").sortBy("band_key")
+          .saveAsTable(bandsTable(name)),
+        v.join(keepIds, "vec_id")
+          .select("vec_id", "emb", "ns")
+          .repartition(buckets, col("vec_id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "vec_id").sortBy("vec_id")
+          .saveAsTable(vecsTable(name)))
       guard(name).bumpGen(spark)
       onCommitted() // durable "fully happened" mark, still under the pending authorization
       // pending clears ONLY on success or on a completed rollback
